@@ -1,0 +1,285 @@
+"""Typed, layered configuration system.
+
+The reference scatters configuration across six mechanisms — env vars + `.env`
+(Backend/app.py:178), env-with-default service URLs (services/cascaded_backend.py:40-41),
+hard-coded module constants (app.py:181-184), per-CLI argparse, hyperpyyaml training
+configs (greek_sft.yaml), and in-model JSON configs. This module unifies them into one
+typed system with explicit precedence:
+
+    dataclass defaults  <  YAML config file  <  environment variables  <  overrides
+
+Environment variables use the ``EST_`` prefix with ``__`` as the section separator,
+e.g. ``EST_SERVE__PORT=5001`` sets ``AppConfig.serve.port``. The reference's historical
+env names (``COSYVOICE_API_URL``, ``MAX_AUDIO_LENGTH_SECONDS``, ...) are honoured as
+aliases so existing deployments keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field, fields, is_dataclass
+from pathlib import Path
+from typing import Any, Mapping, Optional, Tuple, Type, TypeVar
+
+import yaml
+
+T = TypeVar("T")
+
+
+class ConfigError(ValueError):
+    """Raised for malformed config files, unknown keys, or bad env values."""
+
+
+# --------------------------------------------------------------------------- sections
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """Audio frontend limits and DSP constants.
+
+    Mirrors the reference's behavioural constants: 16 kHz pipeline rate and
+    300 s / 3600 s / 150 MB input caps (Backend/app.py:181-184), the accepted
+    upload formats (services/audio_processor.py:21-23), and the cloning-reference
+    cap (services/cascaded_backend.py:376-385).
+    """
+
+    sample_rate: int = 16_000
+    max_audio_seconds: float = 300.0
+    max_podcast_seconds: float = 3600.0
+    max_video_mb: float = 150.0
+    max_url_media_seconds: float = 120.0
+    clone_reference_seconds: float = 25.0
+    target_lufs: float = -23.0
+    allowed_formats: Tuple[str, ...] = (".wav", ".mp3", ".ogg", ".flac")
+    # STFT used by the denoise path (audio_processor.py:333-344)
+    denoise_n_fft: int = 1024
+    denoise_hop: int = 256
+    # Kaiser-window resample quality (audio_processor.py:297-304)
+    resample_lowpass_filter_width: int = 128
+    resample_kaiser_beta: float = 14.769656459379492
+    resample_rolloff: float = 0.9475937167399596
+
+
+@dataclass(frozen=True)
+class ServiceEndpoints:
+    """In-process stage registry endpoints.
+
+    The reference spoke HTTP between containers (cascaded_backend.py:40-41,
+    video_routes.py:26). The TPU build runs stages in-process on device; these
+    URLs remain for the optional remote-stage mode and for contract parity.
+    """
+
+    cosyvoice_url: str = "http://localhost:8002"
+    musetalk_url: str = "http://localhost:8003"
+    voice_similarity_url: str = "http://localhost:8001"
+    openvoice_url: str = "http://localhost:8004"
+    tts_timeout_seconds: float = 3600.0
+    tts_warmup_timeout_seconds: float = 300.0
+    lipsync_timeout_seconds: float = 7200.0
+    health_retries: int = 5
+    health_backoff_seconds: float = 10.0
+
+
+@dataclass(frozen=True)
+class ServeConfig:
+    """HTTP facade settings (reference: Backend/app.py:209-254, :523)."""
+
+    host: str = "0.0.0.0"
+    port: int = 5001
+    cors_origins: Tuple[str, ...] = (
+        "http://localhost:3000",
+        "http://localhost:3001",
+    )
+    # Flask-Limiter-equivalent rate limits (app.py:211, :254, :336, :401, :444)
+    default_limits: Tuple[str, ...] = ("500 per day", "100 per hour")
+    translate_limit: str = "20 per minute"
+    video_limit: str = "10 per minute"
+    audio_url_limit: str = "10 per minute"
+    podcast_limit: str = "5 per minute"
+    save_debug_audio: bool = False
+    memory_threshold: float = 0.9  # services/resource_monitor.py:11
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout for pjit sharding.
+
+    ``axis_sizes`` of -1 means "fill with all remaining devices". Default is pure
+    data parallelism, which matches the model scale (0.5B–2.3B; SURVEY.md §2.19),
+    but tensor-parallel rules exist throughout ``models/`` so tp>1 works.
+    """
+
+    dp: int = -1
+    tp: int = 1
+    use_bf16: bool = True
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """SFT loop hyperparameters (reference: greek_sft.yaml:94-103, train_greek.sh)."""
+
+    seed: int = 1986
+    learning_rate: float = 1e-5
+    scheduler: str = "constant"
+    warmup_steps: int = 0
+    max_epochs: int = 10
+    grad_clip: float = 5.0
+    accum_grad: int = 4
+    save_per_step: int = 1000
+    log_interval: int = 100
+    max_frames_in_batch: int = 2000
+    token_max_length: int = 200
+    shuffle_buffer: int = 1000
+    sort_buffer: int = 500
+    checkpoint_dir: str = "checkpoints"
+    keep_checkpoints: int = 10
+
+
+@dataclass(frozen=True)
+class AppConfig:
+    """Root configuration object."""
+
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    endpoints: ServiceEndpoints = field(default_factory=ServiceEndpoints)
+    serve: ServeConfig = field(default_factory=ServeConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    default_backend: str = "cascaded"
+    log_dir: str = "logs"
+    temp_dir: str = "temp_video_processing_requests"
+    hf_token: Optional[str] = None
+
+
+# Reference env-var names kept as aliases (Docker/.env.template, cascaded_backend.py).
+_LEGACY_ENV_ALIASES: Mapping[str, str] = {
+    "COSYVOICE_API_URL": "endpoints.cosyvoice_url",
+    "MUSETALK_API_URL": "endpoints.musetalk_url",
+    "VOICE_SIMILARITY_API_URL": "endpoints.voice_similarity_url",
+    "OPENVOICE_API_URL": "endpoints.openvoice_url",
+    "MAX_AUDIO_LENGTH_SECONDS": "audio.max_audio_seconds",
+    "MAX_PODCAST_LENGTH_SECONDS": "audio.max_podcast_seconds",
+    "MAX_VIDEO_MB": "audio.max_video_mb",
+    "SAMPLE_RATE": "audio.sample_rate",
+    "TARGET_LUFS": "audio.target_lufs",
+    "SAVE_DEBUG_AUDIO_FILES": "serve.save_debug_audio",
+    "MEMORY_THRESHOLD": "serve.memory_threshold",
+    "HUGGINGFACE_TOKEN": "hf_token",
+}
+
+_ENV_PREFIX = "EST_"
+
+
+# ------------------------------------------------------------------- implementation
+
+
+def _coerce(value: str, typ: Any) -> Any:
+    """Coerce a string (env var / yaml scalar) to the annotated field type."""
+    origin = getattr(typ, "__origin__", None)
+    if typ is Any:
+        return value
+    if origin is not None:
+        args = [a for a in typ.__args__ if a is not type(None)]  # Optional[X]
+        if origin is tuple:
+            items = [v.strip() for v in value.split(",") if v.strip()]
+            elem = args[0] if args else str
+            return tuple(_coerce(i, elem) for i in items)
+        if len(args) == 1:
+            return _coerce(value, args[0])
+        raise ConfigError(f"cannot coerce {value!r} to {typ}")
+    if typ is bool:
+        lowered = value.strip().lower()
+        if lowered in ("1", "true", "yes", "on"):
+            return True
+        if lowered in ("0", "false", "no", "off", ""):
+            return False
+        raise ConfigError(f"bad boolean {value!r}")
+    if typ in (int, float, str):
+        try:
+            return typ(value)
+        except ValueError as e:
+            raise ConfigError(f"bad {typ.__name__} {value!r}") from e
+    return value
+
+
+def _replace_path(cfg: T, dotted: str, value: Any) -> T:
+    """Return a copy of dataclass ``cfg`` with the dotted field path replaced."""
+    head, _, rest = dotted.partition(".")
+    match = {f.name: f for f in fields(cfg)}.get(head)
+    if match is None:
+        raise ConfigError(
+            f"unknown config key {head!r} on {type(cfg).__name__} "
+            f"(valid: {sorted(f.name for f in fields(cfg))})"
+        )
+    current = getattr(cfg, head)
+    if rest:
+        if not is_dataclass(current):
+            raise ConfigError(f"{head!r} is a leaf, cannot descend into {rest!r}")
+        new_value: Any = _replace_path(current, rest, value)
+    else:
+        new_value = _coerce(value, match.type) if isinstance(value, str) else value
+        if is_dataclass(current) and isinstance(value, Mapping):
+            new_value = _merge_mapping(current, value)
+    return dataclasses.replace(cfg, **{head: new_value})
+
+
+def _merge_mapping(cfg: T, data: Mapping[str, Any]) -> T:
+    out = cfg
+    for key, value in data.items():
+        out = _replace_path(out, str(key), value)
+    return out
+
+
+def _resolve_types(cls: Type[Any]) -> None:
+    """Materialize string annotations (from __future__ annotations) once."""
+    resolved = dataclasses.fields(cls)
+    hints = None
+    for f in resolved:
+        if isinstance(f.type, str):
+            if hints is None:
+                import typing
+
+                hints = typing.get_type_hints(cls)
+            f.type = hints[f.name]
+        if is_dataclass(f.type):
+            _resolve_types(f.type)
+
+
+_resolve_types(AppConfig)
+
+
+def load_config(
+    path: Optional[str | Path] = None,
+    env: Optional[Mapping[str, str]] = None,
+    **overrides: Any,
+) -> AppConfig:
+    """Build an :class:`AppConfig` from defaults < YAML < env < overrides.
+
+    ``overrides`` accepts dotted keys via ``load_config(**{"serve.port": 8080})``
+    as well as plain section names with mapping values.
+    """
+    cfg = AppConfig()
+
+    if path is not None:
+        raw = yaml.safe_load(Path(path).read_text()) or {}
+        if not isinstance(raw, Mapping):
+            raise ConfigError(f"config file {path} must contain a mapping")
+        cfg = _merge_mapping(cfg, raw)
+
+    env = os.environ if env is None else env
+    for name, dotted in _LEGACY_ENV_ALIASES.items():
+        if name in env:
+            cfg = _replace_path(cfg, dotted, env[name])
+    for name, value in env.items():
+        if name.startswith(_ENV_PREFIX):
+            dotted = name[len(_ENV_PREFIX):].lower().replace("__", ".")
+            cfg = _replace_path(cfg, dotted, value)
+
+    for dotted, value in overrides.items():
+        cfg = _replace_path(cfg, dotted, value)
+    return cfg
+
+
+def to_dict(cfg: Any) -> dict:
+    """Dataclass → plain nested dict (for logging / checkpoint metadata)."""
+    return dataclasses.asdict(cfg)

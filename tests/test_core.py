@@ -1,0 +1,103 @@
+"""Core config / registry / errors / mesh tests."""
+
+import dataclasses
+
+import jax
+import pytest
+
+import expressive_speech_translation_tpu as est
+from expressive_speech_translation_tpu.core import (
+    AppConfig,
+    ConfigError,
+    Registry,
+    ValidationError,
+    error_id,
+    load_config,
+)
+from expressive_speech_translation_tpu.parallel import MeshSpec, host_cpu_mesh, make_mesh
+
+
+def test_defaults_match_reference_constants():
+    cfg = AppConfig()
+    # Backend/app.py:181-184
+    assert cfg.audio.sample_rate == 16000
+    assert cfg.audio.max_audio_seconds == 300.0
+    assert cfg.audio.max_podcast_seconds == 3600.0
+    assert cfg.audio.max_video_mb == 150.0
+    # cascaded_backend.py:38,:40-41,:468
+    assert cfg.audio.target_lufs == -23.0
+    assert cfg.endpoints.cosyvoice_url == "http://localhost:8002"
+    assert cfg.endpoints.tts_timeout_seconds == 3600.0
+    # greek_sft.yaml:94-103
+    assert cfg.train.learning_rate == 1e-5
+    assert cfg.train.accum_grad == 4
+    assert cfg.train.grad_clip == 5.0
+    assert cfg.train.seed == 1986
+
+
+def test_env_layering_and_legacy_aliases(tmp_path):
+    yaml_file = tmp_path / "cfg.yaml"
+    yaml_file.write_text("serve:\n  port: 6001\naudio:\n  sample_rate: 22050\n")
+    cfg = load_config(
+        yaml_file,
+        env={
+            "COSYVOICE_API_URL": "http://tts:9000",
+            "EST_SERVE__PORT": "7001",
+            "EST_AUDIO__MAX_AUDIO_SECONDS": "120.5",
+            "SAVE_DEBUG_AUDIO_FILES": "true",
+        },
+    )
+    assert cfg.endpoints.cosyvoice_url == "http://tts:9000"
+    assert cfg.serve.port == 7001  # env beats yaml
+    assert cfg.audio.sample_rate == 22050  # yaml beats default
+    assert cfg.audio.max_audio_seconds == 120.5
+    assert cfg.serve.save_debug_audio is True
+
+
+def test_overrides_and_unknown_key():
+    cfg = load_config(env={}, **{"serve.port": 9999})
+    assert cfg.serve.port == 9999
+    with pytest.raises(ConfigError):
+        load_config(env={}, **{"serve.bogus": 1})
+    with pytest.raises(ConfigError):
+        load_config(env={"EST_SERVE__PORT": "not_an_int"})
+
+
+def test_config_frozen():
+    cfg = AppConfig()
+    with pytest.raises(dataclasses.FrozenInstanceError):
+        cfg.default_backend = "x"  # type: ignore[misc]
+
+
+def test_registry_fallback_semantics():
+    reg = Registry("backend")
+    reg.register("cascaded", "A", is_default=True)
+    reg.register("seamless", "B")
+    assert reg.get() == "A"
+    assert reg.get("seamless") == "B"
+    # unknown name falls back to default (translation_strategy.py:60-66 parity)
+    assert reg.get("nope") == "A"
+    with pytest.raises(ValueError):
+        reg.register("cascaded", "dup")
+
+
+def test_error_ids_stable():
+    e = ValidationError("Audio too long")
+    assert e.http_status == 400
+    assert e.error_id == error_id("Audio too long")
+    assert len(e.error_id) == 8
+    assert e.to_payload()["error"] == "Audio too long"
+
+
+def test_mesh_8_devices():
+    mesh = host_cpu_mesh(8)
+    assert mesh.shape == {"dp": 8, "tp": 1}
+    mesh2 = make_mesh(MeshSpec(dp=-1, tp=2), devices=jax.devices()[:8])
+    assert mesh2.shape == {"dp": 4, "tp": 2}
+    with pytest.raises(ValueError):
+        MeshSpec(dp=3, tp=3).resolve(8)
+
+
+def test_lazy_subpackage_access():
+    assert est.core is not None
+    assert "ops" in dir(est)
