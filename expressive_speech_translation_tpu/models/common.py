@@ -1,0 +1,209 @@
+"""Shared transformer building blocks (pure functional, param pytrees).
+
+Models in this framework are plain nested dicts of arrays + pure apply
+functions. No framework layer classes: converters from torch checkpoints,
+pjit partition rules (parallel/partition.py), and donation/jit boundaries all
+operate on the same simple pytree.
+
+Conventions:
+- activations [B, T, D]; attention heads folded as [B, T, H, Dh]
+- dense kernels stored as [in, out] (torch Linear weights are transposed on load)
+- KV caches are preallocated [B, max_T, H, Dh] and written via dynamic_update_slice
+  so autoregressive decode is a single compiled step with no reshapes
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+# ----------------------------------------------------------------- initialisers
+
+
+def _dense_init(key, in_dim, out_dim, dtype=jnp.float32):
+    scale = 1.0 / math.sqrt(in_dim)
+    return jax.random.uniform(key, (in_dim, out_dim), dtype, -scale, scale)
+
+
+def init_dense(key, in_dim: int, out_dim: int, *, bias: bool = True) -> Params:
+    p = {"kernel": _dense_init(key, in_dim, out_dim)}
+    if bias:
+        p["bias"] = jnp.zeros((out_dim,), jnp.float32)
+    return p
+
+
+def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def init_layer_norm(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm(p: Params, x: jnp.ndarray, *, eps: float = 1e-5) -> jnp.ndarray:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * p["scale"] + p["bias"]
+
+
+def rms_norm(p: Params, x: jnp.ndarray, *, eps: float = 1e-6) -> jnp.ndarray:
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps) * p["scale"]
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def sinusoid_position_embedding(length: int, dim: int, *, max_timescale: float = 10000.0) -> np.ndarray:
+    """Whisper-style sinusoids: [length, dim] = concat(sin, cos)."""
+    assert dim % 2 == 0
+    log_timescale = math.log(max_timescale) / (dim // 2 - 1)
+    inv_timescales = np.exp(-log_timescale * np.arange(dim // 2))
+    scaled = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+# -------------------------------------------------------------------- attention
+
+
+@dataclasses.dataclass(frozen=True)
+class AttnConfig:
+    dim: int
+    heads: int
+    # torch-parity details: whisper/nllb use bias on q/v/out but not k
+    k_bias: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+
+def init_attention(key, cfg: AttnConfig) -> Params:
+    ks = jax.random.split(key, 4)
+    return {
+        "q": init_dense(ks[0], cfg.dim, cfg.dim),
+        "k": init_dense(ks[1], cfg.dim, cfg.dim, bias=cfg.k_bias),
+        "v": init_dense(ks[2], cfg.dim, cfg.dim),
+        "o": init_dense(ks[3], cfg.dim, cfg.dim),
+    }
+
+
+def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, heads, d // heads)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, t, h, dh = x.shape
+    return x.reshape(b, t, h * dh)
+
+
+def mha(
+    p: Params,
+    cfg: AttnConfig,
+    x_q: jnp.ndarray,
+    x_kv: jnp.ndarray,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    precomputed_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """Full (non-cached) multi-head attention. mask: broadcastable to
+    [B, H, Tq, Tk], True = attend."""
+    q = _split_heads(dense(p["q"], x_q), cfg.heads) * (cfg.head_dim ** -0.5)
+    if precomputed_kv is None:
+        k = _split_heads(dense(p["k"], x_kv), cfg.heads)
+        v = _split_heads(dense(p["v"], x_kv), cfg.heads)
+    else:
+        k, v = precomputed_kv
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x_q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+    return dense(p["o"], _merge_heads(out))
+
+
+def attention_kv(p: Params, cfg: AttnConfig, x_kv: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Precompute K/V (e.g. encoder outputs for cross-attention)."""
+    k = _split_heads(dense(p["k"], x_kv), cfg.heads)
+    v = _split_heads(dense(p["v"], x_kv), cfg.heads)
+    return k, v
+
+
+def mha_step(
+    p: Params,
+    cfg: AttnConfig,
+    x_q: jnp.ndarray,            # [B, 1, D]
+    cache_k: jnp.ndarray,        # [B, maxT, H, Dh]
+    cache_v: jnp.ndarray,
+    pos: jnp.ndarray,            # scalar int32 — current write position
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single autoregressive self-attention step with preallocated KV cache.
+
+    Returns (out [B,1,D], new_cache_k, new_cache_v). Positions > ``pos`` are
+    masked out, so stale cache contents are harmless.
+    """
+    b = x_q.shape[0]
+    q = _split_heads(dense(p["q"], x_q), cfg.heads) * (cfg.head_dim ** -0.5)
+    k_new = _split_heads(dense(p["k"], x_q), cfg.heads)  # [B,1,H,Dh]
+    v_new = _split_heads(dense(p["v"], x_q), cfg.heads)
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype), (0, pos, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype), (0, pos, 0, 0))
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, cache_k)  # [B,H,1,maxT]
+    positions = jnp.arange(cache_k.shape[1])[None, None, None, :]
+    mask = positions <= pos
+    logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x_q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, cache_v)
+    return dense(p["o"], _merge_heads(out)), cache_k, cache_v
+
+
+# ------------------------------------------------------------------------- mlp
+
+
+def init_mlp(key, dim: int, hidden: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {"fc1": init_dense(k1, dim, hidden), "fc2": init_dense(k2, hidden, dim)}
+
+
+def mlp(p: Params, x: jnp.ndarray, *, activation=gelu) -> jnp.ndarray:
+    return dense(p["fc2"], activation(dense(p["fc1"], x)))
+
+
+# -------------------------------------------------------------------- conversion
+
+
+def t2j(tensor) -> jnp.ndarray:
+    """torch tensor → jnp array (via numpy, no copies beyond the host one)."""
+    return jnp.asarray(np.asarray(tensor.detach().cpu().numpy()))
+
+
+def linear_from_torch(weight, bias=None) -> Params:
+    p = {"kernel": t2j(weight).T}
+    if bias is not None:
+        p["bias"] = t2j(bias)
+    return p
+
+
+def cast_floats(tree, dtype):
+    """Cast floating leaves of a pytree (bf16 inference policy)."""
+    def _cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(_cast, tree)

@@ -1,0 +1,137 @@
+"""NLLB-JAX (M2M100) parity vs a random-weight torch HF model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from expressive_speech_translation_tpu.models import nllb as nj
+
+torch = pytest.importorskip("torch")
+
+TINY = dict(
+    d_model=64, encoder_layers=2, decoder_layers=2, heads=4, ffn_dim=128,
+    vocab_size=300, max_positions=64,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    from transformers import M2M100Config, M2M100ForConditionalGeneration
+
+    hf_cfg = M2M100Config(
+        vocab_size=TINY["vocab_size"],
+        d_model=TINY["d_model"],
+        encoder_layers=TINY["encoder_layers"],
+        decoder_layers=TINY["decoder_layers"],
+        encoder_attention_heads=TINY["heads"],
+        decoder_attention_heads=TINY["heads"],
+        encoder_ffn_dim=TINY["ffn_dim"],
+        decoder_ffn_dim=TINY["ffn_dim"],
+        max_position_embeddings=TINY["max_positions"],
+        pad_token_id=1, bos_token_id=0, eos_token_id=2,
+        decoder_start_token_id=2,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        scale_embedding=True,
+    )
+    torch.manual_seed(0)
+    model = M2M100ForConditionalGeneration(hf_cfg).eval()
+    cfg = nj.NLLBConfig(**TINY)
+    params = nj.from_hf_state_dict(model.state_dict(), cfg)
+    return model, cfg, params
+
+
+@pytest.fixture(scope="module")
+def src(hf_pair):
+    g = np.random.default_rng(0)
+    toks = g.integers(3, 290, size=(2, 11)).astype(np.int64)
+    toks[0, 8:] = 1  # pad tail of first sequence
+    toks[:, -1] = 2  # eos... keep last real for second
+    toks[0, 7] = 2
+    return toks
+
+
+def test_encoder_parity(hf_pair, src):
+    model, cfg, params = hf_pair
+    mask = (src != 1).astype(np.int64)
+    with torch.no_grad():
+        ref = model.model.encoder(
+            torch.from_numpy(src), attention_mask=torch.from_numpy(mask)
+        ).last_hidden_state.numpy()
+    got = np.asarray(nj.encode(params, cfg, jnp.asarray(src)))
+    # padded positions may differ (HF doesn't mask outputs); compare valid only
+    np.testing.assert_allclose(got[1], ref[1], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(got[0, :8], ref[0, :8], atol=2e-4, rtol=1e-3)
+
+
+def test_teacher_forced_parity(hf_pair, src):
+    model, cfg, params = hf_pair
+    g = np.random.default_rng(1)
+    dec = np.concatenate(
+        [np.full((2, 1), 2), np.full((2, 1), 250), g.integers(3, 290, size=(2, 5))], axis=1
+    )
+    mask = (src != 1).astype(np.int64)
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.from_numpy(src),
+            attention_mask=torch.from_numpy(mask),
+            decoder_input_ids=torch.from_numpy(dec),
+        ).logits.numpy()
+    enc = nj.encode(params, cfg, jnp.asarray(src))
+    got = np.asarray(nj.decode_full(params, cfg, jnp.asarray(dec), enc, jnp.asarray(src)))
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_greedy_generate_matches_hf(hf_pair, src):
+    model, cfg, params = hf_pair
+    mask = (src != 1).astype(np.int64)
+    forced_bos = 250
+    with torch.no_grad():
+        ref = model.generate(
+            input_ids=torch.from_numpy(src),
+            attention_mask=torch.from_numpy(mask),
+            forced_bos_token_id=forced_bos,
+            max_new_tokens=12, num_beams=1, do_sample=False,
+        ).numpy()
+    got = np.asarray(
+        nj.generate(params, cfg, jnp.asarray(src), forced_bos, max_new_tokens=12)
+    )
+    for b in range(2):
+        t = min(ref.shape[1], got.shape[1])
+        # after EOS ours pads with pad_token; HF also pads with pad
+        np.testing.assert_array_equal(got[b, :t], ref[b, :t])
+
+
+@pytest.mark.parametrize("num_beams", [3, 5])
+def test_beam_generate_matches_hf(hf_pair, src, num_beams):
+    model, cfg, params = hf_pair
+    mask = (src != 1).astype(np.int64)
+    forced_bos = 250
+    with torch.no_grad():
+        ref = model.generate(
+            input_ids=torch.from_numpy(src),
+            attention_mask=torch.from_numpy(mask),
+            forced_bos_token_id=forced_bos,
+            max_new_tokens=10, num_beams=num_beams, do_sample=False,
+            early_stopping=True, length_penalty=1.0,
+        ).numpy()
+    got = np.asarray(
+        nj.generate(
+            params, cfg, jnp.asarray(src), forced_bos,
+            max_new_tokens=10, num_beams=num_beams,
+        )
+    )
+    for b in range(2):
+        t = min(ref.shape[1], got.shape[1])
+        np.testing.assert_array_equal(got[b, :t], ref[b, :t])
+
+
+def test_generate_jits(hf_pair, src):
+    _, cfg, params = hf_pair
+    fn = jax.jit(
+        lambda p, s: nj.generate(p, cfg, s, 250, max_new_tokens=6, num_beams=3)
+    )
+    out = fn(params, jnp.asarray(src))
+    assert out.shape[0] == 2
+    assert out.dtype == jnp.int32
