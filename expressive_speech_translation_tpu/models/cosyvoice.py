@@ -1,0 +1,509 @@
+"""CosyVoice2-style zero-shot expressive TTS, TPU-first.
+
+Replaces the reference's Dockerised ``CosyVoice2-0.5B`` service
+(Docker/cosyvoice_api.py:96-153 → ``inference_zero_shot(text, style_prompt,
+prompt_speech_16k)``) with three in-process jit-compiled submodels:
+
+1. **Speech-token LM** — Qwen2-0.5B backbone (models/qwen2.py; dims match
+   greek_sft.yaml:13-16 ``llm_input/output_size=896``) with a speech-token
+   embedding/head of size ``speech_token_size+3`` (6561 tokens at 25 Hz,
+   greek_sft.yaml:24-37) and RAS sampling (top-p 0.8 / top-k 25 / win 10 /
+   τ_r 0.1, greek_sft.yaml:33-37) inside one ``lax.while_loop``.
+   Zero-shot prompt layout: ``[sos] text… [task] prompt-speech-tokens…`` then
+   autoregressive speech tokens until EOS (= speech_token_size).
+2. **Conditional flow matching** — speech tokens → 80-bin mel at 50 Hz
+   (token_mel_ratio 2, greek_sft.yaml:17). TPU-first redesign: a DiT-style
+   transformer estimator with AdaLN time conditioning instead of the
+   reference's conv U-Net (same conditioning signals: upsampled token
+   encodings, 192-d speaker embedding, prompt mel), integrated with a fixed
+   Euler solver + classifier-free guidance — every step is the same fused
+   graph, no dynamic control flow.
+3. **Vocoder** — HiFi-GAN generator (transposed-conv upsample 8×6×10 = hop 480
+   at 24 kHz, mel config parity with greek_sft.yaml:55-63) with
+   multi-receptive-field ResBlocks; pure conv → XLA maps it onto the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import Params, dense, init_dense, init_layer_norm, layer_norm, init_mlp, mlp
+from . import qwen2 as q2
+
+
+# ======================================================================== LM
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeechLMConfig:
+    backbone: q2.Qwen2Config = dataclasses.field(default_factory=q2.Qwen2Config.qwen2_05b)
+    text_vocab: int = 151_936           # Qwen2 tokenizer vocab
+    speech_token_size: int = 6561       # greek_sft.yaml:24
+    # +3 control embeddings appended to the speech table: eos, sos, task
+    top_p: float = 0.8                  # greek_sft.yaml RAS sampling
+    top_k: int = 25
+    win_size: int = 10
+    tau_r: float = 0.1
+    max_tokens: int = 2048              # ≈82 s of speech at 25 Hz
+
+    @property
+    def eos_speech(self) -> int:
+        return self.speech_token_size
+    @property
+    def sos_index(self) -> int:
+        return self.speech_token_size + 1
+    @property
+    def task_index(self) -> int:
+        return self.speech_token_size + 2
+
+
+def init_speech_lm(key, cfg: SpeechLMConfig) -> Params:
+    ks = jax.random.split(key, 4)
+    h = cfg.backbone.hidden
+    return {
+        "backbone": q2.init_qwen2(ks[0], cfg.backbone),
+        "text_embed": jax.random.normal(ks[1], (cfg.text_vocab, h)) * 0.02,
+        "speech_embed": jax.random.normal(ks[2], (cfg.speech_token_size + 3, h)) * 0.02,
+        "head": init_dense(ks[3], h, cfg.speech_token_size + 3),
+    }
+
+
+def build_prompt_embeddings(
+    params: Params,
+    cfg: SpeechLMConfig,
+    text_tokens: jnp.ndarray,          # [B, Tt] (right-padded with 0s + mask)
+    text_mask: jnp.ndarray,            # [B, Tt] bool
+    prompt_speech: jnp.ndarray,        # [B, Ts]
+    prompt_speech_mask: jnp.ndarray,   # [B, Ts] bool
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Assemble ``[sos] text [task] prompt_speech`` embeddings, right-padded.
+
+    Static shapes: output length = 2 + Tt + Ts; invalid slots carry zeros and a
+    False mask (attention masks them out via prefill's length_mask).
+    """
+    b = text_tokens.shape[0]
+    sos = params["speech_embed"][cfg.sos_index][None, None, :].repeat(b, 0)
+    task = params["speech_embed"][cfg.task_index][None, None, :].repeat(b, 0)
+    text_e = params["text_embed"][text_tokens] * text_mask[..., None]
+    sp_e = params["speech_embed"][prompt_speech] * prompt_speech_mask[..., None]
+    # Keep layout compact: [sos, text..., task, speech...] — padded text slots
+    # are masked, so the task/speech block position is static per bucket.
+    emb = jnp.concatenate([sos, text_e, task, sp_e], axis=1)
+    ones = jnp.ones((b, 1), bool)
+    mask = jnp.concatenate([ones, text_mask, ones, prompt_speech_mask], axis=1)
+    return emb, mask
+
+
+def _ras_sample(
+    key, logits: jnp.ndarray, recent: jnp.ndarray, cfg: SpeechLMConfig
+) -> jnp.ndarray:
+    """Repetition-aware sampling (CosyVoice2): nucleus (top-k ∩ top-p) sample;
+    if the candidate token's share of the trailing ``win_size`` window is
+    ≥ τ_r, resample from plain top-k (no top-p cut). logits [B, V];
+    recent [B, win]."""
+    k1, k2 = jax.random.split(key)
+    topv, topi = jax.lax.top_k(logits, cfg.top_k)            # [B, K]
+    logp = jax.nn.log_softmax(topv, axis=-1)
+    probs = jnp.exp(logp)
+    csum = jnp.cumsum(probs, axis=-1)
+    # top-p: keep tokens while cumulative prob (exclusive) < p
+    keep = (csum - probs) < cfg.top_p
+    nucleus_logits = jnp.where(keep, topv, -jnp.inf)
+    cand_in_k = jax.random.categorical(k1, nucleus_logits, axis=-1)      # [B]
+    cand = jnp.take_along_axis(topi, cand_in_k[:, None], axis=1)[:, 0]
+
+    rep = jnp.mean((recent == cand[:, None]).astype(jnp.float32), axis=-1)
+    resample_in_k = jax.random.categorical(k2, topv, axis=-1)
+    resampled = jnp.take_along_axis(topi, resample_in_k[:, None], axis=1)[:, 0]
+    return jnp.where(rep >= cfg.tau_r, resampled, cand).astype(jnp.int32)
+
+
+def generate_speech_tokens(
+    params: Params,
+    cfg: SpeechLMConfig,
+    key,
+    text_tokens: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    prompt_speech: jnp.ndarray,
+    prompt_speech_mask: jnp.ndarray,
+    *,
+    max_new_tokens: int = 512,
+    min_new_tokens: int = 2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Autoregressive speech-token generation with RAS sampling.
+
+    Returns (tokens [B, max_new_tokens] int32 padded with eos, lengths [B]).
+    """
+    emb, mask = build_prompt_embeddings(
+        params, cfg, text_tokens, text_mask, prompt_speech, prompt_speech_mask
+    )
+    b, p_len, _ = emb.shape
+    total = p_len + max_new_tokens
+    cache = q2.init_kv_cache(cfg.backbone, b, total, emb.dtype)
+    hidden, cache = q2.prefill(params["backbone"], cfg.backbone, emb, cache, length_mask=mask)
+
+    # Last valid prompt position per row (gather its hidden state).
+    last_idx = jnp.sum(mask.astype(jnp.int32), axis=1) - 1
+    h_last = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)  # [B,1,H]
+
+    tokens0 = jnp.full((b, max_new_tokens), cfg.eos_speech, jnp.int32)
+    recent0 = jnp.full((b, cfg.win_size), -1, jnp.int32)
+
+    def cond(state):
+        i, *_ , done = state
+        return (i < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        i, h, cache, tokens, recent, key, done = state
+        key, sk = jax.random.split(key)
+        logits = dense(params["head"], h[:, 0, :])
+        # forbid control tokens; forbid eos before min_new_tokens
+        neg = jnp.finfo(logits.dtype).min
+        logits = logits.at[:, cfg.sos_index].set(neg).at[:, cfg.task_index].set(neg)
+        logits = jnp.where(
+            (i < min_new_tokens), logits.at[:, cfg.eos_speech].set(neg), logits
+        )
+        nxt = _ras_sample(sk, logits, recent, cfg)
+        nxt = jnp.where(done, cfg.eos_speech, nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i))
+        recent = jnp.concatenate([recent[:, 1:], nxt[:, None]], axis=1)
+        done = done | (nxt == cfg.eos_speech)
+        # embed the sampled token and advance the backbone one step
+        x = params["speech_embed"][nxt][:, None, :]
+        pos = last_idx + 1 + i  # per-row position — use max for cache slot
+        h, cache = q2.decode_step(
+            params["backbone"], cfg.backbone, x, p_len + i, cache
+        )
+        return i + 1, h, cache, tokens, recent, key, done
+
+    state = (
+        jnp.asarray(0, jnp.int32), h_last, cache, tokens0, recent0, key,
+        jnp.zeros((b,), bool),
+    )
+    _, _, _, tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
+    lengths = jnp.sum((tokens != cfg.eos_speech).astype(jnp.int32), axis=1)
+    return tokens, lengths
+
+
+# ============================================================ flow matching
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowConfig:
+    token_vocab: int = 6561 + 3
+    dim: int = 512                     # estimator width
+    layers: int = 6
+    heads: int = 8
+    n_mels: int = 80                   # greek_sft.yaml:57
+    token_mel_ratio: int = 2           # greek_sft.yaml:17
+    spk_embed_dim: int = 192           # greek_sft.yaml:14
+    n_steps: int = 10                  # Euler steps
+    cfg_rate: float = 0.7              # inference CFG strength
+    sigma_min: float = 1e-6
+
+
+def _init_dit_block(key, cfg: FlowConfig) -> Params:
+    ks = jax.random.split(key, 4)
+    from .common import AttnConfig, init_attention
+
+    return {
+        "ln1": init_layer_norm(cfg.dim),
+        "attn": init_attention(ks[0], AttnConfig(cfg.dim, cfg.heads, k_bias=True)),
+        "ln2": init_layer_norm(cfg.dim),
+        "mlp": init_mlp(ks[1], cfg.dim, cfg.dim * 4),
+        # AdaLN modulation: time embedding → 6 per-channel (scale, shift, gate)×2
+        "ada": init_dense(ks[2], cfg.dim, 6 * cfg.dim),
+    }
+
+
+def init_flow(key, cfg: FlowConfig) -> Params:
+    ks = jax.random.split(key, cfg.layers + 6)
+    return {
+        "token_embed": jax.random.normal(ks[0], (cfg.token_vocab, cfg.dim)) * 0.02,
+        "spk_proj": init_dense(ks[1], cfg.spk_embed_dim, cfg.dim),
+        "in_proj": init_dense(ks[2], cfg.n_mels * 2, cfg.dim),  # x_t ⊕ prompt-mel cond
+        "time_mlp": init_mlp(ks[3], cfg.dim, cfg.dim),
+        "blocks": [_init_dit_block(ks[4 + i], cfg) for i in range(cfg.layers)],
+        "ln_out": init_layer_norm(cfg.dim),
+        "out_proj": init_dense(ks[4 + cfg.layers], cfg.dim, cfg.n_mels),
+    }
+
+
+def _time_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Sinusoidal diffusion-time embedding. t [B] in [0,1] → [B, dim]."""
+    half = dim // 2
+    freqs = jnp.exp(-np.log(10000.0) * jnp.arange(half) / half)
+    ang = t[:, None] * freqs[None, :] * 1000.0
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+
+
+def flow_estimator(
+    params: Params,
+    cfg: FlowConfig,
+    x_t: jnp.ndarray,          # [B, T, n_mels] noisy mel at time t
+    t: jnp.ndarray,            # [B] flow time
+    token_cond: jnp.ndarray,   # [B, T, dim] upsampled token encodings
+    spk: jnp.ndarray,          # [B, spk_embed_dim]
+    mel_cond: jnp.ndarray,     # [B, T, n_mels] prompt mel (zeros beyond prompt)
+    mask: jnp.ndarray,         # [B, T] valid frames
+) -> jnp.ndarray:
+    """DiT estimator: v(x_t, t | tokens, speaker, prompt-mel) → [B, T, n_mels]."""
+    from .common import AttnConfig, mha
+
+    h = dense(params["in_proj"], jnp.concatenate([x_t, mel_cond], axis=-1))
+    temb_dtype = h.dtype
+    h = h + token_cond + dense(params["spk_proj"], spk)[:, None, :]
+    temb = mlp(params["time_mlp"], _time_embedding(t, cfg.dim).astype(temb_dtype))  # [B, dim]
+    attn_cfg = AttnConfig(cfg.dim, cfg.heads, k_bias=True)
+    attn_mask = mask[:, None, None, :]
+
+    for blk in params["blocks"]:
+        mod = dense(blk["ada"], jax.nn.silu(temb))[:, None, :]
+        s1, b1, g1, s2, b2, g2 = jnp.split(mod, 6, axis=-1)
+        a_in = layer_norm(blk["ln1"], h) * (1 + s1) + b1
+        h = h + g1 * mha(blk["attn"], attn_cfg, a_in, a_in, mask=attn_mask)
+        m_in = layer_norm(blk["ln2"], h) * (1 + s2) + b2
+        h = h + g2 * mlp(blk["mlp"], m_in)
+    return dense(params["out_proj"], layer_norm(params["ln_out"], h)) * mask[..., None]
+
+
+def tokens_to_mel(
+    params: Params,
+    cfg: FlowConfig,
+    key,
+    speech_tokens: jnp.ndarray,   # [B, T_tok]
+    token_mask: jnp.ndarray,      # [B, T_tok]
+    spk_embedding: jnp.ndarray,   # [B, 192]
+    prompt_mel: jnp.ndarray,      # [B, T_prompt, n_mels] (continuation prefix)
+    prompt_mel_mask: jnp.ndarray, # [B, T_prompt]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """OT-CFM inference: Euler-integrate dx/dt = v(x,t|c) from x_0 ~ N(0,I).
+
+    The prompt mel occupies the first frames as teacher-forced conditioning
+    (zero-shot continuation, as in CosyVoice's prompt mel concat). Returns
+    (mel [B, T_frames, n_mels], frame_mask) with
+    T_frames = token_mel_ratio * T_tok + T_prompt.
+    """
+    b, t_tok = speech_tokens.shape
+    r = cfg.token_mel_ratio
+    tok = params["token_embed"][speech_tokens] * token_mask[..., None]
+    up = jnp.repeat(tok, r, axis=1)                      # [B, r*T_tok, dim]
+    up_mask = jnp.repeat(token_mask, r, axis=1)
+
+    t_prompt = prompt_mel.shape[1]
+    token_cond = jnp.concatenate(
+        [jnp.zeros((b, t_prompt, cfg.dim), up.dtype), up], axis=1
+    )
+    frame_mask = jnp.concatenate([prompt_mel_mask, up_mask], axis=1)
+    total_frames = t_prompt + r * t_tok
+    mel_cond = jnp.concatenate(
+        [prompt_mel * prompt_mel_mask[..., None],
+         jnp.zeros((b, r * t_tok, cfg.n_mels), prompt_mel.dtype)], axis=1
+    )
+
+    x = jax.random.normal(key, (b, total_frames, cfg.n_mels), prompt_mel.dtype)
+    dt = 1.0 / cfg.n_steps
+
+    def euler_step(i, x):
+        t = jnp.full((b,), i * dt, x.dtype)
+        v_cond = flow_estimator(params, cfg, x, t, token_cond, spk_embedding, mel_cond, frame_mask)
+        if cfg.cfg_rate > 0:
+            v_unc = flow_estimator(
+                params, cfg, x, t,
+                jnp.zeros_like(token_cond), jnp.zeros_like(spk_embedding),
+                jnp.zeros_like(mel_cond), frame_mask,
+            )
+            v = (1 + cfg.cfg_rate) * v_cond - cfg.cfg_rate * v_unc
+        else:
+            v = v_cond
+        return (x + dt * v).astype(x.dtype)
+
+    x = jax.lax.fori_loop(0, cfg.n_steps, euler_step, x)
+    return x * frame_mask[..., None], frame_mask
+
+
+def flow_matching_loss(
+    params: Params, cfg: FlowConfig, key,
+    mel: jnp.ndarray, speech_tokens: jnp.ndarray, token_mask: jnp.ndarray,
+    spk_embedding: jnp.ndarray,
+) -> jnp.ndarray:
+    """OT-CFM training loss: E_t ||v(x_t, t) − (x_1 − (1−σ_min) x_0)||²."""
+    k1, k2 = jax.random.split(key)
+    b, t_frames, _ = mel.shape
+    x0 = jax.random.normal(k1, mel.shape, mel.dtype)
+    t = jax.random.uniform(k2, (b,), mel.dtype)
+    x_t = (1 - (1 - cfg.sigma_min) * t[:, None, None]) * x0 + t[:, None, None] * mel
+    target = mel - (1 - cfg.sigma_min) * x0
+
+    tok = params["token_embed"][speech_tokens] * token_mask[..., None]
+    up = jnp.repeat(tok, cfg.token_mel_ratio, axis=1)[:, :t_frames]
+    up_mask = jnp.repeat(token_mask, cfg.token_mel_ratio, axis=1)[:, :t_frames]
+    v = flow_estimator(
+        params, cfg, x_t, t, up, spk_embedding,
+        jnp.zeros_like(mel), up_mask,
+    )
+    sq = jnp.sum((v - target) ** 2, axis=-1) * up_mask
+    return jnp.sum(sq) / (jnp.sum(up_mask) * cfg.n_mels + 1e-8)
+
+
+# ================================================================== vocoder
+
+
+@dataclasses.dataclass(frozen=True)
+class VocoderConfig:
+    n_mels: int = 80
+    base_channels: int = 512
+    upsample_rates: Tuple[int, ...] = (8, 6, 10)     # 480 = 24 kHz / 50 Hz frames
+    upsample_kernels: Tuple[int, ...] = (16, 12, 20)
+    resblock_kernels: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
+
+    @property
+    def hop(self) -> int:
+        out = 1
+        for r in self.upsample_rates:
+            out *= r
+        return out
+
+
+def _init_conv(key, width, in_ch, out_ch):
+    scale = 1.0 / np.sqrt(in_ch * width)
+    return {
+        "kernel": jax.random.uniform(key, (width, in_ch, out_ch), jnp.float32, -scale, scale),
+        "bias": jnp.zeros((out_ch,)),
+    }
+
+
+def _conv1d(p, x, *, stride=1, dilation=1):
+    width = p["kernel"].shape[0]
+    pad = dilation * (width - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x, p["kernel"], (stride,), [(pad, pad)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    ) + p["bias"]
+
+
+def _conv_transpose1d(p, x, stride):
+    """torch ConvTranspose1d(stride=s, padding=(k−s)//2) parity — implemented
+    as a conv over the s-dilated input with a flipped kernel, so
+    out_len = in_len × s exactly (HiFi-GAN's length contract)."""
+    width = p["kernel"].shape[0]
+    pad_torch = (width - stride) // 2
+    pad = width - 1 - pad_torch
+    y = jax.lax.conv_general_dilated(
+        x, jnp.flip(p["kernel"], 0), (1,), [(pad, pad - (width - stride) % 2)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    return y + p["bias"]
+
+
+def init_vocoder(key, cfg: VocoderConfig) -> Params:
+    keys = iter(jax.random.split(key, 256))
+    ch = cfg.base_channels
+    params: Params = {"conv_pre": _init_conv(next(keys), 7, cfg.n_mels, ch), "ups": [], "res": []}
+    for i, (r, kw) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernels)):
+        out_ch = ch // (2 ** (i + 1))
+        params["ups"].append(_init_conv(next(keys), kw, ch // (2 ** i), out_ch))
+        stage = []
+        for k, dils in zip(cfg.resblock_kernels, cfg.resblock_dilations):
+            block = [
+                {
+                    "c1": _init_conv(next(keys), k, out_ch, out_ch),
+                    "c2": _init_conv(next(keys), k, out_ch, out_ch),
+                }
+                for _ in dils
+            ]
+            stage.append(block)
+        params["res"].append(stage)
+    final_ch = cfg.base_channels // (2 ** len(cfg.upsample_rates))
+    params["conv_post"] = _init_conv(next(keys), 7, final_ch, 1)
+    return params
+
+
+def vocode(params: Params, cfg: VocoderConfig, mel: jnp.ndarray) -> jnp.ndarray:
+    """mel [B, T, n_mels] → waveform [B, T * hop] at 24 kHz."""
+    lrelu = lambda x: jax.nn.leaky_relu(x, 0.1)
+    x = _conv1d(params["conv_pre"], mel)
+    for up, stage, rate in zip(params["ups"], params["res"], cfg.upsample_rates):
+        x = _conv_transpose1d(up, lrelu(x), rate)
+        acc = None
+        for block, dils in zip(stage, cfg.resblock_dilations):
+            h = x
+            for unit, d in zip(block, dils):
+                y = _conv1d(unit["c1"], lrelu(h), dilation=d)
+                y = _conv1d(unit["c2"], lrelu(y))
+                h = h + y
+            acc = h if acc is None else acc + h
+        x = acc / len(stage)
+    x = jnp.tanh(_conv1d(params["conv_post"], lrelu(x)))
+    return x[..., 0]
+
+
+# ============================================================== full model
+
+
+@dataclasses.dataclass(frozen=True)
+class CosyVoiceConfig:
+    lm: SpeechLMConfig = dataclasses.field(default_factory=SpeechLMConfig)
+    flow: FlowConfig = dataclasses.field(default_factory=FlowConfig)
+    vocoder: VocoderConfig = dataclasses.field(default_factory=VocoderConfig)
+    sample_rate: int = 24_000           # greek_sft.yaml:11
+
+
+def init_cosyvoice(key, cfg: CosyVoiceConfig) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "lm": init_speech_lm(k1, cfg.lm),
+        "flow": init_flow(k2, cfg.flow),
+        "vocoder": init_vocoder(k3, cfg.vocoder),
+    }
+
+
+def synthesize(
+    params: Params,
+    cfg: CosyVoiceConfig,
+    key,
+    text_tokens: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    prompt_speech_tokens: jnp.ndarray,
+    prompt_speech_mask: jnp.ndarray,
+    spk_embedding: jnp.ndarray,
+    prompt_mel: jnp.ndarray,
+    prompt_mel_mask: jnp.ndarray,
+    *,
+    max_new_tokens: int = 512,
+) -> Dict[str, jnp.ndarray]:
+    """Zero-shot TTS: text + voice prompt → 24 kHz waveform.
+
+    Mirrors ``CosyVoice2.inference_zero_shot`` (Docker/cosyvoice_api.py:128):
+    the prompt transcription tokens ride in ``text_tokens``; the prompt's
+    speech tokens and mel provide the cloning context.
+    """
+    k_lm, k_flow = jax.random.split(key)
+    tokens, lengths = generate_speech_tokens(
+        params["lm"], cfg.lm, k_lm, text_tokens, text_mask,
+        prompt_speech_tokens, prompt_speech_mask, max_new_tokens=max_new_tokens,
+    )
+    token_mask = jnp.arange(tokens.shape[1])[None, :] < lengths[:, None]
+    safe_tokens = jnp.where(token_mask, tokens, 0)
+    mel, frame_mask = tokens_to_mel(
+        params["flow"], cfg.flow, k_flow, safe_tokens, token_mask,
+        spk_embedding, prompt_mel, prompt_mel_mask,
+    )
+    # Drop the prompt frames before vocoding (output = new speech only)
+    t_prompt = prompt_mel.shape[1]
+    gen_mel = mel[:, t_prompt:]
+    audio = vocode(params["vocoder"], cfg.vocoder, gen_mel)
+    return {
+        "audio": audio,
+        "mel": gen_mel,
+        "speech_tokens": tokens,
+        "token_lengths": lengths,
+    }

@@ -1,0 +1,142 @@
+"""CosyVoice-JAX structural/behavioural tests (no reference weights exist —
+large blobs are stripped from the reference repo, SURVEY.md repo-health notes —
+so these validate shapes, sampling behaviour, solver math, and jit-ability)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from expressive_speech_translation_tpu.models import cosyvoice as cv
+from expressive_speech_translation_tpu.models import qwen2 as q2
+
+
+TINY_LM = cv.SpeechLMConfig(
+    backbone=q2.Qwen2Config(hidden=64, layers=2, heads=4, kv_heads=2, ffn_dim=128, max_positions=512),
+    text_vocab=500, speech_token_size=97, max_tokens=128,
+)
+TINY_FLOW = cv.FlowConfig(token_vocab=100, dim=64, layers=2, heads=4, n_steps=4)
+TINY_VOC = cv.VocoderConfig(base_channels=64, upsample_rates=(8, 6, 10), upsample_kernels=(16, 12, 20))
+TINY = cv.CosyVoiceConfig(lm=TINY_LM, flow=TINY_FLOW, vocoder=TINY_VOC)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return cv.init_cosyvoice(jax.random.PRNGKey(0), TINY)
+
+
+def _prompt(b=2, tt=6, ts=4):
+    g = np.random.default_rng(0)
+    text = jnp.asarray(g.integers(0, 500, (b, tt)), jnp.int32)
+    tmask = jnp.ones((b, tt), bool)
+    sp = jnp.asarray(g.integers(0, 97, (b, ts)), jnp.int32)
+    smask = jnp.ones((b, ts), bool)
+    return text, tmask, sp, smask
+
+
+def test_generate_speech_tokens_shapes(params):
+    text, tmask, sp, smask = _prompt()
+    tokens, lengths = cv.generate_speech_tokens(
+        params["lm"], TINY_LM, jax.random.PRNGKey(1), text, tmask, sp, smask,
+        max_new_tokens=16,
+    )
+    assert tokens.shape == (2, 16)
+    assert tokens.dtype == jnp.int32
+    assert (np.asarray(lengths) <= 16).all()
+    t = np.asarray(tokens)
+    # tokens are in the speech vocab or EOS; control tokens never emitted
+    assert (t <= TINY_LM.eos_speech).all()
+    # after EOS everything is EOS padding
+    for row, ln in zip(t, np.asarray(lengths)):
+        assert (row[ln:] == TINY_LM.eos_speech).all()
+
+
+def test_ras_sampling_reduces_repetition():
+    """RAS must resample when the trailing window is dominated by one token."""
+    key = jax.random.PRNGKey(0)
+    cfg = TINY_LM
+    b, v = 256, cfg.speech_token_size + 3
+    # Strongly peaked logits on token 7, window already full of 7s
+    # peak prob ≈0.95 → top-p 0.8 nucleus keeps ONLY token 7
+    logits = jnp.full((b, v), -10.0).at[:, 7].set(6.0).at[:, 11].set(3.0)
+    window_rep = jnp.full((b, cfg.win_size), 7, jnp.int32)
+    window_clean = jnp.full((b, cfg.win_size), -1, jnp.int32)
+    from expressive_speech_translation_tpu.models.cosyvoice import _ras_sample
+
+    out_rep = np.asarray(_ras_sample(key, logits, window_rep, cfg))
+    out_clean = np.asarray(_ras_sample(key, logits, window_clean, cfg))
+    # without repetition: nucleus keeps the peak → nearly all 7s
+    assert (out_clean == 7).mean() > 0.9
+    # with repetition: resampled from full top-k → diversity appears
+    assert (out_rep == 7).mean() < (out_clean == 7).mean()
+    assert len(np.unique(out_rep)) > len(np.unique(out_clean))
+
+
+def test_flow_euler_matches_closed_form():
+    """With a constant estimator v≡c, Euler integration must give x0 + c."""
+    cfg = TINY_FLOW
+    b, t_tok = 1, 5
+    key = jax.random.PRNGKey(2)
+    params = cv.init_flow(jax.random.PRNGKey(3), cfg)
+
+    # zero all estimator outputs except a constant bias on out_proj
+    c = 0.37
+    params = jax.tree_util.tree_map(jnp.zeros_like, params)
+    params["out_proj"]["bias"] = params["out_proj"]["bias"] + c
+
+    tokens = jnp.zeros((b, t_tok), jnp.int32)
+    mask = jnp.ones((b, t_tok), bool)
+    spk = jnp.zeros((b, cfg.spk_embed_dim))
+    pm = jnp.zeros((b, 0, cfg.n_mels))
+    pmm = jnp.zeros((b, 0), bool)
+    mel, fmask = cv.tokens_to_mel(params, cfg, key, tokens, mask, spk, pm, pmm)
+    x0 = jax.random.normal(key, mel.shape, mel.dtype)
+    expected = x0 + c  # CFG: (1+w)c - w·c = c
+    np.testing.assert_allclose(np.asarray(mel), np.asarray(expected), atol=1e-5)
+    assert mel.shape == (b, cfg.token_mel_ratio * t_tok, cfg.n_mels)
+
+
+def test_flow_matching_loss_finite_and_differentiable():
+    cfg = TINY_FLOW
+    params = cv.init_flow(jax.random.PRNGKey(4), cfg)
+    g = np.random.default_rng(0)
+    mel = jnp.asarray(g.standard_normal((2, 8, cfg.n_mels)), jnp.float32)
+    tokens = jnp.asarray(g.integers(0, 90, (2, 4)), jnp.int32)
+    mask = jnp.ones((2, 4), bool)
+    spk = jnp.asarray(g.standard_normal((2, cfg.spk_embed_dim)), jnp.float32)
+
+    loss, grads = jax.value_and_grad(
+        lambda p: cv.flow_matching_loss(p, cfg, jax.random.PRNGKey(5), mel, tokens, mask, spk)
+    )(params)
+    assert np.isfinite(float(loss))
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), grads, 0.0
+    )
+    assert gnorm > 0
+
+
+def test_vocoder_upsample_ratio(params):
+    mel = jnp.zeros((1, 12, TINY_VOC.n_mels))
+    audio = cv.vocode(params["vocoder"], TINY_VOC, mel)
+    assert TINY_VOC.hop == 480
+    assert audio.shape == (1, 12 * 480)
+    assert (np.abs(np.asarray(audio)) <= 1.0).all()  # tanh bounded
+
+
+def test_synthesize_end_to_end_jitted(params):
+    text, tmask, sp, smask = _prompt()
+    spk = jnp.zeros((2, TINY_FLOW.spk_embed_dim))
+    pm = jnp.zeros((2, 4, TINY_FLOW.n_mels))
+    pmm = jnp.ones((2, 4), bool)
+
+    fn = jax.jit(
+        lambda p, k: cv.synthesize(
+            p, TINY, k, text, tmask, sp, smask, spk, pm, pmm, max_new_tokens=12
+        )
+    )
+    out = fn(params, jax.random.PRNGKey(7))
+    audio = np.asarray(out["audio"])
+    assert audio.shape == (2, 24 * 480)  # 12 tokens × ratio 2 frames × hop 480
+    assert np.isfinite(audio).all()
+    assert out["speech_tokens"].shape == (2, 12)
