@@ -479,6 +479,7 @@ def synthesize(
     prompt_mel_mask: jnp.ndarray,
     *,
     max_new_tokens: int = 512,
+    min_new_tokens: int = 2,
 ) -> Dict[str, jnp.ndarray]:
     """Zero-shot TTS: text + voice prompt → 24 kHz waveform.
 
@@ -490,6 +491,7 @@ def synthesize(
     tokens, lengths = generate_speech_tokens(
         params["lm"], cfg.lm, k_lm, text_tokens, text_mask,
         prompt_speech_tokens, prompt_speech_mask, max_new_tokens=max_new_tokens,
+        min_new_tokens=min_new_tokens,
     )
     token_mask = jnp.arange(tokens.shape[1])[None, :] < lengths[:, None]
     safe_tokens = jnp.where(token_mask, tokens, 0)

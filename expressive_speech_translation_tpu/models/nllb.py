@@ -226,6 +226,7 @@ def generate(
     *,
     num_beams: int = 1,
     max_new_tokens: int = 200,
+    min_new_tokens: int = 0,
     length_penalty: float = 1.0,
 ) -> jnp.ndarray:
     """Translate: returns [B, 2 + max_new_tokens] token ids
@@ -241,9 +242,19 @@ def generate(
         axis=1,
     )
 
+    p_len = 2  # decoder_start + forced bos
+
     def step_fn(token, pos, cache, beam_state):
         cross, pad_mask = beam_state
-        return decode_step(params, cfg, token, pos, cache, cross, pad_mask)
+        logits, cache = decode_step(params, cfg, token, pos, cache, cross, pad_mask)
+        if min_new_tokens:
+            # HF MinLengthLogitsProcessor parity: no EOS before min_new_tokens
+            logits = jnp.where(
+                pos + 1 < p_len + min_new_tokens,
+                logits.at[:, cfg.eos_token].set(jnp.finfo(logits.dtype).min),
+                logits,
+            )
+        return logits, cache
 
     # HF parity: the forced BOS counts as a *generated* token, so the horizon
     # is decoder_prompt_len (1) + max_new_tokens — not prompt_len + max_new.

@@ -244,6 +244,7 @@ def greedy_decode(
     prompt: jnp.ndarray,
     *,
     max_new_tokens: int = 224,
+    min_new_tokens: int = 0,
 ) -> jnp.ndarray:
     """Greedy generation. ``prompt`` [B, P] (e.g. <sot> <lang> <task> <notimestamps>).
 
@@ -268,6 +269,12 @@ def greedy_decode(
         pos, tokens, cache, done = state
         tok = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))[:, 0]
         logits, cache = decode_step(params, cfg, tok, pos, cache, cross_kv)
+        if min_new_tokens:
+            logits = jnp.where(
+                pos + 1 < p_len + min_new_tokens,
+                logits.at[:, cfg.eos_token].set(jnp.finfo(logits.dtype).min),
+                logits,
+            )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         in_prompt = pos + 1 < p_len
         cur = jax.lax.dynamic_slice(tokens, (0, jnp.minimum(pos + 1, total - 1)), (b, 1))[:, 0]

@@ -138,11 +138,28 @@ def istft(
     out_len = n_fft + hop * (n_frames - 1)
     batch_shape = frames_time.shape[:-2]
 
-    # Overlap-add via scatter-add on a frame-index map (static shapes).
-    positions = (np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
-    flat = frames_time.reshape(*batch_shape, -1)
-    out = jnp.zeros((*batch_shape, out_len), flat.dtype)
-    out = out.at[..., positions].add(flat)
+    if n_fft % hop == 0:
+        # Fast overlap-add: with n_fft = k·hop, frame f's j-th hop-chunk lands at
+        # offset (f + j)·hop — so OLA is k shifted, contiguous adds (no scatter,
+        # which XLA:TPU serialises).
+        k = n_fft // hop
+        chunks = frames_time.reshape(*batch_shape, n_frames, k, hop)
+        out = jnp.zeros((*batch_shape, out_len), frames_time.dtype)
+        for j in range(k):
+            seg = chunks[..., :, j, :].reshape(*batch_shape, n_frames * hop)
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out,
+                jax.lax.dynamic_slice_in_dim(out, j * hop, n_frames * hop, -1) + seg,
+                j * hop,
+                -1,
+            )
+    else:
+        # General overlap-add via scatter-add (slow on TPU; avoided by all
+        # built-in configs, which use hop | n_fft).
+        positions = (np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
+        flat = frames_time.reshape(*batch_shape, -1)
+        out = jnp.zeros((*batch_shape, out_len), flat.dtype)
+        out = out.at[..., positions].add(flat)
 
     # COLA envelope (window² overlap) for normalisation.
     env = np.zeros(out_len, dtype=np.float32)

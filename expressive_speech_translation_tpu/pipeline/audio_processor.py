@@ -1,0 +1,207 @@
+"""AudioProcessor: validation, preprocessing, music detection, enhancement.
+
+Behavioural parity with services/audio_processor.py (483 LoC), with the DSP on
+the TPU compute path (ops/): Kaiser resample (:297-304), correlation-aware
+stereo downmix (:313-324), STFT(1024/256) spectral noise gate with 1.2× speech
+boost (:326-352), multi-resolution band EQ + compression (:362-438), validity
+checks (:82-112), preprocessing chain (:152-204), music detection (:206-276),
+and the per-language enhancement parameter table (:26-72).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ops
+from ..core.config import AudioConfig
+from ..core.errors import ValidationError
+
+log = logging.getLogger(__name__)
+
+BAND_EDGES_HZ = (0.0, 150.0, 300.0, 800.0, 1500.0, 3000.0, 5000.0, 8000.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class LanguageParams:
+    """Per-language enhancement recipe (audio_processor.py:26-72)."""
+
+    band_multipliers: Tuple[float, ...] = (1.0,) * 7
+    compression_threshold: float = 0.5
+    compression_ratio: float = 1.0
+    formant_boost: float = 0.0
+
+
+LANGUAGE_PARAMS: Dict[str, LanguageParams] = {
+    # French: presence-band lift, gentle compression (audio_processor.py:28-48)
+    "fra": LanguageParams(
+        band_multipliers=(0.95, 1.0, 1.05, 1.15, 1.2, 1.1, 1.0),
+        compression_threshold=0.45, compression_ratio=1.5, formant_boost=1.1,
+    ),
+    # German: low-mid clarity, stronger compression (audio_processor.py:49-69)
+    "deu": LanguageParams(
+        band_multipliers=(0.9, 1.0, 1.1, 1.2, 1.15, 1.05, 0.95),
+        compression_threshold=0.4, compression_ratio=1.8, formant_boost=1.15,
+    ),
+    "default": LanguageParams(),
+}
+
+
+class AudioProcessor:
+    SUPPORTED_FORMATS = (".wav", ".mp3", ".ogg", ".flac")  # audio_processor.py:21
+    SAMPLE_RATE = 16_000
+
+    def __init__(self, config: Optional[AudioConfig] = None):
+        self.config = config or AudioConfig()
+
+    # ------------------------------------------------------------- validation
+
+    def is_valid_audio(self, audio: np.ndarray) -> Tuple[bool, str]:
+        """NaN/Inf, RMS ∈ [1e-6, 1.0], |DC| < 0.1, ≥ 100 ms (audio_processor.py:82-112)."""
+        x = np.asarray(audio, np.float32).reshape(-1)
+        if x.size < int(0.1 * self.SAMPLE_RATE):
+            return False, "Audio too short (minimum 100ms)"
+        if not np.isfinite(x).all():
+            return False, "Audio contains NaN or Inf values"
+        rms = float(np.sqrt(np.mean(x**2)))
+        if rms < 1e-6:
+            return False, "Audio is silent (RMS too low)"
+        if rms > 1.0:
+            return False, "Audio RMS too high (clipped or unnormalised)"
+        if abs(float(np.mean(x))) >= 0.1:
+            return False, "Audio has excessive DC offset"
+        return True, "ok"
+
+    def validate_audio_length(
+        self, duration_seconds: float, *, max_seconds: Optional[float] = None
+    ) -> None:
+        limit = max_seconds if max_seconds is not None else self.config.max_audio_seconds
+        if duration_seconds > limit:
+            raise ValidationError(
+                f"Audio is too long ({duration_seconds:.1f}s). Maximum allowed is {limit:.0f}s"
+            )
+        if duration_seconds < 0.1:
+            raise ValidationError("Audio is too short (minimum 100ms)")
+
+    # ---------------------------------------------------------- preprocessing
+
+    def preprocess_audio(self, audio: np.ndarray) -> np.ndarray:
+        """DC removal → pre-emphasis 0.97 → silence gate → 0.95 peak normalize
+        (audio_processor.py:152-204)."""
+        x = jnp.asarray(np.asarray(audio, np.float32).reshape(-1))
+        x = ops.remove_dc(x)
+        x = ops.preemphasis(x, 0.97)
+        x = ops.silence_gate(x, threshold_db=-40.0)
+        x = ops.peak_normalize(x, 0.95)
+        return np.asarray(x)
+
+    # -------------------------------------------------------- music detection
+
+    def detect_background_music(self, audio: np.ndarray, sr: int = 16_000) -> Dict[str, Any]:
+        """Weighted flatness / band-ratio / rhythm / stability score
+        (audio_processor.py:206-276). Returns {"has_music", "confidence", ...}."""
+        x = jnp.asarray(np.asarray(audio, np.float32).reshape(-1))
+        flatness = float(jnp.median(ops.spectral_flatness(x)))
+
+        real, imag = ops.stft(x, 1024, 256)
+        mag = np.asarray(jnp.sqrt(real**2 + imag**2))
+        freqs = np.linspace(0, sr / 2, mag.shape[-1])
+        total = mag.sum() + 1e-8
+        bass_ratio = mag[:, freqs < 250].sum() / total
+        high_ratio = mag[:, freqs > 4000].sum() / total
+
+        # rhythm: autocorrelation peaks of the energy envelope
+        env = np.asarray(ops.energy_envelope(x))
+        env = env - env.mean()
+        ac = np.correlate(env, env, mode="full")[len(env) - 1:]
+        ac /= ac[0] + 1e-8
+        # peaks in the 0.25–2 s lag range (30–240 BPM); envelope hop = 256
+        lo, hi = int(0.25 * sr / 256), min(int(2.0 * sr / 256), len(ac) - 1)
+        rhythm = float(np.max(ac[lo:hi])) if hi > lo else 0.0
+
+        # temporal stability of band energies
+        frame_e = mag.sum(axis=-1)
+        stability = 1.0 - float(np.std(frame_e) / (np.mean(frame_e) + 1e-8))
+
+        # Calibrated on the committed harvard.wav fixture vs synthetic music:
+        # rhythm regularity and band-energy stability separate music (≈0.9/0.7)
+        # from clean speech (≈0.4/<0); flatness and band ratios are weak alone.
+        confidence = float(np.clip(
+            0.25 * min(flatness * 10, 1.0)
+            + 0.15 * min((bass_ratio + high_ratio) * 1.5, 1.0)
+            + 0.35 * np.clip((rhythm - 0.3) / 0.7, 0.0, 1.0)
+            + 0.25 * np.clip(stability, 0.0, 1.0),
+            0.0, 1.0,
+        ))
+        return {
+            "has_music": confidence > 0.25,   # audio_processor.py:276
+            "confidence": confidence,
+            "features": {
+                "flatness": flatness, "bass_ratio": float(bass_ratio),
+                "high_ratio": float(high_ratio), "rhythm": rhythm,
+                "stability": stability,
+            },
+        }
+
+    # ------------------------------------------------------------- main paths
+
+    def process_audio(
+        self, audio: np.ndarray, orig_sr: int = 16_000, *, denoise: bool = True
+    ) -> np.ndarray:
+        """Resample → downmix → spectral noise gate (audio_processor.py:278-360).
+
+        Accepts [T] or [C, T]; returns mono [T'] at 16 kHz, float32.
+        """
+        x = np.asarray(audio, np.float32)
+        if x.ndim == 2:
+            x = np.asarray(ops.stereo_to_mono(jnp.asarray(x)))
+        x = x.reshape(-1)
+
+        if orig_sr != self.SAMPLE_RATE:
+            x = np.asarray(ops.resample(
+                jnp.asarray(x), orig_sr, self.SAMPLE_RATE,
+                lowpass_filter_width=self.config.resample_lowpass_filter_width,
+                rolloff=self.config.resample_rolloff,
+                beta=self.config.resample_kaiser_beta,
+            ))
+        ok, reason = self.is_valid_audio(x)
+        if not ok:
+            raise ValidationError(f"Invalid audio: {reason}")
+        if denoise:
+            x = np.asarray(ops.spectral_noise_gate(
+                jnp.asarray(x),
+                sr=self.SAMPLE_RATE,
+                n_fft=self.config.denoise_n_fft,
+                hop=self.config.denoise_hop,
+                speech_boost=1.2,
+            ))
+        return x.astype(np.float32)
+
+    def apply_spectral_enhancement(self, audio: np.ndarray, language: str) -> np.ndarray:
+        """Multi-resolution per-language EQ + compression (audio_processor.py:362-438)."""
+        params = LANGUAGE_PARAMS.get(language, LANGUAGE_PARAMS["default"])
+        x = jnp.asarray(np.asarray(audio, np.float32).reshape(-1))
+        y = ops.spectral_enhance(
+            x,
+            sr=self.SAMPLE_RATE,
+            band_edges_hz=BAND_EDGES_HZ,
+            band_multipliers=params.band_multipliers,
+            compression_threshold=params.compression_threshold,
+            compression_ratio=params.compression_ratio,
+            resolutions=(512, 1024, 2048),
+            resolution_weights=(0.2, 0.4, 0.4),
+        )
+        y = ops.peak_normalize(y, 0.95)
+        return np.asarray(y)
+
+    def process_audio_enhanced(
+        self, audio: np.ndarray, orig_sr: int = 16_000, language: str = "default"
+    ) -> np.ndarray:
+        """Full chain (audio_processor.py:440-484)."""
+        x = self.process_audio(audio, orig_sr)
+        x = self.preprocess_audio(x)
+        return self.apply_spectral_enhancement(x, language)

@@ -1,0 +1,196 @@
+"""CascadedBackend — the production ASR → NMT → TTS pipeline.
+
+Behavioural parity with services/cascaded_backend.py (504 LoC):
+
+- language maps (:53-58, :139-141) via pipeline/languages.py
+- ASR word timestamps + inter-word pauses > 250 ms (:146-191)
+- cloning reference = first ≤ 25 s of input at 16 kHz (:371-393)
+- warm-up inference as init gate (:116-137) — here a tiny compile warm-up
+- loudness toward TARGET_LUFS −23 (:38) and the temporal-mapping post-pass
+  with visual-guided vs natural-flow fallback (:220-339, :342-368)
+- returns {"audio": [1, T] @16 kHz, "transcripts": {source, target}} (:483)
+
+TPU-first change: the reference loads and releases Whisper/NLLB around every
+request (:415-452) to fit one GPU; here engines stay resident as compiled
+graphs and stage boundaries are in-process arrays, not HTTP hops.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from .. import ops
+from ..core.config import AppConfig
+from ..core.errors import ValidationError
+from ..obs.perf import StageTimer
+from .audio_processor import AudioProcessor
+from .backend import TranslationBackend
+from .engines import Engines
+from .languages import COSYVOICE_LANGUAGES, NLLB_LANGUAGES, supported_languages
+from .temporal_mapper import TemporalMapper
+from .visual_temporal_mapper import VisualTemporalMapper
+
+import jax.numpy as jnp
+
+log = logging.getLogger(__name__)
+
+PAUSE_THRESHOLD_SECONDS = 0.25   # cascaded_backend.py:146-191
+CLONE_REFERENCE_SECONDS = 25.0   # :376-385
+TARGET_LUFS = -23.0              # :38
+
+
+class CascadedBackend(TranslationBackend):
+    def __init__(self, engines: Engines, config: Optional[AppConfig] = None):
+        self.engines = engines
+        self.config = config or AppConfig()
+        self.audio_processor = AudioProcessor(self.config.audio)
+        self.temporal_mapper = TemporalMapper()
+        self.visual_mapper = VisualTemporalMapper()
+        self.initialized = False
+        self.last_stage_summary: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------- lifecycle
+
+    def initialize(self) -> None:
+        """Warm-up: push 1 s of silence through the stages (parity with the
+        reference's silence + "Hello world." warm-up, cascaded_backend.py:125-137)."""
+        self.visual_mapper.initialize()
+        silence = np.zeros(16_000, np.float32)
+        try:
+            self.engines.asr.transcribe(silence)
+            self.engines.tts.synthesize("Hello world.", reference_audio_16k=silence)
+        except Exception:  # noqa: BLE001 — warm-up failures are fatal at startup
+            log.exception("backend warm-up failed")
+            raise
+        self.initialized = True
+        log.info("CascadedBackend initialized")
+
+    # -------------------------------------------------------------- languages
+
+    def is_language_supported(self, lang: str) -> bool:
+        return lang in COSYVOICE_LANGUAGES and lang in NLLB_LANGUAGES
+
+    def get_supported_languages(self) -> List[str]:
+        return supported_languages()
+
+    # ------------------------------------------------------------------ parts
+
+    @staticmethod
+    def extract_pauses(words: List[Dict[str, float]]) -> List[Dict[str, float]]:
+        """Inter-word pauses > 250 ms (cascaded_backend.py:146-191)."""
+        pauses = []
+        for prev, cur in zip(words, words[1:]):
+            gap = float(cur["start"]) - float(prev["end"])
+            if gap > PAUSE_THRESHOLD_SECONDS:
+                pauses.append({"start": float(prev["end"]), "end": float(cur["start"]), "duration": gap})
+        return pauses
+
+    def reference_audio_for_cloning(self, audio_16k: np.ndarray) -> np.ndarray:
+        """First ≤ 25 s (cascaded_backend.py:371-393)."""
+        n = int(CLONE_REFERENCE_SECONDS * 16_000)
+        return np.asarray(audio_16k, np.float32).reshape(-1)[:n]
+
+    # ------------------------------------------------------------------- main
+
+    def translate_speech(
+        self,
+        audio: np.ndarray,
+        source_lang: str,
+        target_lang: str,
+        *,
+        original_video_frames: Optional[list] = None,
+        video_fps: float = 25.0,
+        **kwargs: Any,
+    ) -> Dict[str, Any]:
+        process_id = f"{time.time_ns():x}"[-8:]  # cascaded_backend.py:398
+        if not self.is_language_supported(target_lang):
+            raise ValidationError(f"Unsupported target language: {target_lang}")
+
+        x = np.asarray(audio, np.float32).reshape(-1)
+        timer = StageTimer(audio_seconds=len(x) / 16_000.0)
+        log.info("[%s] translate_speech %s→%s (%.1fs audio)",
+                 process_id, source_lang, target_lang, timer.audio_seconds)
+
+        with timer.stage("asr"):
+            asr = self.engines.asr.transcribe(x, language=source_lang)
+        source_text = asr.get("text", "")
+        words = asr.get("words", [])
+        pauses = self.extract_pauses(words)
+
+        with timer.stage("nmt"):
+            target_text = self.engines.nmt.translate(
+                source_text, NLLB_LANGUAGES.get(source_lang, source_lang),
+                NLLB_LANGUAGES.get(target_lang, target_lang),
+            )
+
+        reference = self.reference_audio_for_cloning(x)
+        with timer.stage("tts"):
+            tts_audio = self.engines.tts.synthesize(
+                target_text,
+                style_prompt=source_text,
+                reference_audio_16k=reference,
+                language=COSYVOICE_LANGUAGES.get(target_lang, "en"),
+            )
+        tts_sr = getattr(self.engines.tts, "sample_rate", 24_000)
+        if tts_sr != 16_000:
+            tts_audio = np.asarray(ops.resample(jnp.asarray(tts_audio), tts_sr, 16_000))
+
+        with timer.stage("post"):
+            out = self._apply_natural_temporal_mapping(
+                tts_audio, x, words, pauses,
+                original_video_frames=original_video_frames, video_fps=video_fps,
+            )
+            out = np.asarray(ops.loudness_normalize(jnp.asarray(out), TARGET_LUFS))
+
+        self.last_stage_summary = timer.summary()
+        log.info("[%s] done: %s", process_id, {
+            k: round(v["xrt"], 4) for k, v in self.last_stage_summary.items()
+        })
+        return {
+            "audio": out.reshape(1, -1).astype(np.float32),
+            "transcripts": {"source": source_text, "target": target_text},
+            "process_id": process_id,
+            "stage_summary": self.last_stage_summary,
+        }
+
+    # ------------------------------------------------------------ temporal map
+
+    def _apply_natural_temporal_mapping(
+        self,
+        translated: np.ndarray,
+        source: np.ndarray,
+        words: List[Dict[str, float]],
+        pauses: List[Dict[str, float]],
+        *,
+        original_video_frames: Optional[list] = None,
+        video_fps: float = 25.0,
+    ) -> np.ndarray:
+        """Visual-guided mapping when video frames are available; natural-flow
+        fallback otherwise or on failure (cascaded_backend.py:220-339)."""
+        if original_video_frames:
+            try:
+                from .visual_speech_detector import VisualSpeechDetector
+
+                detector = self.visual_mapper.detector or VisualSpeechDetector(fps=video_fps)
+                segments = detector.detect_speech_segments(original_video_frames)
+                if segments:
+                    total = len(original_video_frames) / video_fps
+                    return self.visual_mapper.distribute_audio(
+                        translated, segments, total, source_audio=source,
+                    )
+                log.info("no visual speech segments; falling back to natural flow")
+            except Exception:  # noqa: BLE001 — parity: fallback, never fail (:285-298)
+                log.exception("visual mapping failed; falling back to natural flow")
+        try:
+            profile = self.temporal_mapper.timing_profile(source, words or None)
+            return self.temporal_mapper.apply_temporal_guidance(translated, source, profile)
+        except Exception:  # noqa: BLE001 — parity: temporal mapping is best-effort
+            log.exception("temporal mapping failed; returning unmapped audio")
+            return np.asarray(translated, np.float32).reshape(-1)
+
+    def cleanup(self) -> None:
+        log.info("CascadedBackend cleanup")

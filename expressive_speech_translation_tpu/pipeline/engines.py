@@ -1,0 +1,98 @@
+"""Stage engines: the seam between the cascade orchestration and the models.
+
+The reference's cascade talks to its stages through process boundaries (whisper
+in-process, CosyVoice/MuseTalk over HTTP — SURVEY.md §3.1). Here a stage is an
+in-process engine object; three implementations exist:
+
+- :class:`JaxEngines` — the production path: models/* compiled on TPU.
+- :class:`FakeEngines` — deterministic fakes so the orchestrator, serve layer,
+  and batch runner are testable without weights (the test rigor the reference
+  lacks — SURVEY.md §4 implication).
+- :class:`RemoteEngines` — HTTP clients preserving the reference's container
+  contracts (/generate-speech/ etc.) for split deployments (serve/clients.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Dict, List, Optional, Protocol
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+class AsrEngine(Protocol):
+    def transcribe(self, audio_16k: np.ndarray, language: Optional[str] = None) -> Dict[str, Any]:
+        """→ {"text": str, "words": [{"word","start","end"}], "language": str}"""
+
+
+class NmtEngine(Protocol):
+    def translate(self, text: str, source_lang: str, target_lang: str) -> str: ...
+
+
+class TtsEngine(Protocol):
+    def synthesize(
+        self, text: str, *, style_prompt: str = "", reference_audio_16k: Optional[np.ndarray] = None,
+        language: str = "en",
+    ) -> np.ndarray:
+        """→ waveform float32 at self.sample_rate"""
+
+    sample_rate: int
+
+
+@dataclasses.dataclass
+class Engines:
+    asr: AsrEngine
+    nmt: NmtEngine
+    tts: TtsEngine
+
+
+# ----------------------------------------------------------------- fake stage
+
+
+class FakeAsr:
+    """Deterministic ASR fake: energy-segmented 'words'."""
+
+    def __init__(self, text: str = "hello world this is a test"):
+        self.text = text
+
+    def transcribe(self, audio_16k: np.ndarray, language: Optional[str] = None) -> Dict[str, Any]:
+        audio = np.asarray(audio_16k).reshape(-1)
+        duration = len(audio) / 16_000.0
+        words = self.text.split()
+        step = duration / max(len(words), 1)
+        return {
+            "text": self.text,
+            "language": language or "eng",
+            "words": [
+                {"word": w, "start": round(i * step, 3), "end": round((i + 0.8) * step, 3)}
+                for i, w in enumerate(words)
+            ],
+        }
+
+
+class FakeNmt:
+    def translate(self, text: str, source_lang: str, target_lang: str) -> str:
+        return f"[{target_lang}] {text}"
+
+
+class FakeTts:
+    """Sine-at-text-hash synth — length proportional to text length."""
+
+    sample_rate = 24_000
+
+    def synthesize(
+        self, text: str, *, style_prompt: str = "",
+        reference_audio_16k: Optional[np.ndarray] = None, language: str = "en",
+    ) -> np.ndarray:
+        seconds = max(0.5, min(len(text) * 0.06, 30.0))
+        freq = 200 + (hash(text) % 200)
+        t = np.arange(int(self.sample_rate * seconds)) / self.sample_rate
+        envelope = 0.5 + 0.5 * np.sin(2 * np.pi * 2.5 * t) ** 2
+        return (0.3 * envelope * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def fake_engines(text: str = "hello world this is a test") -> Engines:
+    return Engines(asr=FakeAsr(text), nmt=FakeNmt(), tts=FakeTts())

@@ -1,0 +1,56 @@
+"""Language code tables.
+
+Parity with the reference's maps: app-code → CosyVoice code (18 languages incl.
+Greek ``ell→el``, services/cascaded_backend.py:53-58) and app-code → NLLB
+FLORES-200 code (19 codes, cascaded_backend.py:139-141), plus Whisper language
+token ids for the multilingual tokenizer layout.
+"""
+
+from __future__ import annotations
+
+# app code (ISO 639-3-ish) → CosyVoice/gTTS-style short code
+COSYVOICE_LANGUAGES = {
+    "eng": "en", "fra": "fr", "deu": "de", "spa": "es", "ita": "it",
+    "por": "pt", "pol": "pl", "tur": "tr", "rus": "ru", "nld": "nl",
+    "ces": "cs", "arb": "ar", "cmn": "zh", "jpn": "ja", "hun": "hu",
+    "kor": "ko", "hin": "hi", "ell": "el",
+}
+
+# app code → NLLB-200 (FLORES-200) code
+NLLB_LANGUAGES = {
+    "eng": "eng_Latn", "fra": "fra_Latn", "deu": "deu_Latn", "spa": "spa_Latn",
+    "ita": "ita_Latn", "por": "por_Latn", "pol": "pol_Latn", "tur": "tur_Latn",
+    "rus": "rus_Cyrl", "nld": "nld_Latn", "ces": "ces_Latn", "arb": "arb_Arab",
+    "cmn": "zho_Hans", "jpn": "jpn_Jpan", "hun": "hun_Latn", "kor": "kor_Hang",
+    "hin": "hin_Deva", "ell": "ell_Grek", "ukr": "ukr_Cyrl",
+}
+
+# app code → Whisper language-token id (multilingual vocab: <|en|> = 50259, …)
+_WHISPER_LANG_ORDER = [
+    "en", "zh", "de", "es", "ru", "ko", "fr", "ja", "pt", "tr", "pl", "ca",
+    "nl", "ar", "sv", "it", "id", "hi", "fi", "vi", "he", "uk", "el", "ms",
+    "cs", "ro", "da", "hu", "ta", "no", "th", "ur", "hr", "bg", "lt", "la",
+    "mi", "ml", "cy", "sk", "te", "fa", "lv", "bn", "sr", "az", "sl", "kn",
+    "et", "mk", "br", "eu", "is", "hy", "ne", "mn", "bs", "kk", "sq", "sw",
+    "gl", "mr", "pa", "si", "km", "sn", "yo", "so", "af", "oc", "ka", "be",
+    "tg", "sd", "gu", "am", "yi", "lo", "uz", "fo", "ht", "ps", "tk", "nn",
+    "mt", "sa", "lb", "my", "bo", "tl", "mg", "as", "tt", "haw", "ln", "ha",
+    "ba", "jw", "su",
+]
+WHISPER_LANG_TOKENS = {code: 50259 + i for i, code in enumerate(_WHISPER_LANG_ORDER)}
+
+_APP_TO_WHISPER = {
+    "eng": "en", "fra": "fr", "deu": "de", "spa": "es", "ita": "it",
+    "por": "pt", "pol": "pl", "tur": "tr", "rus": "ru", "nld": "nl",
+    "ces": "cs", "arb": "ar", "cmn": "zh", "jpn": "ja", "hun": "hu",
+    "kor": "ko", "hin": "hi", "ell": "el", "ukr": "uk",
+}
+
+
+def whisper_lang_token(app_code: str) -> int:
+    return WHISPER_LANG_TOKENS[_APP_TO_WHISPER[app_code]]
+
+
+def supported_languages() -> list[str]:
+    """Languages the cascaded pipeline supports end-to-end."""
+    return sorted(set(COSYVOICE_LANGUAGES) & set(NLLB_LANGUAGES))

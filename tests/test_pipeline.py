@@ -1,0 +1,246 @@
+"""Pipeline layer: backend manager, audio processor, temporal mapping,
+cascaded orchestration with fake engines, watermarking, WAV io."""
+
+import numpy as np
+import pytest
+
+from expressive_speech_translation_tpu.core.errors import ValidationError
+from expressive_speech_translation_tpu.media.wavio import read_wav, write_wav
+from expressive_speech_translation_tpu.pipeline import (
+    AudioProcessor,
+    CascadedBackend,
+    TranslationManager,
+    TranslationStrategy,
+    TemporalMapper,
+    VisualSpeechDetector,
+    VisualTemporalMapper,
+    WaterMark,
+    fake_engines,
+    make_payload,
+    supported_languages,
+)
+from expressive_speech_translation_tpu.pipeline.visual_speech_detector import SpeechSegment
+
+
+def speech_like(seconds=2.0, sr=16000, seed=0):
+    g = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    x = 0.4 * np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t) ** 2)
+    return (x + 0.01 * g.standard_normal(t.shape)).astype(np.float32)
+
+
+# ----------------------------------------------------------- manager/strategy
+
+
+def test_manager_lazy_init_and_fallback():
+    backend = CascadedBackend(fake_engines())
+    mgr = TranslationManager()
+    mgr.register_backend("cascaded", backend, is_default=True)
+    assert not backend.initialized
+    got = mgr.get_backend("nonexistent")  # falls back to default + lazy init
+    assert got is backend
+    assert backend.initialized
+
+
+def test_strategy_threshold():
+    assert TranslationStrategy.select_strategy({"music_detection": {"confidence": 0.2}}) == "speech_with_music"
+    assert TranslationStrategy.select_strategy({"music_detection": {"confidence": 0.1}}) == "speech_only"
+    assert TranslationStrategy.select_strategy({}) == "speech_only"
+
+
+# -------------------------------------------------------------- audio processor
+
+
+def test_is_valid_audio_rules():
+    ap = AudioProcessor()
+    ok, _ = ap.is_valid_audio(speech_like())
+    assert ok
+    assert not ap.is_valid_audio(np.zeros(16000, np.float32))[0]          # silent
+    assert not ap.is_valid_audio(np.full(16000, np.nan, np.float32))[0]   # nan
+    assert not ap.is_valid_audio(speech_like(0.05))[0]                     # too short
+    assert not ap.is_valid_audio(speech_like() + 0.5)[0]                   # DC offset
+
+
+def test_validate_audio_length():
+    ap = AudioProcessor()
+    ap.validate_audio_length(200.0)
+    with pytest.raises(ValidationError) as e:
+        ap.validate_audio_length(301.0)
+    assert "too long" in str(e.value)
+
+
+def test_process_audio_resamples_and_denoises():
+    ap = AudioProcessor()
+    x = speech_like(1.0, sr=44100)
+    y = ap.process_audio(x, orig_sr=44100)
+    assert abs(len(y) - 16000) <= 2
+    assert y.dtype == np.float32
+
+
+def test_music_detection_discriminates(harvard_wav):
+    ap = AudioProcessor()
+    g = np.random.default_rng(0)
+    t = np.arange(16000 * 3) / 16000
+    # "music": broadband + steady rhythm
+    music = sum(0.2 * np.sin(2 * np.pi * f * t) for f in (110, 220, 330, 440, 880, 1760))
+    music = (music * (1 + 0.5 * np.sign(np.sin(2 * np.pi * 2 * t)))).astype(np.float32)
+    music += 0.05 * g.standard_normal(len(t)).astype(np.float32)
+    # real speech from the reference's committed fixture
+    from expressive_speech_translation_tpu.media.wavio import read_wav as _rw
+    from expressive_speech_translation_tpu import ops as _ops
+    import jax.numpy as _jnp
+
+    raw, sr = _rw(harvard_wav)
+    mono = np.asarray(_ops.stereo_to_mono(_jnp.asarray(raw)))
+    speech = np.asarray(_ops.resample(_jnp.asarray(mono), sr, 16000))[: 16000 * 3]
+    m_conf = ap.detect_background_music(music)["confidence"]
+    s_conf = ap.detect_background_music(speech)["confidence"]
+    assert m_conf > s_conf
+
+
+def test_spectral_enhancement_language_params():
+    ap = AudioProcessor()
+    x = speech_like(1.0)
+    fra = ap.apply_spectral_enhancement(x, "fra")
+    default = ap.apply_spectral_enhancement(x, "xxx")
+    assert fra.shape == default.shape == x.shape
+    assert not np.allclose(fra, default)  # language EQ changed the signal
+
+
+# ------------------------------------------------------------- temporal mapper
+
+
+def test_timing_profile_from_words_extracts_pauses():
+    tm = TemporalMapper()
+    words = [
+        {"word": "a", "start": 0.5, "end": 0.8},
+        {"word": "b", "start": 0.9, "end": 1.2},   # gap 0.1 -> no pause
+        {"word": "c", "start": 1.7, "end": 2.0},   # gap 0.5 -> pause
+    ]
+    prof = tm.timing_profile(np.zeros(16000 * 3, np.float32), words)
+    assert prof.speech_onset == 0.5
+    assert prof.speech_offset == 2.0
+    assert len(prof.pauses) == 1
+    assert abs(prof.pauses[0]["duration"] - 0.5) < 1e-6
+
+
+def test_apply_temporal_guidance_matches_source_duration():
+    tm = TemporalMapper()
+    source = np.concatenate([np.zeros(8000, np.float32), speech_like(2.0), np.zeros(8000, np.float32)])
+    translated = speech_like(1.5, seed=2)
+    out = tm.apply_temporal_guidance(translated, source)
+    assert abs(len(out) - len(source)) <= 1
+    # leading portion should be quiet (onset alignment)
+    assert np.abs(out[:4000]).mean() < np.abs(out[10000:20000]).mean()
+
+
+# -------------------------------------------------------- visual mapper/detector
+
+
+def _talking_frames(n=100, h=64, w=64, speak_range=(30, 70)):
+    g = np.random.default_rng(0)
+    frames = []
+    for i in range(n):
+        f = np.full((h, w), 100.0)
+        if speak_range[0] <= i < speak_range[1]:
+            # mouth region variance wiggles while "speaking" (varies per frame)
+            f[40:54, 20:44] = 100 + 80 * g.standard_normal((14, 24)) * g.uniform(0.3, 1.0)
+        frames.append(f)
+    return frames
+
+
+def test_visual_speech_detector_finds_segment():
+    det = VisualSpeechDetector(fps=25.0)
+    segs = det.detect_speech_segments(_talking_frames())
+    assert len(segs) >= 1
+    s = segs[0]
+    assert 0.8 < s.start < 1.6      # speaking starts at frame 30 = 1.2s
+    assert 2.2 < s.end < 3.4        # ends at frame 70 = 2.8s
+
+
+def test_visual_mapper_places_audio_in_segment():
+    vm = VisualTemporalMapper()
+    vm.initialize()
+    translated = speech_like(1.0, seed=3)
+    segs = [SpeechSegment(1.0, 3.0)]
+    out = vm.distribute_audio(translated, segs, total_duration=4.0)
+    assert len(out) >= 4 * 16000
+    # energy concentrated after segment start
+    assert np.abs(out[: 12000]).mean() < 0.1 * np.abs(out[16000: 40000]).mean() + 1e-5
+
+
+def test_visual_mapper_multi_segment():
+    vm = VisualTemporalMapper()
+    translated = speech_like(2.0, seed=4)
+    segs = [SpeechSegment(0.5, 1.5), SpeechSegment(2.5, 3.5)]
+    out = vm.distribute_audio(translated, segs, total_duration=4.0)
+    mid_quiet = np.abs(out[int(1.8 * 16000): int(2.3 * 16000)]).mean()
+    seg1 = np.abs(out[int(0.6 * 16000): int(1.3 * 16000)]).mean()
+    assert mid_quiet < 0.2 * seg1 + 1e-5
+
+
+# ------------------------------------------------------------- cascaded backend
+
+
+def test_cascaded_backend_end_to_end_fake():
+    backend = CascadedBackend(fake_engines("bonjour le monde"))
+    backend.initialize()
+    audio = speech_like(3.0)
+    out = backend.translate_speech(audio, "eng", "fra")
+    assert out["audio"].shape[0] == 1
+    assert out["audio"].dtype == np.float32
+    assert out["transcripts"]["source"] == "bonjour le monde"
+    assert out["transcripts"]["target"].startswith("[fra_Latn]")
+    assert len(out["process_id"]) == 8
+    assert "asr" in out["stage_summary"]
+    # loudness normalized toward -23 LUFS proxy
+    rms_db = 20 * np.log10(np.sqrt((out["audio"] ** 2).mean()) + 1e-12)
+    assert -30 < rms_db < -16
+
+
+def test_cascaded_backend_rejects_unknown_language():
+    backend = CascadedBackend(fake_engines())
+    with pytest.raises(ValidationError):
+        backend.translate_speech(speech_like(1.0), "eng", "xx_unknown")
+
+
+def test_supported_languages_table():
+    langs = supported_languages()
+    assert "fra" in langs and "ell" in langs and "eng" in langs
+    assert len(langs) == 18
+
+
+# ------------------------------------------------------------------ watermark
+
+
+def test_watermark_roundtrip(tmp_path):
+    path = tmp_path / "out.wav"
+    write_wav(path, speech_like(0.5), 16000)
+    payload = make_payload("abcd1234")
+    WaterMark.add_watermark(path, payload)
+    got = WaterMark.extract_watermark(path)
+    assert got is not None
+    assert got["req_id"] == "abcd1234"
+    assert WaterMark.verify(path)
+    # audio still readable and intact
+    audio, sr = read_wav(path)
+    assert sr == 16000
+    assert abs(len(audio) - 8000) <= 1
+
+
+def test_wav_roundtrip_formats(tmp_path):
+    x = speech_like(0.3)
+    for bits in (16, 32):
+        p = tmp_path / f"t{bits}.wav"
+        write_wav(p, x, 16000, bits=bits)
+        y, sr = read_wav(p)
+        assert sr == 16000
+        tol = 1e-4 if bits == 16 else 1e-6
+        np.testing.assert_allclose(y, x, atol=tol)
+    # stereo
+    st = np.stack([x, -x])
+    p = tmp_path / "stereo.wav"
+    write_wav(p, st, 16000)
+    y, sr = read_wav(p)
+    assert y.shape == st.shape
+    np.testing.assert_allclose(y, st, atol=1e-4)

@@ -1,0 +1,151 @@
+"""SFT training: loss decreases, 8-device dp sharding, checkpoint resume,
+data pipeline semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from expressive_speech_translation_tpu.core.config import TrainConfig
+from expressive_speech_translation_tpu.models import cosyvoice as cv
+from expressive_speech_translation_tpu.models import qwen2 as q2
+from expressive_speech_translation_tpu.parallel import host_cpu_mesh
+from expressive_speech_translation_tpu.train import (
+    DynamicFrameBatcher,
+    SFTBatch,
+    init_train_state,
+    lm_loss,
+    make_optimizer,
+    make_train_step,
+    shuffle_buffer,
+    sort_buffer,
+)
+from expressive_speech_translation_tpu.train.data import filter_samples, pad_batch
+
+TINY_LM = cv.SpeechLMConfig(
+    backbone=q2.Qwen2Config(hidden=32, layers=2, heads=4, kv_heads=2, ffn_dim=64, max_positions=128),
+    text_vocab=50, speech_token_size=20,
+)
+
+
+def _batch(accum=2, b=8, tt=4, ts=6, seed=0):
+    g = np.random.default_rng(seed)
+    return SFTBatch(
+        text_tokens=jnp.asarray(g.integers(0, 50, (accum, b, tt)), jnp.int32),
+        text_mask=jnp.ones((accum, b, tt), bool),
+        speech_tokens=jnp.asarray(g.integers(0, 20, (accum, b, ts)), jnp.int32),
+        speech_mask=jnp.ones((accum, b, ts), bool),
+    )
+
+
+def test_loss_decreases_when_overfitting():
+    opt = make_optimizer(1e-2, grad_clip=5.0)
+    state = init_train_state(jax.random.PRNGKey(0), TINY_LM, opt)
+    step = make_train_step(TINY_LM, opt, accum_grad=2, compute_dtype=jnp.float32)
+    batch = _batch()
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+    assert np.isfinite(losses).all()
+
+
+def test_grad_norm_metric_matches_true_norm():
+    import optax
+
+    opt = make_optimizer(1e-3, grad_clip=5.0)
+    state = init_train_state(jax.random.PRNGKey(0), TINY_LM, opt)
+    step = make_train_step(TINY_LM, opt, accum_grad=2, compute_dtype=jnp.float32)
+    b = _batch(accum=2)
+    # compute mean grads by hand FIRST (the train step donates the state)
+    grads = None
+    for i in range(2):
+        mb = SFTBatch(*[x[i] for x in b])
+        g = jax.grad(lambda p: lm_loss(p, TINY_LM, mb, compute_dtype=jnp.float32)[0])(state.params)
+        grads = g if grads is None else jax.tree_util.tree_map(jnp.add, grads, g)
+    grads = jax.tree_util.tree_map(lambda x: x / 2, grads)
+    true_norm = float(optax.global_norm(grads))
+
+    _, metrics = step(state, b)
+    assert abs(float(metrics["grad_norm"]) - true_norm) / true_norm < 1e-4
+
+
+def test_dp_sharded_train_step_on_8_devices():
+    mesh = host_cpu_mesh(8)
+    opt = make_optimizer(1e-3)
+    state = init_train_state(jax.random.PRNGKey(0), TINY_LM, opt)
+    step = make_train_step(TINY_LM, opt, mesh, accum_grad=2, compute_dtype=jnp.float32)
+    batch = _batch(accum=2, b=16)  # 16 = 2 rows per device
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # result equals the unsharded computation
+    opt2 = make_optimizer(1e-3)
+    state2 = init_train_state(jax.random.PRNGKey(0), TINY_LM, opt2)
+    step2 = make_train_step(TINY_LM, opt2, accum_grad=2, compute_dtype=jnp.float32)
+    state2, metrics2 = step2(state2, batch)
+    np.testing.assert_allclose(float(metrics["loss"]), float(metrics2["loss"]), rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(state.params)[0]
+    l2 = jax.tree_util.tree_leaves(state2.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+
+
+def test_checkpoint_save_restore_resume(tmp_path):
+    from expressive_speech_translation_tpu.train.checkpoint import CheckpointManager
+
+    opt = make_optimizer(1e-3)
+    state = init_train_state(jax.random.PRNGKey(0), TINY_LM, opt)
+    step = make_train_step(TINY_LM, opt, accum_grad=1, compute_dtype=jnp.float32)
+    b = _batch(accum=1)
+    for _ in range(3):
+        state, _ = step(state, b)
+    mgr = CheckpointManager(tmp_path / "ckpt", save_interval_steps=1)
+    assert mgr.save(state, metrics={"loss": 1.0})
+    mgr.wait()
+
+    template = init_train_state(jax.random.PRNGKey(1), TINY_LM, opt)
+    restored = mgr.restore(template)
+    assert restored is not None
+    assert int(restored.step) == 3
+    l0 = jax.tree_util.tree_leaves(state.params)[0]
+    l1 = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1))
+
+    # deterministic resume: one more step from restored == one more from live
+    s_live, m_live = step(state, b)
+    s_res, m_res = step(restored, b)
+    np.testing.assert_allclose(float(m_live["loss"]), float(m_res["loss"]), rtol=1e-6)
+    mgr.close()
+
+
+def test_dynamic_frame_batcher_respects_cap():
+    samples = [{"num_frames": n, "id": i} for i, n in enumerate([100, 120, 500, 900, 1500, 80, 90])]
+    batcher = DynamicFrameBatcher(2000)
+    batches = list(batcher(samples))
+    assert sum(len(b) for b in batches) == 7
+    for b in batches:
+        longest = max(s["num_frames"] for s in b)
+        assert longest * len(b) <= 2000
+
+
+def test_shuffle_sort_filter_pipeline():
+    samples = [{"num_frames": n, "text_tokens": list(range(n % 5))} for n in range(1, 300)]
+    out = list(
+        sort_buffer(shuffle_buffer(filter_samples(samples, max_frames=250), 50, seed=1), 64)
+    )
+    assert len(out) == 249  # 250..299 filtered (> max_frames) and 1 (< min 2)
+    # sort buffer yields length-sorted runs of 64
+    first_run = [s["num_frames"] for s in out[:64]]
+    assert first_run == sorted(first_run)
+
+
+def test_pad_batch_masks():
+    group = [
+        {"speech_tokens": np.array([1, 2, 3])},
+        {"speech_tokens": np.array([4, 5])},
+    ]
+    arrays = pad_batch(group, ("speech_tokens",), buckets=(4, 8))
+    assert arrays["speech_tokens"].shape == (2, 4)
+    assert arrays["speech_tokens_mask"].sum() == 5
+    assert arrays["speech_tokens"][1, 2] == 0
