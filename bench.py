@@ -29,16 +29,25 @@ import time
 import numpy as np
 
 
-def _timed(fn, *args, repeats=3):
+def _sync(out):
+    """Force full completion. jax.block_until_ready is NOT reliable on the
+    axon relay (observed returning before execution finished); materialising a
+    reduction of every leaf to host is."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "dtype"):
+            float(jnp.sum(leaf.astype(jnp.float32)))
+    return out
+
+
+def _timed(fn, *args, repeats=3):
+    out = _sync(fn(*args))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = _sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best, out
 

@@ -1,0 +1,326 @@
+"""HTTP facade: WSGI app (Werkzeug) preserving the reference's Flask contract.
+
+Routes (Backend/app.py:253-454):
+  POST /translate                  (rate limit 20/min)
+  POST /process-video              (SSE; 10/min)
+  GET  /available-backends
+  GET  /supported-languages
+  POST /process-audio-url          (10/min)
+  GET  /translation-service-status
+  POST /upload_podcast             (5/min)
+  GET  /health/model
+
+Cross-cutting parity: CORS for localhost:3000/3001 (:209), default limits
+500/day + 100/hour (:211), method/content-type middleware (:217-242), central
+error handler with stable error ids (:244-249), graceful shutdown hooks
+(:458-492), startup hard-fail when the default backend is unhealthy (:507-514).
+"""
+
+from __future__ import annotations
+
+import atexit
+import base64
+import io
+import json
+import logging
+import signal
+import sys
+import time
+import uuid
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+from werkzeug.exceptions import HTTPException, MethodNotAllowed, NotFound
+from werkzeug.routing import Map, Rule
+from werkzeug.wrappers import Request, Response
+
+from ..core.config import AppConfig
+from ..core.errors import ESTError, ValidationError, error_id
+from ..media.wavio import read_wav, write_wav
+from ..obs.logging_setup import new_request_id, setup_logging
+from ..pipeline.audio_processor import AudioProcessor
+from ..pipeline.backend import TranslationManager
+from .audio_link import process_audio_url
+from .limiter import RateLimiter
+from .resource_monitor import check_resources, device_memory_stats
+from .video import VideoProcessor
+
+log = logging.getLogger(__name__)
+
+
+def _json(payload: Dict[str, Any], status: int = 200) -> Response:
+    return Response(json.dumps(payload), status=status, mimetype="application/json")
+
+
+def _wav_bytes(audio: np.ndarray, sr: int = 16_000) -> bytes:
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+        write_wav(f.name, audio, sr)
+        return Path(f.name).read_bytes()
+
+
+class App:
+    """WSGI application object."""
+
+    def __init__(
+        self,
+        manager: TranslationManager,
+        config: Optional[AppConfig] = None,
+        *,
+        video_io=None,
+        url_fetcher=None,
+    ):
+        self.config = config or AppConfig()
+        self.manager = manager
+        self.audio_processor = AudioProcessor(self.config.audio)
+        self.limiter = RateLimiter(self.config.serve.default_limits)
+        self.video_processor = (
+            VideoProcessor(video_io, temp_root=self.config.temp_dir,
+                           max_video_mb=self.config.audio.max_video_mb)
+            if video_io is not None else None
+        )
+        self.url_fetcher = url_fetcher
+        self.started_at = time.time()
+        self.url_map = Map([
+            Rule("/translate", endpoint="translate", methods=["POST"]),
+            Rule("/process-video", endpoint="process_video", methods=["POST"]),
+            Rule("/available-backends", endpoint="available_backends", methods=["GET"]),
+            Rule("/supported-languages", endpoint="supported_languages", methods=["GET"]),
+            Rule("/process-audio-url", endpoint="process_audio_url", methods=["POST"]),
+            Rule("/translation-service-status", endpoint="service_status", methods=["GET"]),
+            Rule("/upload_podcast", endpoint="upload_podcast", methods=["POST"]),
+            Rule("/health/model", endpoint="health_model", methods=["GET"]),
+        ])
+        self._route_limits = {
+            "translate": (self.config.serve.translate_limit,),
+            "process_video": (self.config.serve.video_limit,),
+            "process_audio_url": (self.config.serve.audio_url_limit,),
+            "upload_podcast": (self.config.serve.podcast_limit,),
+        }
+
+    # ------------------------------------------------------------------ WSGI
+
+    def __call__(self, environ, start_response):
+        request = Request(environ)
+        t0 = time.perf_counter()
+        try:
+            response = self.dispatch(request)
+        except ESTError as e:
+            log.warning("request error %s: %s", e.error_id, e)
+            response = _json(e.to_payload(), e.http_status)
+        except HTTPException as e:
+            response = _json({"error": e.description or e.name}, e.code or 500)
+        except Exception as e:  # noqa: BLE001 — central handler (app.py:244-249)
+            eid = error_id(repr(e))
+            log.exception("unhandled error %s", eid)
+            response = _json({"error": "An internal error occurred", "error_id": eid}, 500)
+        self._apply_cors(request, response)
+        log.info("%s %s -> %s (%.3fs)", request.method, request.path,
+                 response.status_code, time.perf_counter() - t0)
+        return response(environ, start_response)
+
+    def dispatch(self, request: Request) -> Response:
+        if request.method == "OPTIONS":  # CORS preflight
+            return Response(status=204)
+        adapter = self.url_map.bind_to_environ(request.environ)
+        endpoint, args = adapter.match()
+
+        # middleware parity (app.py:217-242): content-type gate on POSTs
+        if request.method == "POST" and endpoint != "process_audio_url":
+            ct = request.content_type or ""
+            if not (ct.startswith("multipart/form-data") or ct.startswith("application/json")):
+                raise ValidationError("Content-Type must be multipart/form-data or application/json")
+
+        limits = self._route_limits.get(endpoint, ())
+        ok, rule = self.limiter.check(request.remote_addr or "anon", limits)
+        if not ok:
+            return _json({"error": f"Rate limit exceeded ({rule})"}, 429)
+
+        return getattr(self, f"route_{endpoint}")(request, **args)
+
+    def _apply_cors(self, request: Request, response: Response) -> None:
+        origin = request.headers.get("Origin", "")
+        if origin in self.config.serve.cors_origins:
+            response.headers["Access-Control-Allow-Origin"] = origin
+            response.headers["Access-Control-Allow-Headers"] = "Content-Type"
+            response.headers["Access-Control-Allow-Methods"] = "GET, POST, OPTIONS"
+
+    # ---------------------------------------------------------------- routes
+
+    def _read_upload(self, request: Request) -> tuple[np.ndarray, int, str]:
+        file = request.files.get("file") or request.files.get("audio")
+        if file is None or not file.filename:
+            raise ValidationError("No audio file provided")
+        suffix = Path(file.filename).suffix.lower()
+        if suffix not in self.audio_processor.SUPPORTED_FORMATS:
+            raise ValidationError(
+                f"Unsupported format {suffix!r}. Supported: "
+                + ", ".join(self.audio_processor.SUPPORTED_FORMATS)
+            )
+        raw = file.read()
+        if suffix == ".wav":
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                Path(f.name).write_bytes(raw)
+                audio, sr = read_wav(f.name)
+        else:
+            from ..media import decode_audio_bytes
+
+            audio, sr = decode_audio_bytes(raw, suffix)
+        return audio, sr, file.filename
+
+    def route_translate(self, request: Request) -> Response:
+        check_resources(self.config.serve.memory_threshold)
+        target = request.form.get("target_language") or request.form.get("target_lang")
+        if not target:
+            raise ValidationError("target_language is required")
+        source = request.form.get("source_language", "eng")
+        backend_name = request.form.get("backend")
+        audio, sr, _ = self._read_upload(request)
+
+        duration = np.asarray(audio).reshape(-1).shape[0] / max(sr, 1)
+        if np.asarray(audio).ndim == 2:
+            duration /= np.asarray(audio).shape[0] * 0 + 1  # [C,T]: same T per channel
+            duration = np.asarray(audio).shape[-1] / max(sr, 1)
+        self.audio_processor.validate_audio_length(duration)
+
+        processed = self.audio_processor.process_audio(audio, orig_sr=sr)
+        backend = self.manager.get_backend(backend_name)
+        result = backend.translate_speech(processed, source, target)
+        encoded = base64.b64encode(_wav_bytes(result["audio"][0])).decode()
+        return _json({
+            "audio": encoded,
+            "transcripts": result.get("transcripts", {}),
+            "request_id": result.get("process_id", new_request_id()),
+        })
+
+    def route_process_video(self, request: Request) -> Response:
+        if self.video_processor is None:
+            raise ESTError("video processing unavailable: no media backend",
+                           user_message="Video processing is not available")
+        file = request.files.get("file") or request.files.get("video")
+        if file is None:
+            raise ValidationError("No video file provided")
+        target = request.form.get("target_language")
+        if not target:
+            raise ValidationError("target_language is required")
+        source = request.form.get("source_language", "eng")
+        backend = self.manager.get_backend(request.form.get("backend"))
+        stream = self.video_processor.process_video(
+            file.read(), backend, source, target, filename=file.filename or "input.mp4",
+        )
+        return Response(stream, mimetype="text/event-stream",
+                        headers={"Cache-Control": "no-cache", "X-Accel-Buffering": "no"})
+
+    def route_available_backends(self, request: Request) -> Response:
+        return _json({
+            "backends": self.manager.available_backends(),
+            "default": self.manager.default_backend,
+        })
+
+    def route_supported_languages(self, request: Request) -> Response:
+        backend = self.manager.get_backend()
+        return _json({"languages": backend.get_supported_languages()})
+
+    def route_process_audio_url(self, request: Request) -> Response:
+        data = request.get_json(force=True, silent=True) or {}
+        url = data.get("url") or request.form.get("url")
+        if not url:
+            raise ValidationError("url is required")
+        target = data.get("target_language") or request.form.get("target_language")
+        if not target:
+            raise ValidationError("target_language is required")
+        backend = self.manager.get_backend()
+        result = process_audio_url(url, backend, target, fetcher=self.url_fetcher)
+        encoded = base64.b64encode(_wav_bytes(result["audio"][0])).decode()
+        return _json({"audio": encoded, "transcripts": result.get("transcripts", {})})
+
+    def route_upload_podcast(self, request: Request) -> Response:
+        audio, sr, filename = self._read_upload(request)
+        duration = np.asarray(audio).shape[-1] / max(sr, 1)
+        self.audio_processor.validate_audio_length(
+            duration, max_seconds=self.config.audio.max_podcast_seconds
+        )
+        podcast_id = uuid.uuid4().hex
+        return _json({
+            "podcast_id": podcast_id,
+            "filename": filename,
+            "duration_seconds": round(float(duration), 2),
+            "sample_rate": sr,
+            "status": "uploaded",
+        })
+
+    def route_service_status(self, request: Request) -> Response:
+        return _json({
+            "status": "ok",
+            "uptime_seconds": round(time.time() - self.started_at, 1),
+            "backends": {
+                name: {"initialized": getattr(self.manager._backends[name], "initialized", False)}
+                for name in self.manager.available_backends()
+            },
+        })
+
+    def route_health_model(self, request: Request) -> Response:
+        import psutil
+
+        proc = psutil.Process()
+        # peek WITHOUT get_backend(): the manager lazily initializes there,
+        # which would make this endpoint lie about cold state
+        backend_ok = False
+        name = self.manager.default_backend
+        if name is not None:
+            backend_ok = bool(getattr(self.manager._backends[name], "initialized", False))
+        return _json({
+            "healthy": backend_ok,
+            "process_rss_mb": round(proc.memory_info().rss / 1e6, 1),
+            "device_memory": device_memory_stats(),
+        }, 200 if backend_ok else 503)
+
+
+def create_app(
+    manager: Optional[TranslationManager] = None,
+    config: Optional[AppConfig] = None,
+    **kwargs: Any,
+) -> App:
+    """Build the WSGI app; with no manager, wires the default cascaded backend
+    with fake engines (smoke-test mode)."""
+    config = config or AppConfig()
+    if manager is None:
+        from ..pipeline.cascaded import CascadedBackend
+        from ..pipeline.engines import fake_engines
+
+        manager = TranslationManager()
+        manager.register_backend("cascaded", CascadedBackend(fake_engines()), is_default=True)
+    return App(manager, config, **kwargs)
+
+
+def main() -> None:
+    """python -m expressive_speech_translation_tpu.serve.app"""
+    from werkzeug.serving import run_simple
+
+    config = AppConfig()
+    setup_logging(config.log_dir)
+    app = create_app(config=config)
+    # startup hard-fail parity (app.py:507-514)
+    try:
+        app.manager.get_backend()
+    except Exception:
+        log.exception("default backend failed to initialize")
+        sys.exit(1)
+
+    def shutdown(*_args):
+        log.info("shutting down: cleaning up backends")
+        app.manager.cleanup()
+        sys.exit(0)
+
+    atexit.register(app.manager.cleanup)
+    signal.signal(signal.SIGTERM, shutdown)
+    signal.signal(signal.SIGINT, shutdown)
+    run_simple(config.serve.host, config.serve.port, app, threaded=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Video processing: SSE-streamed dubbing pipeline.
+
+Parity with services/video_routes.py (348 LoC): per-request UUID temp dirs with
+path-escape guard (:36-39, :65-77), audio extraction, translate, watermark,
+lip-sync with >1 kB output check and audio-dub mux fallback (:116-161,
+:286-293), SSE progress events at 10/20/30/55/60/75/90 then a final base64
+payload (:192-326), cleanup in ``finally``.
+
+Media decode/encode goes through a pluggable :class:`VideoIO` so the pipeline
+is testable without containers; the production implementation is the C++ libav
+shim (media/native.py).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import logging
+import shutil
+import uuid
+from pathlib import Path
+from typing import Any, Callable, Dict, Generator, Optional, Protocol
+
+import numpy as np
+
+from ..core.errors import MediaError, ValidationError
+from ..obs.logging_setup import new_request_id
+from ..pipeline.watermark import WaterMark, make_payload
+
+log = logging.getLogger(__name__)
+
+PROGRESS_STEPS = {
+    "extract": 10, "preprocess": 20, "translate": 30, "watermark": 55,
+    "lipsync": 60, "finalize": 75, "encode": 90,
+}
+
+
+class VideoIO(Protocol):
+    def extract_audio(self, video_path: str) -> tuple[np.ndarray, int]:
+        """video → (mono float32 audio, sample_rate)."""
+
+    def mux(self, video_path: str, audio: np.ndarray, sr: int, out_path: str) -> None:
+        """Replace the video's audio track."""
+
+    def lipsync(self, video_path: str, audio: np.ndarray, sr: int, out_path: str) -> None:
+        """Render lip-synced video (may raise — fallback is mux)."""
+
+
+def generate_progress_event(progress: int, phase: str, **extra: Any) -> str:
+    """SSE frame (parity: services/utils.py:14-16)."""
+    payload = {"progress": progress, "phase": phase, **extra}
+    return f"data: {json.dumps(payload)}\n\n"
+
+
+class VideoProcessor:
+    def __init__(
+        self,
+        video_io: VideoIO,
+        *,
+        temp_root: str | Path = "temp_video_processing_requests",
+        max_video_mb: float = 150.0,
+    ):
+        self.video_io = video_io
+        self.temp_root = Path(temp_root).absolute()
+        self.max_video_mb = max_video_mb
+
+    def _request_dir(self) -> Path:
+        """UUID temp dir with path-escape guard (video_routes.py:36-39)."""
+        req = uuid.uuid4().hex
+        path = (self.temp_root / req).absolute()
+        if not str(path).startswith(str(self.temp_root)):
+            raise ValidationError("Invalid request path")
+        path.mkdir(parents=True, exist_ok=True)
+        return path
+
+    def process_video(
+        self,
+        video_bytes: bytes,
+        backend,
+        source_lang: str,
+        target_lang: str,
+        *,
+        filename: str = "input.mp4",
+    ) -> Generator[str, None, None]:
+        """Returns an SSE-frame generator; final frame carries the base64 MP4 +
+        transcripts. Validation happens eagerly (before the 200 is committed)."""
+        if len(video_bytes) > self.max_video_mb * 1e6:
+            raise ValidationError(
+                f"Video too large ({len(video_bytes)/1e6:.1f} MB > {self.max_video_mb:.1f} MB)"
+            )
+        req_dir = self._request_dir()
+        req_id = new_request_id()
+        return self._stream(video_bytes, backend, source_lang, target_lang,
+                            filename=filename, req_dir=req_dir, req_id=req_id)
+
+    def _stream(
+        self, video_bytes, backend, source_lang, target_lang, *, filename, req_dir, req_id
+    ) -> Generator[str, None, None]:
+        try:
+            src = req_dir / Path(filename).name
+            src.write_bytes(video_bytes)
+
+            yield generate_progress_event(PROGRESS_STEPS["extract"], "Extracting audio")
+            audio, sr = self.video_io.extract_audio(str(src))
+
+            yield generate_progress_event(PROGRESS_STEPS["preprocess"], "Preprocessing audio")
+            from ..pipeline.audio_processor import AudioProcessor
+
+            audio16 = AudioProcessor().process_audio(audio, orig_sr=sr)
+
+            yield generate_progress_event(PROGRESS_STEPS["translate"], "Translating speech")
+            result = backend.translate_speech(audio16, source_lang, target_lang)
+            dubbed = result["audio"][0]
+
+            yield generate_progress_event(PROGRESS_STEPS["watermark"], "Adding watermark")
+            from ..media.wavio import write_wav
+
+            wav_path = req_dir / "dubbed.wav"
+            write_wav(wav_path, dubbed, 16_000)
+            try:
+                WaterMark.add_watermark(wav_path, make_payload(req_id))
+            except Exception:  # noqa: BLE001 — watermark is non-fatal (video_routes.py:266-267)
+                log.exception("watermarking failed (non-fatal)")
+
+            yield generate_progress_event(PROGRESS_STEPS["lipsync"], "Applying lip sync")
+            out_path = req_dir / "output.mp4"
+            try:
+                self.video_io.lipsync(str(src), dubbed, 16_000, str(out_path))
+                if not out_path.exists() or out_path.stat().st_size <= 1024:
+                    raise MediaError("lip-sync output too small")  # video_routes.py:152
+            except Exception:  # noqa: BLE001 — fallback mux (video_routes.py:286-293)
+                log.exception("lip sync failed; falling back to audio dub")
+                yield generate_progress_event(
+                    PROGRESS_STEPS["finalize"], "Lip sync unavailable; muxing dubbed audio"
+                )
+                self.video_io.mux(str(src), dubbed, 16_000, str(out_path))
+
+            yield generate_progress_event(PROGRESS_STEPS["encode"], "Encoding result")
+            encoded = base64.b64encode(out_path.read_bytes()).decode()
+            yield (
+                "data: "
+                + json.dumps({
+                    "progress": 100,
+                    "phase": "complete",
+                    "result": {
+                        "video": encoded,
+                        "transcripts": result.get("transcripts", {}),
+                        "request_id": req_id,
+                    },
+                })
+                + "\n\n"
+            )
+        finally:
+            shutil.rmtree(req_dir, ignore_errors=True)  # video_routes.py:324-326

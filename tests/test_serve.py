@@ -1,0 +1,238 @@
+"""HTTP facade tests via the Werkzeug test client (route/JSON/SSE contracts)."""
+
+import base64
+import io
+import json
+
+import numpy as np
+import pytest
+from werkzeug.test import Client
+
+from expressive_speech_translation_tpu.core.config import AppConfig, load_config
+from expressive_speech_translation_tpu.media.wavio import read_wav, write_wav
+from expressive_speech_translation_tpu.pipeline.backend import TranslationManager
+from expressive_speech_translation_tpu.pipeline.cascaded import CascadedBackend
+from expressive_speech_translation_tpu.pipeline.engines import fake_engines
+from expressive_speech_translation_tpu.serve.app import create_app
+
+
+def wav_bytes(seconds=2.0, sr=16000, seed=0):
+    import tempfile, os
+
+    g = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    x = (0.4 * np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t) ** 2)
+         + 0.01 * g.standard_normal(t.shape)).astype(np.float32)
+    fd, path = tempfile.mkstemp(suffix=".wav")
+    os.close(fd)
+    write_wav(path, x, sr)
+    data = open(path, "rb").read()
+    os.unlink(path)
+    return data
+
+
+class FakeVideoIO:
+    def extract_audio(self, video_path):
+        g = np.random.default_rng(1)
+        t = np.arange(32000) / 16000
+        return (0.3 * np.sin(2 * np.pi * 300 * t) + 0.01 * g.standard_normal(len(t))).astype(np.float32), 16000
+
+    def mux(self, video_path, audio, sr, out_path):
+        open(out_path, "wb").write(b"MUXED" + bytes(2000))
+
+    def lipsync(self, video_path, audio, sr, out_path):
+        open(out_path, "wb").write(b"LIPSYNCED" + bytes(2000))
+
+
+class FailingLipsyncIO(FakeVideoIO):
+    def lipsync(self, video_path, audio, sr, out_path):
+        raise RuntimeError("lipsync model unavailable")
+
+
+@pytest.fixture()
+def client():
+    app = create_app(video_io=FakeVideoIO())
+    return Client(app)
+
+
+def test_translate_route_contract(client):
+    resp = client.post(
+        "/translate",
+        data={
+            "file": (io.BytesIO(wav_bytes()), "test.wav"),
+            "target_language": "fra",
+        },
+    )
+    assert resp.status_code == 200, resp.get_data(as_text=True)
+    body = resp.get_json()
+    assert set(body) >= {"audio", "transcripts", "request_id"}
+    # returned audio is a valid base64 wav
+    raw = base64.b64decode(body["audio"])
+    assert raw[:4] == b"RIFF"
+    assert body["transcripts"]["target"].startswith("[fra_Latn]")
+
+
+def test_translate_requires_target_language(client):
+    resp = client.post("/translate", data={"file": (io.BytesIO(wav_bytes()), "t.wav")})
+    assert resp.status_code == 400
+    assert "target_language" in resp.get_json()["error"]
+
+
+def test_translate_rejects_bad_format(client):
+    resp = client.post(
+        "/translate",
+        data={"file": (io.BytesIO(b"x"), "evil.exe"), "target_language": "fra"},
+    )
+    assert resp.status_code == 400
+    assert "Unsupported format" in resp.get_json()["error"]
+
+
+def test_translate_wrong_content_type(client):
+    resp = client.post("/translate", data="rawbody", content_type="text/plain")
+    assert resp.status_code == 400
+
+
+def test_supported_languages_and_backends(client):
+    resp = client.get("/supported-languages")
+    assert resp.status_code == 200
+    assert "fra" in resp.get_json()["languages"]
+    resp = client.get("/available-backends")
+    body = resp.get_json()
+    assert body["default"] == "cascaded"
+    assert "cascaded" in body["backends"]
+
+
+def test_health_and_status(client):
+    # uninitialized → 503; after a translate it is initialized → 200
+    r0 = client.get("/health/model")
+    assert r0.status_code == 503
+    client.post("/translate", data={
+        "file": (io.BytesIO(wav_bytes()), "t.wav"), "target_language": "fra"})
+    r1 = client.get("/health/model")
+    assert r1.status_code == 200
+    assert r1.get_json()["healthy"] is True
+    status = client.get("/translation-service-status").get_json()
+    assert status["status"] == "ok"
+    assert status["backends"]["cascaded"]["initialized"] is True
+
+
+def test_process_video_sse_stream(client):
+    resp = client.post(
+        "/process-video",
+        data={
+            "file": (io.BytesIO(b"fakevideo" * 100), "clip.mp4"),
+            "target_language": "fra",
+        },
+    )
+    assert resp.status_code == 200
+    assert resp.mimetype == "text/event-stream"
+    frames = [json.loads(line[6:]) for line in resp.get_data(as_text=True).split("\n\n") if line.startswith("data: ")]
+    progresses = [f["progress"] for f in frames]
+    assert progresses[:5] == [10, 20, 30, 55, 60]
+    final = frames[-1]
+    assert final["progress"] == 100
+    video = base64.b64decode(final["result"]["video"])
+    assert video.startswith(b"LIPSYNCED")
+    assert "transcripts" in final["result"]
+
+
+def test_process_video_lipsync_fallback():
+    app = create_app(video_io=FailingLipsyncIO())
+    client = Client(app)
+    resp = client.post(
+        "/process-video",
+        data={"file": (io.BytesIO(b"v" * 100), "c.mp4"), "target_language": "fra"},
+    )
+    frames = [json.loads(l[6:]) for l in resp.get_data(as_text=True).split("\n\n") if l.startswith("data: ")]
+    final = frames[-1]
+    video = base64.b64decode(final["result"]["video"])
+    assert video.startswith(b"MUXED")  # audio-dub fallback (video_routes.py:286-293)
+
+
+def test_video_too_large():
+    cfg = load_config(env={}, **{"audio.max_video_mb": 0.001})
+    app = create_app(config=cfg, video_io=FakeVideoIO())
+    resp = Client(app).post(
+        "/process-video",
+        data={"file": (io.BytesIO(b"v" * 10000), "c.mp4"), "target_language": "fra"},
+    )
+    assert resp.status_code == 400
+
+
+def test_audio_url_policy(client):
+    for url, ok in [
+        ("https://open.spotify.com/track/xyz", False),
+        ("https://www.netflix.com/watch/1", False),
+        ("ftp://youtube.com/x", False),
+        ("https://example.org/audio.mp3", False),
+    ]:
+        resp = client.post(
+            "/process-audio-url",
+            json={"url": url, "target_language": "fra"},
+        )
+        assert resp.status_code == 400, url
+    # allowed platform but no fetcher configured → clean MediaError (400)
+    resp = client.post(
+        "/process-audio-url",
+        json={"url": "https://www.youtube.com/watch?v=abc", "target_language": "fra"},
+    )
+    assert resp.status_code == 400
+    assert "fetcher" in resp.get_json()["error"]
+
+
+def test_audio_url_with_fetcher():
+    def fetcher(url):
+        t = np.arange(16000) / 16000
+        return (0.3 * np.sin(2 * np.pi * 250 * t)).astype(np.float32) + np.float32(0.01) * np.random.default_rng(0).standard_normal(16000).astype(np.float32), 16000
+
+    app = create_app(video_io=FakeVideoIO(), url_fetcher=fetcher)
+    resp = Client(app).post(
+        "/process-audio-url",
+        json={"url": "https://youtu.be/abc", "target_language": "deu"},
+    )
+    assert resp.status_code == 200
+    assert "audio" in resp.get_json()
+
+
+def test_podcast_upload(client):
+    resp = client.post(
+        "/upload_podcast",
+        data={"file": (io.BytesIO(wav_bytes(3.0)), "pod.wav")},
+    )
+    assert resp.status_code == 200
+    body = resp.get_json()
+    assert body["status"] == "uploaded"
+    assert abs(body["duration_seconds"] - 3.0) < 0.1
+    assert len(body["podcast_id"]) == 32
+
+
+def test_rate_limit_translate():
+    cfg = load_config(env={}, **{"serve.translate_limit": "2 per minute",
+                                 "serve.default_limits": ()})
+    app = create_app(config=cfg, video_io=FakeVideoIO())
+    client = Client(app)
+    payload = lambda: {"file": (io.BytesIO(wav_bytes()), "t.wav"), "target_language": "fra"}
+    assert client.post("/translate", data=payload()).status_code == 200
+    assert client.post("/translate", data=payload()).status_code == 200
+    resp = client.post("/translate", data=payload())
+    assert resp.status_code == 429
+    assert "Rate limit" in resp.get_json()["error"]
+
+
+def test_cors_headers():
+    app = create_app(video_io=FakeVideoIO())
+    client = Client(app)
+    resp = client.get("/available-backends", headers={"Origin": "http://localhost:3000"})
+    assert resp.headers.get("Access-Control-Allow-Origin") == "http://localhost:3000"
+    resp2 = client.get("/available-backends", headers={"Origin": "http://evil.example"})
+    assert "Access-Control-Allow-Origin" not in resp2.headers
+
+
+def test_unknown_route_404(client):
+    assert client.get("/nope").status_code == 404
+
+
+def test_error_ids_stable(client):
+    r1 = client.post("/translate", data={"file": (io.BytesIO(b"z"), "a.exe"), "target_language": "x"})
+    assert r1.status_code == 400
+    assert len(r1.get_json()["error_id"]) == 8
