@@ -380,6 +380,7 @@ def _init_conv(key, width, in_ch, out_ch):
 
 
 def _conv1d(p, x, *, stride=1, dilation=1):
+    x = x.astype(p["kernel"].dtype)
     width = p["kernel"].shape[0]
     pad = dilation * (width - 1) // 2
     return jax.lax.conv_general_dilated(

@@ -1,0 +1,150 @@
+"""ECAPA / MuseTalk / OpenVoice structural + behavioural tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from expressive_speech_translation_tpu.models import ecapa, musetalk as mt, openvoice as ov
+
+
+# ---------------------------------------------------------------------- ecapa
+
+ECFG = ecapa.EcapaConfig(channels=64, bottleneck=32, embed_dim=192, attn_channels=32)
+
+
+@pytest.fixture(scope="module")
+def ecapa_params():
+    return ecapa.init_ecapa(jax.random.PRNGKey(0), ECFG)
+
+
+def test_ecapa_embedding_properties(ecapa_params):
+    g = np.random.default_rng(0)
+    feats = jnp.asarray(g.standard_normal((2, 50, 80)), jnp.float32)
+    mask = jnp.ones((2, 50), bool)
+    e = ecapa.embed(ecapa_params, ECFG, feats, mask)
+    assert e.shape == (2, 192)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(e), axis=-1), 1.0, atol=1e-5)
+
+
+def test_ecapa_same_voice_scores_higher(ecapa_params):
+    """Same-speaker-ish (same signal, different noise) must beat different signals."""
+    g = np.random.default_rng(1)
+    t = np.arange(16000 * 2) / 16000
+    voice_a = 0.4 * np.sin(2 * np.pi * 180 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 2.5 * t) ** 2)
+    voice_b = 0.4 * np.sign(np.sin(2 * np.pi * 95 * t)) * (0.6 + 0.4 * np.cos(2 * np.pi * 4 * t) ** 2)
+    a1 = jnp.asarray(voice_a + 0.01 * g.standard_normal(len(t)), jnp.float32)
+    a2 = jnp.asarray(voice_a + 0.01 * g.standard_normal(len(t)), jnp.float32)
+    b1 = jnp.asarray(voice_b + 0.01 * g.standard_normal(len(t)), jnp.float32)
+    e = ecapa.embed_audio(ecapa_params, ECFG, jnp.stack([a1, a2, b1]))
+    same = float(ecapa.cosine_similarity(e[0], e[1]))
+    diff = float(ecapa.cosine_similarity(e[0], e[2]))
+    assert same > diff
+    assert same > 0.9  # near-identical signals
+
+
+def test_ecapa_mask_invariance(ecapa_params):
+    """Padding must not change the embedding."""
+    g = np.random.default_rng(2)
+    feats = jnp.asarray(g.standard_normal((1, 40, 80)), jnp.float32)
+    e1 = ecapa.embed(ecapa_params, ECFG, feats, jnp.ones((1, 40), bool))
+    padded = jnp.pad(feats, ((0, 0), (0, 24), (0, 0)))
+    mask = jnp.concatenate([jnp.ones((1, 40), bool), jnp.zeros((1, 24), bool)], axis=1)
+    e2 = ecapa.embed(ecapa_params, ECFG, padded, mask)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-4)
+
+
+# ------------------------------------------------------------------- musetalk
+
+MCFG = mt.MuseTalkConfig(vae_channels=(16, 32, 64), unet_channels=(16, 32, 64), audio_dim=48, heads=2)
+
+
+@pytest.fixture(scope="module")
+def mt_params():
+    return mt.init_musetalk(jax.random.PRNGKey(1), MCFG)
+
+
+def test_vae_roundtrip_shapes(mt_params):
+    g = np.random.default_rng(0)
+    imgs = jnp.asarray(g.uniform(-1, 1, (2, 256, 256, 3)), jnp.float32)
+    lat = mt.vae_encode(mt_params["vae"], MCFG, imgs)
+    assert lat.shape == (2, 32, 32, 4)
+    rec = mt.vae_decode(mt_params["vae"], MCFG, lat)
+    assert rec.shape == imgs.shape
+    assert np.abs(np.asarray(rec)).max() <= 1.0
+
+
+def test_unet_shapes_and_audio_conditioning(mt_params):
+    g = np.random.default_rng(1)
+    lat8 = jnp.asarray(g.standard_normal((2, 32, 32, 8)), jnp.float32)
+    au1 = jnp.asarray(g.standard_normal((2, 10, 48)), jnp.float32)
+    au2 = jnp.asarray(g.standard_normal((2, 10, 48)), jnp.float32)
+    o1 = mt.unet_apply(mt_params["unet"], MCFG, lat8, au1)
+    o2 = mt.unet_apply(mt_params["unet"], MCFG, lat8, au2)
+    assert o1.shape == (2, 32, 32, 4)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))  # audio matters
+
+
+def test_lipsync_frames_batching(mt_params):
+    g = np.random.default_rng(2)
+    crops = jnp.asarray(g.uniform(-1, 1, (11, 256, 256, 3)), jnp.float32)  # not % 8
+    audio = jnp.asarray(g.standard_normal((11, 10, 48)), jnp.float32)
+    out = mt.lipsync_frames(mt_params, MCFG, crops, audio, batch_size=8)
+    assert out.shape == crops.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_whisper_chunks_alignment():
+    feats = jnp.asarray(np.arange(100 * 4, dtype=np.float32).reshape(100, 4))
+    win = mt.whisper_chunks_for_video(feats, n_frames=10, fps=25.0, ctx=10)
+    assert win.shape == (10, 10, 4)
+    # frame 5 at t=0.2s → feature index 10; window starts at 5
+    assert float(win[5, 0, 0]) == 5 * 4
+
+
+def test_blend_face_jaw_mode():
+    frame = jnp.zeros((480, 640, 3))
+    face = jnp.ones((256, 256, 3))
+    out = mt.blend_face(frame, face, (100, 200, 300, 400), feather=8)
+    region = np.asarray(out[100:300, 200:400])
+    # upper face kept (zeros), jaw blended toward 1
+    assert region[:80].max() < 0.05
+    assert region[150:190, 80:120].mean() > 0.8
+    outside = np.asarray(out).copy()
+    outside[100:300, 200:400] = 0
+    assert outside.max() == 0  # nothing outside the bbox touched
+
+
+# ------------------------------------------------------------------ openvoice
+
+OCFG = ov.OpenVoiceConfig(hidden=32, se_dim=16, flow_layers=3, wn_layers=2)
+
+
+@pytest.fixture(scope="module")
+def ov_params():
+    return ov.init_openvoice(jax.random.PRNGKey(2), OCFG)
+
+
+def test_flow_exactly_invertible(ov_params):
+    g = np.random.default_rng(0)
+    z = jnp.asarray(g.standard_normal((2, 30, 32)), jnp.float32)
+    se = jnp.asarray(g.standard_normal((2, 16)), jnp.float32)
+    fwd = ov.flow_forward(ov_params, OCFG, z, se)
+    back = ov.flow_inverse(ov_params, OCFG, fwd, se)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(z), atol=1e-4)
+
+
+def test_convert_tone_shapes_and_se_dependence(ov_params):
+    g = np.random.default_rng(1)
+    audio = jnp.asarray(0.2 * g.standard_normal((1, 22050)), jnp.float32)
+    spec = ov.spectrogram_22k(audio)
+    se_a = ov.extract_se(ov_params, OCFG, spec)
+    assert se_a.shape == (1, 16)
+    se_b = jnp.asarray(g.standard_normal((1, 16)), jnp.float32)
+    out_same = ov.convert_tone(ov_params, OCFG, audio, se_a, se_a)
+    out_diff = ov.convert_tone(ov_params, OCFG, audio, se_a, se_b)
+    assert out_same.shape[0] == 1
+    # hop 256 upsampling from spectrogram frames
+    assert out_same.shape[1] % 256 == 0
+    assert not np.allclose(np.asarray(out_same), np.asarray(out_diff))
