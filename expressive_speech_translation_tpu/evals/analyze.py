@@ -1,0 +1,115 @@
+"""Per-job output analysis → analysis_results.csv.
+
+A working rebuild of Evaluation/analyze_outputs.py (599 LoC WIP template with
+syntax/name errors — ``return results-`` at :511, undefined
+``run_mediapi_equation`` at :482, scope bugs at :479/:548; SURVEY.md repo-health
+notes). Orchestrates the metric battery per manifest job for two systems
+(ours vs a comparison dir) and writes one CSV row per job.
+
+Visual metrics that require external models (DeepFace emotion, ArcFace
+identity, OpenFace AUs, DFDC detector — analyze_outputs.py:177-426) are
+pluggable hooks: pass callables via ``extra_metrics``; absent hooks produce
+NaN columns instead of crashing (the reference template crashed).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import logging
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..media.wavio import read_wav
+from .acoustic_metrics import (
+    f0_statistics,
+    harmonics_to_noise_ratio,
+    rms_intensity,
+    speaker_similarity,
+)
+from .text_metrics import chrf, sentence_bleu, token_f1
+
+log = logging.getLogger(__name__)
+
+
+def analyze_single_job(
+    job_id: str,
+    system_dir: Path,
+    reference_dir: Optional[Path] = None,
+    *,
+    source_audio: Optional[np.ndarray] = None,
+    extra_metrics: Optional[Dict[str, Callable[..., float]]] = None,
+) -> Dict[str, Any]:
+    """Metrics for one job's outputs ({job_id}.wav + {job_id}_transcripts.json)."""
+    row: Dict[str, Any] = {"job_id": job_id}
+    wav = system_dir / f"{job_id}.wav"
+    if not wav.exists():
+        err = system_dir / f"{job_id}.error"
+        row["status"] = "error" if err.exists() else "missing"
+        return row
+    row["status"] = "ok"
+
+    audio, sr = read_wav(wav)
+    audio = np.asarray(audio, np.float32).reshape(-1)
+    row["duration_s"] = round(len(audio) / sr, 2)
+    row.update({k: round(v, 3) for k, v in f0_statistics(audio, sr).items()})
+    row.update({k: round(v, 2) for k, v in rms_intensity(audio).items()})
+    row["hnr_db"] = round(harmonics_to_noise_ratio(audio, sr), 2)
+
+    tpath = system_dir / f"{job_id}_transcripts.json"
+    transcripts = json.loads(tpath.read_text()) if tpath.exists() else {}
+    row["target_text"] = transcripts.get("target", "")
+
+    if reference_dir is not None:
+        ref_t = reference_dir / f"{job_id}_transcripts.json"
+        if ref_t.exists():
+            ref_text = json.loads(ref_t.read_text()).get("target", "")
+            row["bleu_vs_ref"] = round(sentence_bleu(row["target_text"], [ref_text]), 2)
+            row["chrf_vs_ref"] = round(chrf(row["target_text"], ref_text), 2)
+            row["token_f1_vs_ref"] = round(token_f1(row["target_text"], ref_text), 3)
+        ref_w = reference_dir / f"{job_id}.wav"
+        if ref_w.exists():
+            ref_audio, _ = read_wav(ref_w)
+            row["speaker_sim_vs_ref"] = round(
+                speaker_similarity(audio, np.asarray(ref_audio).reshape(-1)), 4
+            )
+
+    if source_audio is not None:
+        row["speaker_sim_vs_source"] = round(speaker_similarity(audio, source_audio), 4)
+
+    for name, fn in (extra_metrics or {}).items():
+        try:
+            row[name] = fn(audio=audio, sr=sr, job_id=job_id)
+        except Exception:  # noqa: BLE001 — hooks must not kill the sweep
+            log.exception("extra metric %s failed for %s", name, job_id)
+            row[name] = float("nan")
+    return row
+
+
+def analyze_outputs(
+    manifest_rows: List[Dict[str, str]],
+    system_dir: str | Path,
+    reference_dir: Optional[str | Path] = None,
+    out_csv: str | Path = "analysis_results.csv",
+    **kwargs: Any,
+) -> List[Dict[str, Any]]:
+    """All jobs → CSV (analyze_outputs.py:517-599 orchestration, fixed)."""
+    system_dir = Path(system_dir)
+    reference_dir = Path(reference_dir) if reference_dir else None
+    rows = [
+        analyze_single_job(r["job_id"], system_dir, reference_dir, **kwargs)
+        for r in manifest_rows
+    ]
+    fields: List[str] = []
+    for r in rows:
+        for k in r:
+            if k not in fields:
+                fields.append(k)
+    with Path(out_csv).open("w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=fields)
+        writer.writeheader()
+        writer.writerows(rows)
+    log.info("wrote %d analysis rows to %s", len(rows), out_csv)
+    return rows
