@@ -1,0 +1,194 @@
+"""Standalone CLI pipelines.
+
+Parity with the reference's CLI surface (SURVEY.md §2.18):
+
+  est-translate      Backend/speech_translation_pipeline.py (226 LoC argparse
+                     CLI: ASR → NMT → TTS → voice conversion) and
+                     translate_audio.py drivers
+  est-s2st           Backend/translate_speech.py (direct SeamlessM4T-v2 S2ST,
+                     beam 5, bandpass, tanh limiting)
+  est-simple-tts     Backend/simple_translate_tts.py / gtts_pipeline_fixed.py
+                     (text-only translate + TTS, no cloning)
+  est-verify-watermark   Backend/verify_watermark.py:12-50
+  est-ab-test        services/audio_testing.py AudioTester.run_ab_test (§4)
+
+All are argparse subcommands of ``python -m expressive_speech_translation_tpu.cli``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def _load_audio(path: str):
+    from .media.wavio import read_wav
+
+    p = Path(path)
+    if p.suffix.lower() == ".wav":
+        return read_wav(p)
+    from .media import decode_audio_bytes
+
+    return decode_audio_bytes(p.read_bytes(), p.suffix.lower())
+
+
+def _prepare_16k(audio, sr):
+    from .pipeline.audio_processor import AudioProcessor
+
+    return AudioProcessor().process_audio(audio, orig_sr=sr)
+
+
+def cmd_translate(args) -> int:
+    """ASR → NMT → TTS (+ optional tone conversion) — speech_translation_pipeline.py."""
+    from .media.wavio import write_wav
+    from .pipeline.cascaded import CascadedBackend
+    from .pipeline.engines import fake_engines
+
+    audio, sr = _load_audio(args.input)
+    x = _prepare_16k(audio, sr)
+    if args.engines == "jax":
+        from .pipeline.jax_engines import jax_engines
+
+        engines = jax_engines()
+    else:
+        engines = fake_engines()
+    backend = CascadedBackend(engines)
+    backend.initialize()
+    result = backend.translate_speech(x, args.source_lang, args.target_lang)
+    write_wav(args.output, result["audio"][0], 16_000)
+    print(json.dumps({
+        "output": args.output,
+        "transcripts": result["transcripts"],
+        "stage_xrt": {k: round(v["xrt"], 4) for k, v in result["stage_summary"].items()},
+    }, ensure_ascii=False))
+    return 0
+
+
+def cmd_s2st(args) -> int:
+    """Direct S2ST (translate_speech.py parity: beam 5, bandpass, tanh)."""
+    from .media.wavio import write_wav
+    from .pipeline.alternate_backends import SeamlessBackend
+
+    audio, sr = _load_audio(args.input)
+    x = _prepare_16k(audio, sr)
+    backend = SeamlessBackend(num_beams=args.num_beams)
+    backend.initialize()
+    result = backend.translate_speech(x, args.source_lang, args.target_lang)
+    write_wav(args.output, result["audio"][0], 16_000)
+    print(json.dumps({"output": args.output, "transcripts": result["transcripts"]},
+                     ensure_ascii=False))
+    return 0
+
+
+def cmd_simple_tts(args) -> int:
+    """Text → translate → TTS, no cloning (simple_translate_tts.py parity)."""
+    from .media.wavio import write_wav
+    from .pipeline.engines import FakeNmt, FakeTts
+
+    if args.engines == "jax":
+        from .pipeline.jax_engines import JaxCosyVoiceTts, JaxNllbNmt
+
+        nmt, tts = JaxNllbNmt(), JaxCosyVoiceTts()
+    else:
+        nmt, tts = FakeNmt(), FakeTts()
+    from .pipeline.languages import NLLB_LANGUAGES
+
+    translated = nmt.translate(
+        args.text, NLLB_LANGUAGES.get(args.source_lang, args.source_lang),
+        NLLB_LANGUAGES.get(args.target_lang, args.target_lang),
+    )
+    wave = tts.synthesize(translated, language=args.target_lang)
+    sr = getattr(tts, "sample_rate", 24_000)
+    write_wav(args.output, np.asarray(wave, np.float32), sr)
+    print(json.dumps({"output": args.output, "translated": translated}, ensure_ascii=False))
+    return 0
+
+
+def cmd_verify_watermark(args) -> int:
+    """Backend/verify_watermark.py:12-50 parity."""
+    from .pipeline.watermark import WaterMark
+
+    try:
+        payload = WaterMark.extract_watermark(args.input)
+    except (FileNotFoundError, OSError) as e:
+        print(json.dumps({"watermarked": False, "error": str(e)}))
+        return 1
+    if payload is None:
+        print(json.dumps({"watermarked": False}))
+        return 1
+    print(json.dumps({"watermarked": True, "payload": payload,
+                      "valid": WaterMark.verify(args.input)}, ensure_ascii=False))
+    return 0
+
+
+def cmd_ab_test(args) -> int:
+    """A/B sweep over per-language enhancement params (audio_testing.py:11-98)."""
+    from .media.wavio import write_wav
+    from .pipeline.audio_processor import LANGUAGE_PARAMS, AudioProcessor
+
+    audio, sr = _load_audio(args.input)
+    ap = AudioProcessor()
+    x = ap.process_audio(audio, orig_sr=sr)
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    results = []
+    for i, (lang, params) in enumerate(sorted(LANGUAGE_PARAMS.items())):
+        enhanced = ap.apply_spectral_enhancement(x, lang)
+        path = out_dir / f"test_{i}_{lang}.wav"   # test_results/test_i_lang.wav parity
+        write_wav(path, enhanced, 16_000)
+        results.append({"variant": lang, "path": str(path),
+                        "params": {"compression_ratio": params.compression_ratio}})
+    print(json.dumps({"results": results}, ensure_ascii=False))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="est", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("translate", help="cascaded S2ST (ASR→NMT→TTS)")
+    p.add_argument("input"); p.add_argument("output")
+    p.add_argument("--source-lang", default="eng")
+    p.add_argument("--target-lang", required=True)
+    p.add_argument("--engines", choices=("fake", "jax"), default="jax")
+    p.set_defaults(fn=cmd_translate)
+
+    p = sub.add_parser("s2st", help="direct S2ST (Seamless-style)")
+    p.add_argument("input"); p.add_argument("output")
+    p.add_argument("--source-lang", default="eng")
+    p.add_argument("--target-lang", required=True)
+    p.add_argument("--num-beams", type=int, default=5)
+    p.set_defaults(fn=cmd_s2st)
+
+    p = sub.add_parser("simple-tts", help="text → translate → TTS (no cloning)")
+    p.add_argument("text"); p.add_argument("output")
+    p.add_argument("--source-lang", default="eng")
+    p.add_argument("--target-lang", required=True)
+    p.add_argument("--engines", choices=("fake", "jax"), default="jax")
+    p.set_defaults(fn=cmd_simple_tts)
+
+    p = sub.add_parser("verify-watermark", help="check provenance payload")
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_verify_watermark)
+
+    p = sub.add_parser("ab-test", help="sweep language enhancement params")
+    p.add_argument("input"); p.add_argument("output_dir")
+    p.set_defaults(fn=cmd_ab_test)
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

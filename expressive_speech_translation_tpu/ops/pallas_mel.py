@@ -77,11 +77,14 @@ def _kernel(a_ref, b_ref, c_ref, wcos_ref, wsin_ref, fb_ref, out_ref):
 
 
 def whisper_log_mel_pallas(
-    audio: jnp.ndarray, *, n_mels: int = 80, interpret: bool = False
+    audio: jnp.ndarray, *, n_mels: int = 80, interpret: bool | None = None
 ) -> jnp.ndarray:
     """Drop-in fused equivalent of :func:`ops.mel.whisper_log_mel` for a single
     [T] waveform. Returns [n_mels, 3000]."""
     assert audio.ndim == 1, "pallas frontend takes a single [T] waveform"
+    if interpret is None:
+        # Mosaic kernels only compile for TPU; interpret elsewhere (CPU tests)
+        interpret = jax.default_backend() != "tpu"
     # Pad/trim to the 30 s chunk and apply whisper's reflect padding.
     deficit = WHISPER_SAMPLES - audio.shape[-1]
     if deficit < 0:

@@ -1,0 +1,263 @@
+"""JaxEngines: the production stage engines backed by models/* on TPU.
+
+Replaces the reference's in-process whisper + transformers calls and HTTP hops
+to the CosyVoice container (SURVEY.md §3.1 hot path) with resident jit-compiled
+graphs. Each engine:
+
+- compiles ONE program per shape bucket (audio length and decode budget are
+  bucketed so arbitrary-length inputs hit a handful of compiled graphs);
+- accepts weights via the models' ``from_hf_state_dict`` converters (local
+  checkpoints) or random init (structure/perf mode when no weights exist —
+  the reference repo ships none, SURVEY.md repo-health notes).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models import cosyvoice as cvm
+from ..models import nllb as njm
+from ..models import whisper as wjm
+from ..models.common import cast_floats
+from ..ops.pallas_mel import whisper_log_mel_pallas
+from .languages import whisper_lang_token
+from .tokenizer import ByteTokenizer, Tokenizer
+
+log = logging.getLogger(__name__)
+
+AUDIO_BUCKETS_S = (5, 10, 30)           # ASR chunk buckets (whisper max 30 s)
+TEXT_BUCKETS = (16, 32, 64, 128, 256)
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class JaxWhisperAsr:
+    """ASR engine: fused Pallas mel → Whisper greedy decode, 30 s chunking.
+
+    Word timestamps: uniform within the decoded text per 30 s chunk (the
+    reference uses whisper's DTW alignment; a cross-attention aligner is a
+    planned refinement — pauses still resolve via the VAD path when absent).
+    """
+
+    def __init__(
+        self,
+        cfg: wjm.WhisperConfig = None,
+        params=None,
+        tokenizer: Optional[Tokenizer] = None,
+        *,
+        dtype=jnp.bfloat16,
+        max_new_tokens: int = 224,
+    ):
+        self.cfg = cfg or wjm.WhisperConfig.base()
+        if params is None:
+            log.warning("JaxWhisperAsr: random weights (no checkpoint supplied)")
+            params = wjm.init_whisper(jax.random.PRNGKey(0), self.cfg)
+        self.params = cast_floats(params, dtype)
+        self.tokenizer = tokenizer or ByteTokenizer()
+        self.max_new_tokens = max_new_tokens
+        self.dtype = dtype
+
+        @jax.jit
+        def _transcribe(params, audio, prompt):
+            mel = whisper_log_mel_pallas(audio).astype(dtype)
+            return wjm.greedy_decode(
+                params, self.cfg, mel[None], prompt, max_new_tokens=max_new_tokens
+            )
+
+        self._fn = _transcribe
+
+    def transcribe(self, audio_16k: np.ndarray, language: Optional[str] = None) -> Dict[str, Any]:
+        x = np.asarray(audio_16k, np.float32).reshape(-1)
+        duration = len(x) / 16_000.0
+        try:
+            lang_tok = whisper_lang_token(language or "eng")
+        except KeyError:
+            lang_tok = whisper_lang_token("eng")
+        prompt = jnp.asarray(
+            [[self.cfg.bos_token, lang_tok, self.cfg.task_transcribe, self.cfg.no_timestamps]],
+            jnp.int32,
+        )
+        texts: List[str] = []
+        chunk = 16_000 * 30
+        for start in range(0, max(len(x), 1), chunk):
+            seg = jnp.asarray(x[start:start + chunk])
+            tokens = np.asarray(self._fn(self.params, seg, prompt))[0]
+            content = [
+                int(t) for t in tokens
+                if t != self.cfg.eos_token and t < 50_000  # drop specials
+            ][3:]  # skip prompt slots that survive (lang/task/notimestamps are >50k)
+            texts.append(self.tokenizer.decode(content).strip())
+        text = " ".join(t for t in texts if t)
+        words = text.split()
+        step = duration / max(len(words), 1)
+        return {
+            "text": text,
+            "language": language or "eng",
+            "words": [
+                {"word": w, "start": round(i * step, 3), "end": round((i + 0.9) * step, 3)}
+                for i, w in enumerate(words)
+            ],
+        }
+
+
+class JaxNllbNmt:
+    """NMT engine: NLLB generate with bucketed source lengths."""
+
+    def __init__(
+        self,
+        cfg: njm.NLLBConfig = None,
+        params=None,
+        tokenizer: Optional[Tokenizer] = None,
+        *,
+        lang_code_to_id: Optional[Dict[str, int]] = None,
+        dtype=jnp.bfloat16,
+        num_beams: int = 1,
+        max_new_tokens: int = 200,
+    ):
+        self.cfg = cfg or njm.NLLBConfig(
+            d_model=512, encoder_layers=6, decoder_layers=6, heads=8,
+            ffn_dim=2048, vocab_size=384,
+        )
+        if params is None:
+            log.warning("JaxNllbNmt: random weights (no checkpoint supplied)")
+            params = njm.init_nllb(jax.random.PRNGKey(1), self.cfg)
+        self.params = cast_floats(params, dtype)
+        self.tokenizer = tokenizer or ByteTokenizer()
+        self.lang_code_to_id = lang_code_to_id or {}
+        self.num_beams = num_beams
+        self.max_new_tokens = max_new_tokens
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def _generate(params, src, forced_bos):
+            return njm.generate(
+                params, self.cfg, src, forced_bos,
+                num_beams=num_beams, max_new_tokens=max_new_tokens,
+            )
+
+        self._fn = _generate
+
+    def _lang_id(self, code: str) -> int:
+        if code in self.lang_code_to_id:
+            return self.lang_code_to_id[code]
+        # deterministic placeholder id inside the vocab for weightless mode
+        return 3 + (hash(code) % max(self.cfg.vocab_size - 8, 1))
+
+    def translate(self, text: str, source_lang: str, target_lang: str) -> str:
+        ids = self.tokenizer.encode(text)[: self.cfg.max_positions - 2]
+        src = ids + [self.cfg.eos_token]
+        bucket = _bucket(len(src), TEXT_BUCKETS)
+        padded = np.full((1, bucket), self.cfg.pad_token, np.int32)
+        padded[0, : len(src)] = np.asarray(src) % self.cfg.vocab_size
+        out = np.asarray(self._fn(self.params, jnp.asarray(padded), self._lang_id(target_lang)))[0]
+        content = [int(t) for t in out[2:] if t not in (self.cfg.eos_token, self.cfg.pad_token)]
+        return self.tokenizer.decode(content)
+
+
+class JaxCosyVoiceTts:
+    """TTS engine: CosyVoice synthesize with speaker conditioning from the
+    reference audio (kaldi-fbank prompt mel + ECAPA speaker embedding)."""
+
+    sample_rate = 24_000
+
+    def __init__(
+        self,
+        cfg: cvm.CosyVoiceConfig = None,
+        params=None,
+        tokenizer: Optional[Tokenizer] = None,
+        *,
+        dtype=jnp.bfloat16,
+        seconds_per_char: float = 0.08,
+    ):
+        from ..models import ecapa, qwen2 as q2
+
+        self.cfg = cfg or cvm.CosyVoiceConfig(
+            lm=cvm.SpeechLMConfig(
+                backbone=q2.Qwen2Config(hidden=256, layers=4, heads=8, kv_heads=2,
+                                        ffn_dim=1024, max_positions=2048),
+                text_vocab=384, speech_token_size=512),
+            flow=cvm.FlowConfig(token_vocab=515, dim=256, layers=4, heads=8),
+            vocoder=cvm.VocoderConfig(base_channels=256),
+        )
+        if params is None:
+            log.warning("JaxCosyVoiceTts: random weights (no checkpoint supplied)")
+            params = cvm.init_cosyvoice(jax.random.PRNGKey(2), self.cfg)
+        self.params = cast_floats(params, dtype)
+        self.tokenizer = tokenizer or ByteTokenizer()
+        self.seconds_per_char = seconds_per_char
+        self.dtype = dtype
+        self._ecapa_cfg = ecapa.EcapaConfig(channels=128, bottleneck=64, attn_channels=64)
+        self._ecapa = ecapa.init_ecapa(jax.random.PRNGKey(3), self._ecapa_cfg)
+        self._key = jax.random.PRNGKey(42)
+
+        @functools.partial(jax.jit, static_argnums=(8,))
+        def _synth(params, key, text, tmask, spk, pmel, pmm, psp, max_new):
+            return cvm.synthesize(
+                params, self.cfg, key, text, tmask,
+                psp, jnp.ones_like(psp, bool), spk, pmel, pmm,
+                max_new_tokens=max_new,
+            )["audio"]
+
+        self._fn = _synth
+
+    def synthesize(
+        self, text: str, *, style_prompt: str = "",
+        reference_audio_16k: Optional[np.ndarray] = None, language: str = "en",
+    ) -> np.ndarray:
+        from ..models import ecapa
+        from ..ops import kaldi_fbank, resample
+
+        ids = self.tokenizer.encode(text)[:256]
+        bucket = _bucket(max(len(ids), 1), TEXT_BUCKETS)
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, : len(ids)] = np.asarray(ids) % self.cfg.lm.text_vocab
+        tmask = np.zeros((1, bucket), bool)
+        tmask[0, : len(ids)] = True
+
+        if reference_audio_16k is not None and len(np.asarray(reference_audio_16k).reshape(-1)) > 1600:
+            ref = np.asarray(reference_audio_16k, np.float32).reshape(-1)[: 16_000 * 10]
+            spk = ecapa.embed_audio(self._ecapa, self._ecapa_cfg, jnp.asarray(ref[None]))
+            ref24 = resample(jnp.asarray(ref), 16_000, 24_000)
+            pmel_full = kaldi_fbank(ref24[None], sr=24_000)  # [1, F, 80]
+            n_prompt = min(int(pmel_full.shape[1]), 100)
+            pmel = pmel_full[:, :n_prompt].astype(self.dtype)
+            # prompt speech tokens: quantised mel means as a weightless proxy
+            # (real deployments use the speech tokenizer checkpoint)
+            proxy = np.asarray(pmel_full[:, : n_prompt // 2, 0])
+            psp = (np.abs(proxy) * 7).astype(np.int32) % self.cfg.lm.speech_token_size
+        else:
+            spk = jnp.zeros((1, self.cfg.flow.spk_embed_dim))
+            pmel = jnp.zeros((1, 4, self.cfg.flow.n_mels), self.dtype)
+            psp = np.zeros((1, 2), np.int32)
+        pmm = jnp.ones(pmel.shape[:2], bool)
+
+        seconds = float(np.clip(len(text) * self.seconds_per_char, 0.6, 30.0))
+        max_new = _bucket(int(seconds * 25), (64, 128, 256, 512, 768))
+        self._key, k = jax.random.split(self._key)
+        audio = self._fn(
+            self.params, k, jnp.asarray(toks), jnp.asarray(tmask),
+            jnp.asarray(spk, self.dtype), pmel, pmm, jnp.asarray(psp), max_new,
+        )
+        return np.asarray(audio, np.float32)[0]
+
+
+def jax_engines(**kwargs) -> "Engines":
+    """Engines wired to the JAX models (random weights unless supplied)."""
+    from .engines import Engines
+
+    return Engines(
+        asr=JaxWhisperAsr(kwargs.get("asr_cfg"), kwargs.get("asr_params"), kwargs.get("tokenizer")),
+        nmt=JaxNllbNmt(kwargs.get("nmt_cfg"), kwargs.get("nmt_params"), kwargs.get("tokenizer")),
+        tts=JaxCosyVoiceTts(kwargs.get("tts_cfg"), kwargs.get("tts_params"), kwargs.get("tokenizer")),
+    )

@@ -38,6 +38,8 @@ class CheckpointManager:
 
     def save(self, state: TrainState, *, metrics: Optional[dict] = None, force: bool = False) -> bool:
         step = int(state.step)
+        if step in (self._mgr.all_steps() or ()):  # re-saving a step is a no-op
+            return False
         saved = self._mgr.save(
             step,
             args=ocp.args.StandardSave(state._asdict()),

@@ -34,6 +34,7 @@ def batches_from_samples(
     *,
     accum: int,
     seed: int,
+    rows_multiple: int = 1,
 ) -> Iterator[SFTBatch]:
     """samples (dicts with text_tokens / speech_tokens) → padded SFTBatches with
     a leading accum dim, mirroring the yaml pipeline stages (shuffle → sort →
@@ -45,26 +46,35 @@ def batches_from_samples(
     stream = sort_buffer(stream, cfg.sort_buffer)
     batcher = DynamicFrameBatcher(cfg.max_frames_in_batch, pad_to_bucket=LENGTH_BUCKETS)
 
-    micro: List[SFTBatch] = []
+    # Microbatches inside one step must share shapes (they ride a lax.scan), so
+    # accumulate per shape signature and emit once `accum` of one shape exist.
+    by_shape: dict = {}
+    emitted = 0
     for group in batcher(stream):
+        if rows_multiple > 1 and len(group) % rows_multiple:
+            # dp sharding needs batch rows divisible by the mesh size; repeat
+            # samples cyclically to the next multiple (loss is mean-reduced,
+            # so duplicates only reweight slightly)
+            deficit = rows_multiple - len(group) % rows_multiple
+            group = group + [group[i % len(group)] for i in range(deficit)]
         arrays = pad_batch(group, ("text_tokens", "speech_tokens"), buckets=LENGTH_BUCKETS)
-        micro.append(
-            SFTBatch(
-                text_tokens=arrays["text_tokens"].astype(np.int32),
-                text_mask=arrays["text_tokens_mask"],
-                speech_tokens=arrays["speech_tokens"].astype(np.int32),
-                speech_mask=arrays["speech_tokens_mask"],
-            )
+        mb = SFTBatch(
+            text_tokens=arrays["text_tokens"].astype(np.int32),
+            text_mask=arrays["text_tokens_mask"],
+            speech_tokens=arrays["speech_tokens"].astype(np.int32),
+            speech_mask=arrays["speech_tokens_mask"],
         )
-        if len(micro) == accum:
-            # microbatches in one step must share shapes; regroup by shape
-            shapes = {m.text_tokens.shape + m.speech_tokens.shape for m in micro}
-            if len(shapes) == 1:
-                yield SFTBatch(*[np.stack(x) for x in zip(*micro)])
-                micro = []
-            else:
-                # emit the largest-shape-compatible prefix; keep the rest
-                micro = micro[-1:]
+        sig = mb.text_tokens.shape + mb.speech_tokens.shape
+        by_shape.setdefault(sig, []).append(mb)
+        if len(by_shape[sig]) == accum:
+            yield SFTBatch(*[np.stack(x) for x in zip(*by_shape.pop(sig))])
+            emitted += 1
+    # flush leftovers: repeat microbatches up to `accum` so small datasets and
+    # epoch tails still train (each unique sample is seen at least once)
+    for sig, micros in by_shape.items():
+        while len(micros) < accum:
+            micros.append(micros[len(micros) % max(len(micros), 1)])
+        yield SFTBatch(*[np.stack(x) for x in zip(*micros[:accum])])
 
 
 class Executor:

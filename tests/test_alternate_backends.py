@@ -1,0 +1,149 @@
+"""Alternate backends, ModelManager, TranslationEnvironment, JaxEngines."""
+
+import numpy as np
+import pytest
+
+from expressive_speech_translation_tpu.pipeline.alternate_backends import (
+    ESPnetBackend,
+    ModelManager,
+    SeamlessBackend,
+    TranslationEnvironment,
+    bandpass_80_7500,
+)
+from expressive_speech_translation_tpu.pipeline.tokenizer import ByteTokenizer, load_tokenizer
+
+
+def speech(seconds=1.5, sr=16000, seed=0):
+    g = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    x = 0.4 * np.sin(2 * np.pi * 200 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t) ** 2)
+    return (x + 0.01 * g.standard_normal(len(t))).astype(np.float32)
+
+
+def test_translation_environment_params():
+    assert TranslationEnvironment.classify({"music_detection": {"confidence": 0.05}}) == "speech_focused"
+    assert TranslationEnvironment.classify({"music_detection": {"confidence": 0.3}}) == "mixed_content"
+    assert TranslationEnvironment.classify({"music_detection": {"confidence": 0.6}}) == "general"
+    p = TranslationEnvironment.generation_params({})
+    assert p["num_beams"] == 5 and p["temperature"] == 0.7
+
+
+def test_model_manager_singleton_and_inactivity_reload():
+    ModelManager.reset_singleton()
+    loads = []
+    mgr = ModelManager(loader=lambda: loads.append(1) or {"model": object()})
+    assert ModelManager() is mgr  # singleton
+    c1 = mgr.get_model_components()
+    c2 = mgr.get_model_components()
+    assert c1 is c2 and len(loads) == 1
+    # force inactivity → reload
+    mgr._last_used -= ModelManager.INACTIVITY_SECONDS + 1
+    c3 = mgr.get_model_components()
+    assert len(loads) == 2
+    mgr.cleanup()
+    assert not mgr._verify_model()
+    ModelManager.reset_singleton()
+
+
+def test_bandpass_removes_out_of_band():
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = (np.sin(2 * np.pi * 50 * t) + np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    y = bandpass_80_7500(x, sr)
+    spec = np.abs(np.fft.rfft(y))
+    freqs = np.fft.rfftfreq(len(y), 1 / sr)
+    assert spec[np.argmin(np.abs(freqs - 50))] < 1e-4  # float32 irfft residue
+    assert spec[np.argmin(np.abs(freqs - 1000))] > 100
+
+
+def test_espnet_backend_lazy_loading_and_fallback():
+    from expressive_speech_translation_tpu.pipeline.engines import FakeTts
+
+    class EmptyAsr:
+        def transcribe(self, audio, language=None):
+            return {"text": "", "words": []}
+
+    loads = []
+
+    def asr_factory(lang):
+        loads.append(lang)
+        return EmptyAsr()
+
+    backend = ESPnetBackend(asr_factory=asr_factory, tts_factory=lambda l: FakeTts())
+    backend.initialize()
+    out = backend.translate_speech(speech(), "eng", "fra")
+    # empty ASR → fallback text
+    assert out["transcripts"]["source"] == ESPnetBackend.FALLBACK_TEXT
+    assert out["audio"].shape[0] == 1
+    backend.translate_speech(speech(), "eng", "fra")
+    assert loads == ["eng"]  # cached, loaded once
+    backend.translate_speech(speech(), "deu", "fra")
+    assert loads == ["eng", "deu"]  # per-language load
+
+
+def test_seamless_backend_end_to_end_tiny():
+    from expressive_speech_translation_tpu.models import seamless as sm
+
+    cfg = sm.SeamlessConfig(
+        d_model=64, encoder_layers=2, text_decoder_layers=2, unit_decoder_layers=2,
+        heads=4, ffn_dim=128, text_vocab=300, unit_vocab=50, unit_eos=49,
+        max_text_positions=64, max_unit_positions=128,
+    )
+    backend = SeamlessBackend(cfg=cfg, num_beams=2)
+    backend.initialize()
+    assert backend.is_language_supported("ell")
+    out = backend.translate_speech(speech(1.0), "eng", "fra")
+    audio = out["audio"]
+    assert audio.shape[0] == 1
+    assert np.isfinite(audio).all()
+    assert np.abs(audio).max() <= 1.0  # tanh limited
+    # unit vocoder length contract: units × hop 320
+    assert audio.shape[1] % 320 == 0
+
+
+def test_tokenizer_byte_fallback_roundtrip():
+    tok = load_tokenizer(None)
+    assert isinstance(tok, ByteTokenizer)
+    s = "bonjour le monde — γειά σου"
+    assert tok.decode(tok.encode(s)) == s
+    # bad path → fallback, not crash
+    tok2 = load_tokenizer("/nonexistent/tokenizer")
+    assert isinstance(tok2, ByteTokenizer)
+
+
+def test_jax_engines_cascade_tiny():
+    """Full cascade through the JAX engines (tiny configs, random weights)."""
+    from expressive_speech_translation_tpu.models import nllb as njm, whisper as wjm, qwen2 as q2
+    from expressive_speech_translation_tpu.models import cosyvoice as cvm
+    from expressive_speech_translation_tpu.pipeline.cascaded import CascadedBackend
+    from expressive_speech_translation_tpu.pipeline.engines import Engines
+    from expressive_speech_translation_tpu.pipeline.jax_engines import (
+        JaxCosyVoiceTts, JaxNllbNmt, JaxWhisperAsr,
+    )
+
+    asr = JaxWhisperAsr(
+        wjm.WhisperConfig(d_model=64, encoder_layers=2, decoder_layers=2, heads=4,
+                          ffn_dim=128, vocab_size=300, max_target_positions=64),
+        max_new_tokens=8,
+    )
+    nmt = JaxNllbNmt(
+        njm.NLLBConfig(d_model=64, encoder_layers=2, decoder_layers=2, heads=4,
+                       ffn_dim=128, vocab_size=300, max_positions=128),
+        max_new_tokens=8,
+    )
+    tts = JaxCosyVoiceTts(
+        cvm.CosyVoiceConfig(
+            lm=cvm.SpeechLMConfig(
+                backbone=q2.Qwen2Config(hidden=64, layers=2, heads=4, kv_heads=2,
+                                        ffn_dim=128, max_positions=512),
+                text_vocab=300, speech_token_size=50),
+            flow=cvm.FlowConfig(token_vocab=53, dim=64, layers=2, heads=4, n_steps=2),
+            vocoder=cvm.VocoderConfig(base_channels=32),
+        ),
+    )
+    backend = CascadedBackend(Engines(asr=asr, nmt=nmt, tts=tts))
+    backend.initialize()
+    out = backend.translate_speech(speech(2.0), "eng", "fra")
+    assert out["audio"].shape[0] == 1
+    assert np.isfinite(out["audio"]).all()
+    assert "asr" in out["stage_summary"] and "tts" in out["stage_summary"]
