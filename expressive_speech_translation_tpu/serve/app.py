@@ -84,6 +84,8 @@ class App:
         self.url_fetcher = url_fetcher
         self.started_at = time.time()
         self.url_map = Map([
+            Rule("/", endpoint="index", methods=["GET"]),
+            Rule("/static/<path:filename>", endpoint="static", methods=["GET"]),
             Rule("/translate", endpoint="translate", methods=["POST"]),
             Rule("/process-video", endpoint="process_video", methods=["POST"]),
             Rule("/available-backends", endpoint="available_backends", methods=["GET"]),
@@ -171,6 +173,21 @@ class App:
 
             audio, sr = decode_audio_bytes(raw, suffix)
         return audio, sr, file.filename
+
+    _STATIC_DIR = Path(__file__).parent / "static"
+    _STATIC_TYPES = {".html": "text/html", ".js": "application/javascript",
+                     ".css": "text/css", ".svg": "image/svg+xml"}
+
+    def route_index(self, request: Request) -> Response:
+        return self.route_static(request, filename="index.html")
+
+    def route_static(self, request: Request, filename: str) -> Response:
+        # frontend SPA (serve/static — rebuild of Frontend/src, SURVEY.md §2.17)
+        path = (self._STATIC_DIR / filename).resolve()
+        if not str(path).startswith(str(self._STATIC_DIR.resolve())) or not path.is_file():
+            raise NotFound()
+        mime = self._STATIC_TYPES.get(path.suffix, "application/octet-stream")
+        return Response(path.read_bytes(), mimetype=mime)
 
     def route_translate(self, request: Request) -> Response:
         check_resources(self.config.serve.memory_threshold)
