@@ -1,0 +1,135 @@
+"""Local checkpoint loading: torch/safetensors state dicts → our param trees.
+
+The reference repo ships no weights (stripped — .MISSING_LARGE_BLOBS); its
+Dockerfiles download them at image build (Dockerfile.cosyvoice:37-52) and its
+code has multi-fallback pickled-checkpoint loaders (diff2lip/guided_diffusion/
+dist_util.py:52-111, Backend/diff2lip_loader.py:12-40). Equivalent here:
+
+- :func:`load_state_dict` — safetensors (preferred) or torch .bin/.pt from a
+  local directory or file, with sharded-index support; never needs network.
+- per-model helpers that compose load + convert (models/*.from_hf_state_dict)
+  and fail with actionable messages when files are absent.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+log = logging.getLogger(__name__)
+
+
+class WeightsNotFoundError(FileNotFoundError):
+    pass
+
+
+def _load_safetensors(path: Path) -> Dict[str, Any]:
+    import torch
+    from safetensors.torch import load_file
+
+    return load_file(str(path))
+
+
+def _load_torch(path: Path) -> Dict[str, Any]:
+    """Robust pickled-checkpoint load (diff2lip_loader.py parity: try strict,
+    fall back to weights_only=False for legacy pickles)."""
+    import torch
+
+    try:
+        state = torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception:  # noqa: BLE001 — legacy pickle fallback
+        log.warning("weights_only load failed for %s; retrying legacy pickle", path)
+        state = torch.load(str(path), map_location="cpu", weights_only=False)
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    return state
+
+
+def load_state_dict(path: str | Path) -> Dict[str, Any]:
+    """Load a state dict from a file or an HF-style model directory."""
+    p = Path(path)
+    if p.is_file():
+        return _load_safetensors(p) if p.suffix == ".safetensors" else _load_torch(p)
+    if not p.is_dir():
+        raise WeightsNotFoundError(
+            f"{p} does not exist — place the model checkpoint there "
+            "(no network downloads in this environment)"
+        )
+    index = p / "model.safetensors.index.json"
+    if index.exists():
+        shards = sorted({v for v in json.loads(index.read_text())["weight_map"].values()})
+        state: Dict[str, Any] = {}
+        for shard in shards:
+            state.update(_load_safetensors(p / shard))
+        return state
+    for candidate in ("model.safetensors", "pytorch_model.bin", "model.pt", "llm.pt"):
+        if (p / candidate).exists():
+            return load_state_dict(p / candidate)
+    raise WeightsNotFoundError(
+        f"no checkpoint found under {p} (looked for model.safetensors[.index.json], "
+        "pytorch_model.bin, model.pt, llm.pt)"
+    )
+
+
+def load_whisper(path: str | Path, cfg=None):
+    """Local HF Whisper dir → (params, cfg). Reads config.json for dims."""
+    from . import whisper as wj
+
+    p = Path(path)
+    if cfg is None and (p / "config.json").exists():
+        hf = json.loads((p / "config.json").read_text())
+        cfg = wj.WhisperConfig(
+            n_mels=hf.get("num_mel_bins", 80),
+            d_model=hf["d_model"],
+            encoder_layers=hf["encoder_layers"],
+            decoder_layers=hf["decoder_layers"],
+            heads=hf["encoder_attention_heads"],
+            ffn_dim=hf["encoder_ffn_dim"],
+            vocab_size=hf["vocab_size"],
+            max_source_positions=hf.get("max_source_positions", 1500),
+            max_target_positions=hf.get("max_target_positions", 448),
+        )
+    cfg = cfg or wj.WhisperConfig.medium()
+    return wj.from_hf_state_dict(load_state_dict(p), cfg), cfg
+
+
+def load_nllb(path: str | Path, cfg=None):
+    from . import nllb as nj
+
+    p = Path(path)
+    if cfg is None and (p / "config.json").exists():
+        hf = json.loads((p / "config.json").read_text())
+        cfg = nj.NLLBConfig(
+            d_model=hf["d_model"],
+            encoder_layers=hf["encoder_layers"],
+            decoder_layers=hf["decoder_layers"],
+            heads=hf["encoder_attention_heads"],
+            ffn_dim=hf["encoder_ffn_dim"],
+            vocab_size=hf["vocab_size"],
+            max_positions=hf.get("max_position_embeddings", 1024),
+        )
+    cfg = cfg or nj.NLLBConfig.distilled_600m()
+    return nj.from_hf_state_dict(load_state_dict(p), cfg), cfg
+
+
+def load_qwen2_backbone(path: str | Path, cfg=None):
+    from . import qwen2 as q2
+
+    p = Path(path)
+    if cfg is None and (p / "config.json").exists():
+        hf = json.loads((p / "config.json").read_text())
+        cfg = q2.Qwen2Config(
+            hidden=hf["hidden_size"],
+            layers=hf["num_hidden_layers"],
+            heads=hf["num_attention_heads"],
+            kv_heads=hf["num_key_value_heads"],
+            ffn_dim=hf["intermediate_size"],
+            rope_theta=hf.get("rope_theta", 1_000_000.0),
+            max_positions=hf.get("max_position_embeddings", 4096),
+        )
+    cfg = cfg or q2.Qwen2Config.qwen2_05b()
+    return q2.from_hf_state_dict(load_state_dict(p), cfg), cfg

@@ -199,6 +199,11 @@ class JaxCosyVoiceTts:
         self.dtype = dtype
         self._ecapa_cfg = ecapa.EcapaConfig(channels=128, bottleneck=64, attn_channels=64)
         self._ecapa = ecapa.init_ecapa(jax.random.PRNGKey(3), self._ecapa_cfg)
+        # the S3-style FSQ speech tokenizer produces prompt speech tokens
+        from ..models import speech_tokenizer as st
+
+        self._st_cfg = st.SpeechTokenizerConfig(dim=128, layers=2, heads=4)
+        self._st = st.init_speech_tokenizer(jax.random.PRNGKey(4), self._st_cfg)
         self._key = jax.random.PRNGKey(42)
 
         @functools.partial(jax.jit, static_argnums=(8,))
@@ -232,10 +237,12 @@ class JaxCosyVoiceTts:
             pmel_full = kaldi_fbank(ref24[None], sr=24_000)  # [1, F, 80]
             n_prompt = min(int(pmel_full.shape[1]), 100)
             pmel = pmel_full[:, :n_prompt].astype(self.dtype)
-            # prompt speech tokens: quantised mel means as a weightless proxy
-            # (real deployments use the speech tokenizer checkpoint)
-            proxy = np.asarray(pmel_full[:, : n_prompt // 2, 0])
-            psp = (np.abs(proxy) * 7).astype(np.int32) % self.cfg.lm.speech_token_size
+            # prompt speech tokens from the FSQ speech tokenizer (25 Hz)
+            from ..models import speech_tokenizer as st
+
+            ids = st.tokenize_audio(self._st, self._st_cfg, ref24)
+            psp = (np.asarray(ids)[None, : max(n_prompt // 2, 2)]
+                   % self.cfg.lm.speech_token_size).astype(np.int32)
         else:
             spk = jnp.zeros((1, self.cfg.flow.spk_embed_dim))
             pmel = jnp.zeros((1, 4, self.cfg.flow.n_mels), self.dtype)

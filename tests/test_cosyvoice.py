@@ -140,3 +140,64 @@ def test_synthesize_end_to_end_jitted(params):
     assert audio.shape == (2, 24 * 480)  # 12 tokens × ratio 2 frames × hop 480
     assert np.isfinite(audio).all()
     assert out["speech_tokens"].shape == (2, 12)
+
+
+def test_speech_tokenizer_fsq():
+    import jax
+    import jax.numpy as jnp
+    from expressive_speech_translation_tpu.models import speech_tokenizer as st
+
+    cfg = st.SpeechTokenizerConfig(dim=64, layers=2, heads=4)
+    assert cfg.vocab_size == 6561  # 3^8, greek_sft.yaml:24
+    params = st.init_speech_tokenizer(jax.random.PRNGKey(0), cfg)
+    g = np.random.default_rng(0)
+    mel = jnp.asarray(g.standard_normal((2, 40, 80)), jnp.float32)
+    mask = jnp.ones((2, 40), bool)
+    ids, tok_mask = st.encode(params, cfg, mel, mask)
+    assert ids.shape == (2, 20)  # 50 Hz -> 25 Hz
+    assert int(ids.max()) < 6561 and int(ids.min()) >= 0
+    # deterministic
+    ids2, _ = st.encode(params, cfg, mel, mask)
+    assert (np.asarray(ids) == np.asarray(ids2)).all()
+    # different audio -> different tokens
+    ids3, _ = st.encode(params, cfg, mel + 1.0, mask)
+    assert (np.asarray(ids) != np.asarray(ids3)).mean() > 0.3
+    # id <-> code roundtrip
+    codes = st.ids_to_codes(ids, levels=3, dims=8)
+    back = st.codes_to_ids(((np.asarray(codes) + 1) * 1).astype(np.int32), 3)
+    assert back.shape == ids.shape
+    # STE gradients flow through the training path
+    def loss(p):
+        _, _, feats = st.encode_with_codes(p, cfg, mel, mask)
+        return jnp.mean(feats**2)
+    grads = jax.grad(loss)(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0
+
+
+def test_loaders_missing_and_tiny_roundtrip(tmp_path):
+    import torch
+    from expressive_speech_translation_tpu.models.loaders import (
+        WeightsNotFoundError, load_state_dict, load_whisper,
+    )
+
+    with pytest.raises(WeightsNotFoundError):
+        load_state_dict(tmp_path / "nope")
+    # tiny whisper: save torch state dict + config.json, load through converter
+    from transformers import WhisperConfig as HFConfig, WhisperModel
+
+    hf = HFConfig(vocab_size=200, num_mel_bins=80, encoder_layers=1, decoder_layers=1,
+                  encoder_attention_heads=2, decoder_attention_heads=2, d_model=32,
+                  encoder_ffn_dim=64, decoder_ffn_dim=64,
+                  max_source_positions=50, max_target_positions=32,
+                  pad_token_id=0, bos_token_id=1, eos_token_id=2,
+                  decoder_start_token_id=1)
+    torch.manual_seed(0)
+    model = WhisperModel(hf)
+    d = tmp_path / "whisper"
+    d.mkdir()
+    torch.save(model.state_dict(), d / "pytorch_model.bin")
+    (d / "config.json").write_text(hf.to_json_string())
+    params, cfg = load_whisper(d)
+    assert cfg.d_model == 32
+    assert params["decoder"]["embed"].shape == (200, 32)
