@@ -214,6 +214,138 @@ def decode_step(
     return logits, new_cache
 
 
+def decode_step_with_attn(
+    params: Params,
+    cfg: WhisperConfig,
+    token: jnp.ndarray,
+    pos: jnp.ndarray,
+    kv_cache,
+    cross_kv,
+) -> Tuple[jnp.ndarray, Any, jnp.ndarray]:
+    """decode_step that also returns layer-mean cross-attention weights
+    [B, T_enc] — the alignment signal for word timestamps (openai-whisper
+    computes these via DTW over cross-attention; cascaded_backend.py:146-191
+    consumes the resulting word times for pause analysis)."""
+    from .common import _merge_heads, _split_heads, dense as _dense
+
+    dec = params["decoder"]
+    x = dec["embed"][token][:, None, :] + jax.lax.dynamic_slice_in_dim(dec["pos"], pos, 1, 0)[None]
+    new_cache = []
+    attn_maps = []
+    for block, cache, (ck, cv) in zip(dec["layers"], kv_cache, cross_kv):
+        h = layer_norm(block["self_attn_ln"], x)
+        attn, k, v = mha_step(block["self_attn"], cfg.attn, h, cache["k"], cache["v"], pos)
+        x = x + attn
+        new_cache.append({"k": k, "v": v})
+        h = layer_norm(block["cross_attn_ln"], x)
+        # inline cross-attention so the weights are observable
+        q = _split_heads(_dense(block["cross_attn"]["q"], h), cfg.heads) * (cfg.attn.head_dim ** -0.5)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, ck)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        attn_maps.append(jnp.mean(weights[:, :, 0, :], axis=1))  # [B, T_enc]
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(h.dtype), cv)
+        x = x + _dense(block["cross_attn"]["o"], _merge_heads(out))
+        h = layer_norm(block["mlp_ln"], x)
+        x = x + mlp(block["mlp"], h)
+    x = layer_norm(dec["ln"], x)
+    logits = x[:, 0, :] @ dec["embed"].T
+    # upper-half layers carry the cleanest alignment (whisper convention)
+    half = len(attn_maps) // 2
+    alignment = jnp.mean(jnp.stack(attn_maps[half:]), axis=0)
+    return logits, new_cache, alignment
+
+
+def greedy_decode_with_alignment(
+    params: Params,
+    cfg: WhisperConfig,
+    mel: jnp.ndarray,
+    prompt: jnp.ndarray,
+    *,
+    max_new_tokens: int = 224,
+    min_new_tokens: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy decode that additionally returns per-token cross-attention
+    alignments [B, P+max_new, T_enc] for DTW word-timestamping."""
+    b, p_len = prompt.shape
+    enc_out = encode(params, cfg, mel)
+    cross_kv = precompute_cross_kv(params, cfg, enc_out)
+    kv_cache = init_kv_cache(cfg, b, dtype=enc_out.dtype)
+    t_enc = enc_out.shape[1]
+
+    total = p_len + max_new_tokens
+    tokens0 = jnp.full((b, total), cfg.eos_token, jnp.int32)
+    tokens0 = jax.lax.dynamic_update_slice(tokens0, prompt.astype(jnp.int32), (0, 0))
+    align0 = jnp.zeros((b, total, t_enc), jnp.float32)
+
+    def cond(state):
+        pos, tokens, aligns, cache, done = state
+        return (pos < total - 1) & ~jnp.all(done)
+
+    def body(state):
+        pos, tokens, aligns, cache, done = state
+        tok = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))[:, 0]
+        logits, cache, alignment = decode_step_with_attn(params, cfg, tok, pos, cache, cross_kv)
+        aligns = jax.lax.dynamic_update_slice(aligns, alignment[:, None, :], (0, pos, 0))
+        if min_new_tokens:
+            logits = jnp.where(
+                pos + 1 < p_len + min_new_tokens,
+                logits.at[:, cfg.eos_token].set(jnp.finfo(logits.dtype).min),
+                logits,
+            )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        in_prompt = pos + 1 < p_len
+        cur = jax.lax.dynamic_slice(tokens, (0, jnp.minimum(pos + 1, total - 1)), (b, 1))[:, 0]
+        nxt = jnp.where(in_prompt, cur, jnp.where(done, cfg.eos_token, nxt))
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
+        done = done | (~in_prompt & (nxt == cfg.eos_token))
+        return pos + 1, tokens, aligns, cache, done
+
+    state = (jnp.asarray(0, jnp.int32), tokens0, align0, kv_cache, jnp.zeros((b,), bool))
+    _, tokens, aligns, _, _ = jax.lax.while_loop(cond, body, state)
+    return tokens, aligns
+
+
+def dtw_token_times(
+    alignment: np.ndarray, n_tokens: int, audio_seconds: float,
+) -> np.ndarray:
+    """Monotonic DTW over -log(attention) → per-token times in seconds
+    (openai-whisper find_alignment parity; host-side numpy).
+
+    alignment: [T_tokens, T_enc] attention rows for the generated tokens.
+    Returns [n_tokens] start times.
+    """
+    a = np.asarray(alignment[:n_tokens], np.float64)
+    if a.size == 0:
+        return np.zeros(0)
+    # column-normalise then cost = -log
+    a = a / np.maximum(a.sum(axis=-1, keepdims=True), 1e-9)
+    cost = -np.log(np.maximum(a, 1e-9))
+    n, m = cost.shape
+    acc = np.full((n + 1, m + 1), np.inf)
+    acc[0, 0] = 0.0
+    for i in range(1, n + 1):
+        # monotonic steps: diagonal (next token) or horizontal (same token
+        # spans more frames); acc[i][j] = cost + min(acc[i-1][j-1], acc[i][j-1])
+        row = np.empty(m + 1)
+        row[0] = np.inf
+        best_prev = acc[i - 1]
+        for j in range(1, m + 1):
+            row[j] = cost[i - 1, j - 1] + min(best_prev[j - 1], row[j - 1])
+        acc[i] = row
+    # backtrack from the full-path corner (every frame consumed): first frame
+    # where each token becomes active
+    j = m
+    i = n
+    first_frame = np.full(n, j - 1)
+    while i > 0 and j > 0:
+        first_frame[i - 1] = j - 1
+        if acc[i - 1, j - 1] <= acc[i, j - 1]:
+            i -= 1
+        j -= 1
+    frames_per_second = (m / 30.0) if audio_seconds <= 0 else m / max(audio_seconds, 1e-6)
+    return first_frame / frames_per_second
+
+
 def decode_full(
     params: Params, cfg: WhisperConfig, tokens: jnp.ndarray, enc_out: jnp.ndarray
 ) -> jnp.ndarray:

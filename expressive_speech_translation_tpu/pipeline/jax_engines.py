@@ -72,7 +72,7 @@ class JaxWhisperAsr:
         @jax.jit
         def _transcribe(params, audio, prompt):
             mel = whisper_log_mel_pallas(audio).astype(dtype)
-            return wjm.greedy_decode(
+            return wjm.greedy_decode_with_alignment(
                 params, self.cfg, mel[None], prompt, max_new_tokens=max_new_tokens
             )
 
@@ -90,26 +90,53 @@ class JaxWhisperAsr:
             jnp.int32,
         )
         texts: List[str] = []
+        words: List[Dict[str, Any]] = []
         chunk = 16_000 * 30
+        p_len = int(prompt.shape[1])
         for start in range(0, max(len(x), 1), chunk):
-            seg = jnp.asarray(x[start:start + chunk])
-            tokens = np.asarray(self._fn(self.params, seg, prompt))[0]
-            content = [
-                int(t) for t in tokens
-                if t != self.cfg.eos_token and t < 50_000  # drop specials
-            ][3:]  # skip prompt slots that survive (lang/task/notimestamps are >50k)
-            texts.append(self.tokenizer.decode(content).strip())
+            seg = x[start:start + chunk]
+            chunk_offset = start / 16_000.0
+            chunk_seconds = len(seg) / 16_000.0
+            tokens_a, aligns = self._fn(self.params, jnp.asarray(seg), prompt)
+            tokens = np.asarray(tokens_a)[0]
+            gen = tokens[p_len:]
+            keep = [(i, int(t)) for i, t in enumerate(gen)
+                    if t != self.cfg.eos_token and t < 50_000]
+            if not keep:
+                continue
+            # per-token times via DTW over the cross-attention alignment
+            # (whisper find_alignment parity; ops run host-side on numpy)
+            token_aligns = np.asarray(aligns)[0][p_len:][[i for i, _ in keep]]
+            token_times = wjm.dtw_token_times(token_aligns, len(keep), chunk_seconds)
+            chunk_text = self.tokenizer.decode([t for _, t in keep]).strip()
+            texts.append(chunk_text)
+            # word boundaries: split the token stream at whitespace tokens
+            current: List[int] = []
+            word_start = float(token_times[0]) if len(token_times) else 0.0
+            for (i, tok), t_sec in zip(keep, token_times):
+                piece = self.tokenizer.decode([tok])
+                if piece.isspace() or piece == "":
+                    if current:
+                        words.append({
+                            "word": self.tokenizer.decode(current).strip(),
+                            "start": round(chunk_offset + word_start, 3),
+                            "end": round(chunk_offset + float(t_sec), 3),
+                        })
+                        current = []
+                    word_start = float(t_sec)
+                else:
+                    if not current:
+                        word_start = float(t_sec)
+                    current.append(tok)
+            if current:
+                words.append({
+                    "word": self.tokenizer.decode(current).strip(),
+                    "start": round(chunk_offset + word_start, 3),
+                    "end": round(chunk_offset + chunk_seconds, 3),
+                })
         text = " ".join(t for t in texts if t)
-        words = text.split()
-        step = duration / max(len(words), 1)
-        return {
-            "text": text,
-            "language": language or "eng",
-            "words": [
-                {"word": w, "start": round(i * step, 3), "end": round((i + 0.9) * step, 3)}
-                for i, w in enumerate(words)
-            ],
-        }
+        words = [w for w in words if w["word"]]
+        return {"text": text, "language": language or "eng", "words": words}
 
 
 class JaxNllbNmt:

@@ -134,3 +134,31 @@ def test_init_whisper_shapes():
     mel = jnp.zeros((1, cfg.n_mels, 3000))
     out = wj.encode(params, cfg, mel)
     assert out.shape == (1, 1500, cfg.d_model)
+
+
+def test_alignment_decode_and_dtw(hf_pair, mel):
+    """Cross-attention alignment capture + DTW word timing."""
+    _, cfg, params = hf_pair
+    prompt = jnp.asarray([[998], [998]], jnp.int32)
+    tokens, aligns = wj.greedy_decode_with_alignment(
+        params, cfg, jnp.asarray(mel), prompt, max_new_tokens=6, min_new_tokens=6
+    )
+    # same tokens as the plain greedy path
+    plain = wj.greedy_decode(params, cfg, jnp.asarray(mel), prompt,
+                             max_new_tokens=6, min_new_tokens=6)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(plain))
+    a = np.asarray(aligns)
+    assert a.shape == (2, 7, mel.shape[-1] // 2)
+    # attention rows are distributions over encoder frames
+    sums = a[:, :-1].sum(-1)
+    np.testing.assert_allclose(sums, 1.0, atol=1e-3)
+
+    # DTW on a synthetic diagonal alignment recovers monotonic times
+    t_tok, t_enc = 5, 50
+    synth = np.full((t_tok, t_enc), 1e-4)
+    for i in range(t_tok):
+        synth[i, i * 10: (i + 1) * 10] = 1.0
+    times = wj.dtw_token_times(synth, t_tok, audio_seconds=5.0)
+    assert times.shape == (t_tok,)
+    assert (np.diff(times) >= 0).all()
+    np.testing.assert_allclose(times, [0.0, 1.0, 2.0, 3.0, 4.0], atol=0.31)
