@@ -149,6 +149,62 @@ def cmd_ab_test(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment self-check (parity: Backend/verify_token.py token/model
+    checks, Backend/check_files.py, Docker/setup_openvoice.py's six
+    check_*/test_* functions — rebuilt as one offline diagnostic)."""
+    checks = {}
+
+    def check(name, fn):
+        try:
+            checks[name] = {"ok": True, "detail": fn()}
+        except Exception as e:  # noqa: BLE001 — report, don't crash
+            checks[name] = {"ok": False, "detail": f"{type(e).__name__}: {e}"}
+
+    def _devices():
+        import jax
+
+        return [str(d) for d in jax.devices()]
+
+    def _compile():
+        import jax, jax.numpy as jnp
+
+        return float(jax.jit(lambda x: (x * 2).sum())(jnp.ones(8)))
+
+    def _pallas():
+        from .ops.pallas_mel import whisper_log_mel_pallas
+        import numpy as np
+
+        # interpret mode: validates the kernel without waiting on a TPU
+        # compile (jit_compile above already proves the device path)
+        out = whisper_log_mel_pallas(np.zeros(16000, np.float32), interpret=True)
+        return f"log-mel {tuple(out.shape)} (interpreted)"
+
+    def _native():
+        from .media import native
+
+        if not native.available():
+            raise RuntimeError("libest_media.so missing and auto-build failed")
+        return "libav shim loaded"
+
+    def _weights():
+        from .models.loaders import load_state_dict
+
+        if not args.weights:
+            return "no --weights dir given (running in random-weight mode)"
+        state = load_state_dict(args.weights)
+        return f"{len(state)} tensors at {args.weights}"
+
+    check("jax_devices", _devices)
+    check("jit_compile", _compile)
+    check("pallas_kernel", _pallas)
+    check("native_media_shim", _native)
+    check("weights", _weights)
+    ok = all(c["ok"] for c in checks.values())
+    print(json.dumps({"ok": ok, "checks": checks}, ensure_ascii=False, indent=2))
+    return 0 if ok else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="est", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -181,6 +237,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("ab-test", help="sweep language enhancement params")
     p.add_argument("input"); p.add_argument("output_dir")
     p.set_defaults(fn=cmd_ab_test)
+
+    p = sub.add_parser("doctor", help="environment self-check")
+    p.add_argument("--weights", help="model checkpoint dir to validate")
+    p.set_defaults(fn=cmd_doctor)
     return parser
 
 
