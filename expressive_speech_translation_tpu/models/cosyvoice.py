@@ -50,6 +50,9 @@ class SpeechLMConfig:
     win_size: int = 10
     tau_r: float = 0.1
     max_tokens: int = 2048              # ≈82 s of speech at 25 Hz
+    # multi-token prediction: extra heads predicting t+2..t+K per step
+    # (FlashTTS-style MTP; 1 = standard next-token decoding)
+    mtp: int = 1
 
     @property
     def eos_speech(self) -> int:
@@ -65,12 +68,18 @@ class SpeechLMConfig:
 def init_speech_lm(key, cfg: SpeechLMConfig) -> Params:
     ks = jax.random.split(key, 4)
     h = cfg.backbone.hidden
-    return {
+    params: Params = {
         "backbone": q2.init_qwen2(ks[0], cfg.backbone),
         "text_embed": jax.random.normal(ks[1], (cfg.text_vocab, h)) * 0.02,
         "speech_embed": jax.random.normal(ks[2], (cfg.speech_token_size + 3, h)) * 0.02,
         "head": init_dense(ks[3], h, cfg.speech_token_size + 3),
     }
+    if cfg.mtp > 1:
+        mtp_keys = jax.random.split(ks[3], cfg.mtp - 1)
+        params["mtp_heads"] = [
+            init_dense(k, h, cfg.speech_token_size + 3) for k in mtp_keys
+        ]
+    return params
 
 
 def build_prompt_embeddings(
@@ -107,7 +116,8 @@ def _ras_sample(
     ≥ τ_r, resample from plain top-k (no top-p cut). logits [B, V];
     recent [B, win]."""
     k1, k2 = jax.random.split(key)
-    topv, topi = jax.lax.top_k(logits, cfg.top_k)            # [B, K]
+    k_eff = min(cfg.top_k, logits.shape[-1])  # tiny test vocabs
+    topv, topi = jax.lax.top_k(logits, k_eff)                # [B, K]
     logp = jax.nn.log_softmax(topv, axis=-1)
     probs = jnp.exp(logp)
     csum = jnp.cumsum(probs, axis=-1)
@@ -186,6 +196,88 @@ def generate_speech_tokens(
         jnp.zeros((b,), bool),
     )
     _, _, _, tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
+    lengths = jnp.sum((tokens != cfg.eos_speech).astype(jnp.int32), axis=1)
+    return tokens, lengths
+
+
+def generate_speech_tokens_mtp(
+    params: Params,
+    cfg: SpeechLMConfig,
+    key,
+    text_tokens: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    prompt_speech: jnp.ndarray,
+    prompt_speech_mask: jnp.ndarray,
+    *,
+    max_new_tokens: int = 512,
+    min_new_tokens: int = 2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-token-prediction decoding (cfg.mtp tokens per backbone pass).
+
+    FlashTTS-style serving: per iteration, ingest the K tokens sampled last
+    iteration in ONE multi-position pass (q2.decode_span — weights stream from
+    HBM once), then emit K new tokens: the next-token head plus K−1 MTP heads,
+    all read off the newest hidden state. Speech tokens tolerate the weaker
+    conditioning of heads t+2..t+K (trained jointly; FlashTTS/Llasa+ show
+    negligible quality loss at K≤4), so no verification pass is needed.
+    """
+    k_mtp = cfg.mtp
+    assert k_mtp > 1, "use generate_speech_tokens for mtp == 1"
+    emb, mask = build_prompt_embeddings(
+        params, cfg, text_tokens, text_mask, prompt_speech, prompt_speech_mask
+    )
+    b, p_len, _ = emb.shape
+    n_iters = -(-max_new_tokens // k_mtp)
+    total = p_len + n_iters * k_mtp
+    cache = q2.init_kv_cache(cfg.backbone, b, total, emb.dtype)
+    hidden, cache = q2.prefill(params["backbone"], cfg.backbone, emb, cache, length_mask=mask)
+    last_idx = jnp.sum(mask.astype(jnp.int32), axis=1) - 1
+    h_last = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)[:, 0, :]
+
+    tokens0 = jnp.full((b, n_iters * k_mtp), cfg.eos_speech, jnp.int32)
+    recent0 = jnp.full((b, cfg.win_size), -1, jnp.int32)
+    neg = jnp.finfo(jnp.float32).min
+
+    def sample_k(key, h, recent, step_base):
+        """K tokens from one hidden state: head (RAS) + mtp heads (nucleus)."""
+        keys = jax.random.split(key, k_mtp)
+        toks = []
+        for j in range(k_mtp):
+            head = params["head"] if j == 0 else params["mtp_heads"][j - 1]
+            logits = dense(head, h).astype(jnp.float32)
+            logits = logits.at[:, cfg.sos_index].set(neg).at[:, cfg.task_index].set(neg)
+            logits = jnp.where(step_base + j < min_new_tokens,
+                               logits.at[:, cfg.eos_speech].set(neg), logits)
+            nxt = _ras_sample(keys[j], logits, recent, cfg)
+            recent = jnp.concatenate([recent[:, 1:], nxt[:, None]], axis=1)
+            toks.append(nxt)
+        return jnp.stack(toks, axis=1), recent  # [B, K]
+
+    def cond(state):
+        i, *_, done = state
+        return (i < n_iters) & ~jnp.all(done)
+
+    def body(state):
+        i, h, cache, tokens, recent, key, done = state
+        key, sk = jax.random.split(key)
+        new_toks, recent = sample_k(sk, h, recent, i * k_mtp)
+        # EOS propagation inside the block: everything after the first EOS pads
+        is_eos = new_toks == cfg.eos_speech
+        after_eos = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) - is_eos.astype(jnp.int32) > 0
+        new_toks = jnp.where(after_eos | done[:, None], cfg.eos_speech, new_toks)
+        tokens = jax.lax.dynamic_update_slice(tokens, new_toks, (0, i * k_mtp))
+        done = done | jnp.any(new_toks == cfg.eos_speech, axis=1)
+        # ingest the K tokens in one multi-position pass
+        x = params["speech_embed"][new_toks]
+        h_span, cache = q2.decode_span(
+            params["backbone"], cfg.backbone, x, p_len + i * k_mtp, cache
+        )
+        return i + 1, h_span[:, -1, :], cache, tokens, recent, key, done
+
+    state = (jnp.asarray(0, jnp.int32), h_last, cache, tokens0, recent0, key,
+             jnp.zeros((b,), bool))
+    _, _, _, tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
+    tokens = tokens[:, :max_new_tokens]
     lengths = jnp.sum((tokens != cfg.eos_speech).astype(jnp.int32), axis=1)
     return tokens, lengths
 
@@ -497,7 +589,8 @@ def synthesize(
     speech tokens and mel provide the cloning context.
     """
     k_lm, k_flow = jax.random.split(key)
-    tokens, lengths = generate_speech_tokens(
+    gen = generate_speech_tokens_mtp if cfg.lm.mtp > 1 else generate_speech_tokens
+    tokens, lengths = gen(
         params["lm"], cfg.lm, k_lm, text_tokens, text_mask,
         prompt_speech_tokens, prompt_speech_mask, max_new_tokens=max_new_tokens,
         min_new_tokens=min_new_tokens,

@@ -201,3 +201,56 @@ def test_loaders_missing_and_tiny_roundtrip(tmp_path):
     params, cfg = load_whisper(d)
     assert cfg.d_model == 32
     assert params["decoder"]["embed"].shape == (200, 32)
+
+
+def test_mtp_generation_and_decode_span():
+    """Multi-token prediction: K tokens per backbone pass; decode_span matches
+    sequential decode_steps."""
+    from expressive_speech_translation_tpu.models import cosyvoice as cvm
+    from expressive_speech_translation_tpu.models import qwen2 as q2m
+
+    # decode_span parity vs step-by-step
+    qcfg = q2m.Qwen2Config(hidden=32, layers=2, heads=4, kv_heads=2, ffn_dim=64,
+                           max_positions=64)
+    qp = q2m.init_qwen2(jax.random.PRNGKey(0), qcfg)
+    g = np.random.default_rng(0)
+    xs = jnp.asarray(g.standard_normal((1, 6, 32)), jnp.float32)
+    cache_a = q2m.init_kv_cache(qcfg, 1, 16)
+    pre, cache_a = q2m.prefill(qp, qcfg, xs[:, :2], cache_a)
+    span_h, cache_a = q2m.decode_span(qp, qcfg, xs[:, 2:6], jnp.asarray(2, jnp.int32), cache_a)
+
+    cache_b = q2m.init_kv_cache(qcfg, 1, 16)
+    _, cache_b = q2m.prefill(qp, qcfg, xs[:, :2], cache_b)
+    outs = []
+    for i in range(2, 6):
+        h, cache_b = q2m.decode_step(qp, qcfg, xs[:, i:i+1], jnp.asarray(i, jnp.int32), cache_b)
+        outs.append(np.asarray(h))
+    seq_h = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(span_h), seq_h, atol=2e-4, rtol=1e-3)
+
+    # MTP end-to-end generation
+    lm_cfg = cvm.SpeechLMConfig(
+        backbone=q2m.Qwen2Config(hidden=32, layers=2, heads=4, kv_heads=2,
+                                 ffn_dim=64, max_positions=256),
+        text_vocab=50, speech_token_size=20, mtp=4,
+    )
+    params = cvm.init_speech_lm(jax.random.PRNGKey(1), lm_cfg)
+    assert len(params["mtp_heads"]) == 3
+    text = jnp.asarray(g.integers(0, 50, (2, 4)), jnp.int32)
+    tmask = jnp.ones((2, 4), bool)
+    sp = jnp.asarray(g.integers(0, 20, (2, 3)), jnp.int32)
+    smask = jnp.ones((2, 3), bool)
+    tokens, lengths = cvm.generate_speech_tokens_mtp(
+        params, lm_cfg, jax.random.PRNGKey(2), text, tmask, sp, smask,
+        max_new_tokens=16, min_new_tokens=4,
+    )
+    assert tokens.shape == (2, 16)
+    t = np.asarray(tokens)
+    assert (t <= lm_cfg.eos_speech).all()
+    for row, ln in zip(t, np.asarray(lengths)):
+        assert (row[ln:] == lm_cfg.eos_speech).all()  # eos padding after stop
+    # jits as one program
+    fn = jax.jit(lambda p, k: cvm.generate_speech_tokens_mtp(
+        p, lm_cfg, k, text, tmask, sp, smask, max_new_tokens=8))
+    toks2, _ = fn(params, jax.random.PRNGKey(3))
+    assert toks2.shape == (2, 8)
