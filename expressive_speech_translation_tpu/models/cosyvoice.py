@@ -611,3 +611,241 @@ def synthesize(
         "speech_tokens": tokens,
         "token_lengths": lengths,
     }
+
+
+# ========================================================= streaming synthesis
+#
+# The reference config carries CosyVoice2's streaming params (chunk_size 25,
+# greek_sft.yaml:20-21) but its API consumes only the FIRST generator chunk
+# (Docker/cosyvoice_api.py:129) — streaming capability without streaming
+# delivery. Here it is rebuilt TPU-first: every per-chunk program has static
+# shapes, so the whole stream reuses three compiled graphs (LM chunk, flow
+# chunk, vocoder chunk) regardless of utterance length. Time-to-first-audio
+# drops from O(utterance) to O(one chunk).
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamConfig:
+    chunk_tokens: int = 25       # greek_sft.yaml:20 chunk_size — 1 s @ 25 Hz
+    flow_context: int = 16       # mel frames of left context re-fed to flow
+    vocoder_context: int = 12    # mel frames re-vocoded for left-edge warm-up
+    fade_samples: int = 1024     # crossfade window at chunk joins (~43 ms @24k)
+
+
+def lm_stream_start(
+    params: Params,
+    cfg: SpeechLMConfig,
+    text_tokens: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    prompt_speech: jnp.ndarray,
+    prompt_speech_mask: jnp.ndarray,
+    *,
+    max_new_tokens: int = 512,
+) -> Dict[str, Any]:
+    """Prefill the speech LM and return a resumable decode state pytree."""
+    emb, mask = build_prompt_embeddings(
+        params, cfg, text_tokens, text_mask, prompt_speech, prompt_speech_mask
+    )
+    b, p_len, _ = emb.shape
+    cache = q2.init_kv_cache(cfg.backbone, b, p_len + max_new_tokens, emb.dtype)
+    hidden, cache = q2.prefill(params["backbone"], cfg.backbone, emb, cache, length_mask=mask)
+    last_idx = jnp.sum(mask.astype(jnp.int32), axis=1) - 1
+    h_last = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)
+    return {
+        "h": h_last,
+        "cache": cache,
+        "recent": jnp.full((b, cfg.win_size), -1, jnp.int32),
+        "done": jnp.zeros((b,), bool),
+        "step": jnp.asarray(0, jnp.int32),
+    }
+
+
+def lm_stream_chunk(
+    params: Params,
+    cfg: SpeechLMConfig,
+    key,
+    state: Dict[str, Any],
+    *,
+    chunk_tokens: int,
+    min_new_tokens: int,
+    p_len: int,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Decode ``chunk_tokens`` more speech tokens from a stream state.
+
+    Fixed trip count (``fori_loop``) — rows already at EOS keep emitting EOS,
+    so the compiled program is identical for every chunk of the stream.
+    Returns (tokens [B, chunk_tokens], new_state).
+    """
+    b = state["recent"].shape[0]
+    tokens0 = jnp.full((b, chunk_tokens), cfg.eos_speech, jnp.int32)
+
+    def body(j, carry):
+        h, cache, tokens, recent, key, done, step = carry
+        key, sk = jax.random.split(key)
+        logits = dense(params["head"], h[:, 0, :])
+        neg = jnp.finfo(logits.dtype).min
+        logits = logits.at[:, cfg.sos_index].set(neg).at[:, cfg.task_index].set(neg)
+        logits = jnp.where(step < min_new_tokens,
+                           logits.at[:, cfg.eos_speech].set(neg), logits)
+        nxt = _ras_sample(sk, logits, recent, cfg)
+        nxt = jnp.where(done, cfg.eos_speech, nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, j))
+        recent = jnp.concatenate([recent[:, 1:], nxt[:, None]], axis=1)
+        done = done | (nxt == cfg.eos_speech)
+        x = params["speech_embed"][nxt][:, None, :]
+        h, cache = q2.decode_step(params["backbone"], cfg.backbone, x, p_len + step, cache)
+        return h, cache, tokens, recent, key, done, step + 1
+
+    carry = (state["h"], state["cache"], tokens0, state["recent"], key,
+             state["done"], state["step"])
+    h, cache, tokens, recent, _, done, step = jax.lax.fori_loop(
+        0, chunk_tokens, body, carry
+    )
+    return tokens, {"h": h, "cache": cache, "recent": recent, "done": done, "step": step}
+
+
+def flow_vocode_chunk(
+    params: Params,             # full CosyVoice params ({"flow":…, "vocoder":…})
+    flow_cfg: FlowConfig,
+    voc_cfg: VocoderConfig,
+    key,
+    tokens: jnp.ndarray,        # [1, C] raw LM output (eos-padded)
+    n_valid: jnp.ndarray,       # scalar int32 — tokens before eos
+    spk: jnp.ndarray,
+    ctx_mel: jnp.ndarray,       # [1, F, n_mels] flow left-context buffer
+    ctx_mask: jnp.ndarray,      # [1, F]
+    voc_hist: jnp.ndarray,      # [1, V, n_mels] vocoder warm-up frames
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One fused tokens→waveform streaming step (single dispatch per chunk:
+    through a remote-relay TPU every eager op is an RPC, so the glue —
+    masking, padding, concat — must live inside the compiled program)."""
+    c = tokens.shape[1]
+    tok_mask = jnp.arange(c)[None, :] < n_valid
+    safe = jnp.where(tok_mask, tokens, 0)
+    mel, _ = tokens_to_mel(
+        params["flow"], flow_cfg, key, safe, tok_mask, spk, ctx_mel, ctx_mask
+    )
+    gen = mel[:, ctx_mel.shape[1]:]                        # [1, r*C, n_mels]
+    r = flow_cfg.token_mel_ratio
+    gen = gen * (jnp.arange(gen.shape[1])[None, :] < r * n_valid)[..., None]
+    voc_in = jnp.concatenate([voc_hist.astype(gen.dtype), gen], axis=1)
+    wav = vocode(params["vocoder"], voc_cfg, voc_in)
+    return gen, wav
+
+
+_lm_stream_start_j = jax.jit(lm_stream_start, static_argnames=("cfg", "max_new_tokens"))
+_lm_stream_chunk_j = jax.jit(
+    lm_stream_chunk, static_argnames=("cfg", "chunk_tokens", "min_new_tokens", "p_len")
+)
+_flow_vocode_chunk_j = jax.jit(flow_vocode_chunk, static_argnames=("flow_cfg", "voc_cfg"))
+
+
+def synthesize_streaming(
+    params: Params,
+    cfg: CosyVoiceConfig,
+    key,
+    text_tokens: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    prompt_speech_tokens: jnp.ndarray,
+    prompt_speech_mask: jnp.ndarray,
+    spk_embedding: jnp.ndarray,
+    prompt_mel: jnp.ndarray,
+    prompt_mel_mask: jnp.ndarray,
+    *,
+    stream: StreamConfig = StreamConfig(),
+    max_new_tokens: int = 512,
+    min_new_tokens: int = 2,
+):
+    """Incremental zero-shot TTS: yields 24 kHz waveform chunks (np.float32).
+
+    Chunked counterpart of :func:`synthesize` (single stream, B == 1). Per
+    chunk: (1) the LM emits ``chunk_tokens`` speech tokens from its resumable
+    KV state; (2) flow matching synthesises the chunk's mel conditioned on a
+    fixed-size buffer of the previously generated mel (teacher-forced
+    continuation — the same mechanism the batch path uses for the voice
+    prompt, so joins are smooth); (3) the vocoder re-renders a short mel
+    context plus the new frames, and consecutive chunks are crossfaded over
+    ``fade_samples`` to hide the convolutional right-edge truncation.
+
+    Everything device-side has static shapes; the Python generator only
+    shuttles tiny mel/wave buffers between three cached compiled programs.
+    """
+    if text_tokens.shape[0] != 1:
+        raise ValueError("streaming synthesis is single-stream (batch == 1); "
+                         "use synthesize() for batched offline TTS")
+    r = cfg.flow.token_mel_ratio
+    hop = cfg.vocoder.hop
+    c_tok = stream.chunk_tokens
+    n_chunks = -(-max_new_tokens // c_tok)
+    total_tok = n_chunks * c_tok
+    # ONE eager RNG op for the whole stream (per-chunk splits are relay RPCs);
+    # staged to host so per-chunk indexing is numpy, not a device gather.
+    all_keys = np.asarray(jax.random.split(key, 2 * n_chunks)).reshape(n_chunks, 2, 2)
+
+    lm_state = _lm_stream_start_j(
+        params["lm"], cfg.lm, text_tokens, text_mask,
+        prompt_speech_tokens, prompt_speech_mask, max_new_tokens=total_tok,
+    )
+    p_len = 2 + text_tokens.shape[1] + prompt_speech_tokens.shape[1]
+
+    # Flow context buffer: last `flow_context` generated mel frames (init from
+    # the real prompt tail, right-aligned, left-padded invalid).
+    f_ctx = stream.flow_context
+    n_mels = cfg.flow.n_mels
+    ctx_mel = np.zeros((1, f_ctx, n_mels), np.float32)
+    ctx_mask = np.zeros((1, f_ctx), bool)
+    pm = np.asarray(prompt_mel[0], np.float32)
+    pm_valid = pm[np.asarray(prompt_mel_mask[0], bool)]
+    take = min(len(pm_valid), f_ctx)
+    if take:
+        ctx_mel[0, f_ctx - take:] = pm_valid[len(pm_valid) - take:]
+        ctx_mask[0, f_ctx - take:] = True
+
+    # Vocoder state: mel history for left-edge warm-up + crossfade holdback.
+    v_ctx = stream.vocoder_context
+    voc_hist = np.zeros((v_ctx, n_mels), np.float32)
+    held: Optional[np.ndarray] = None
+
+    spk = jnp.asarray(spk_embedding)
+    for ci in range(n_chunks):
+        tokens, lm_state = _lm_stream_chunk_j(
+            params["lm"], cfg.lm, all_keys[ci, 0], lm_state,
+            chunk_tokens=c_tok, min_new_tokens=min_new_tokens, p_len=p_len,
+        )
+        tok_np = np.asarray(tokens[0])                     # host sync (needed)
+        n_valid = int(np.argmax(tok_np == cfg.lm.eos_speech)) \
+            if (tok_np == cfg.lm.eos_speech).any() else c_tok
+        if n_valid == 0:
+            break
+        # ONE fused dispatch: masking + flow matching + vocoder
+        gen_dev, wav_dev = _flow_vocode_chunk_j(
+            params, cfg.flow, cfg.vocoder, all_keys[ci, 1], tokens,
+            np.int32(n_valid), spk, ctx_mel, ctx_mask, voc_hist[None],
+        )
+        gen_valid = np.asarray(gen_dev[0, : r * n_valid], np.float32)
+        wav = np.asarray(wav_dev[0], np.float32)
+
+        # roll the flow context buffer (pure numpy — zero device traffic)
+        full = np.concatenate([ctx_mel[0][ctx_mask[0]], gen_valid], axis=0)
+        ctx_mel[0] = full[-f_ctx:] if len(full) >= f_ctx else np.concatenate(
+            [np.zeros((f_ctx - len(full), n_mels), np.float32), full])
+        ctx_mask[0] = True if len(full) >= f_ctx else \
+            np.arange(f_ctx) >= f_ctx - len(full)
+
+        start, end = v_ctx * hop, (v_ctx + len(gen_valid)) * hop
+        fade = min(stream.fade_samples, v_ctx * hop, end - start)
+        out = wav[start:end]
+        if held is not None and fade > 0:
+            ramp = np.linspace(0.0, 1.0, len(held), dtype=np.float32)
+            out = np.concatenate(
+                [held * (1 - ramp) + wav[start - len(held):start] * ramp, out])
+        if fade > 0:
+            held = out[len(out) - fade:]
+            out = out[: len(out) - fade]
+        voc_hist = np.concatenate([voc_hist, gen_valid], axis=0)[-v_ctx:]
+        if len(out):
+            yield out
+        if n_valid < c_tok:
+            break
+    if held is not None and len(held):
+        yield held

@@ -93,6 +93,18 @@ class FakeTts:
         envelope = 0.5 + 0.5 * np.sin(2 * np.pi * 2.5 * t) ** 2
         return (0.3 * envelope * np.sin(2 * np.pi * freq * t)).astype(np.float32)
 
+    def synthesize_streaming(
+        self, text: str, *, style_prompt: str = "",
+        reference_audio_16k: Optional[np.ndarray] = None, language: str = "en",
+        chunk_samples: int = 24_000,
+    ):
+        """Chunked counterpart of synthesize (same total waveform)."""
+        wave = self.synthesize(text, style_prompt=style_prompt,
+                               reference_audio_16k=reference_audio_16k,
+                               language=language)
+        for i in range(0, len(wave), chunk_samples):
+            yield wave[i:i + chunk_samples]
+
 
 def fake_engines(text: str = "hello world this is a test") -> Engines:
     return Engines(asr=FakeAsr(text), nmt=FakeNmt(), tts=FakeTts())

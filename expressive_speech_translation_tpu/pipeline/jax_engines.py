@@ -243,13 +243,26 @@ class JaxCosyVoiceTts:
 
         self._fn = _synth
 
-    def synthesize(
-        self, text: str, *, style_prompt: str = "",
-        reference_audio_16k: Optional[np.ndarray] = None, language: str = "en",
-    ) -> np.ndarray:
-        from ..models import ecapa
-        from ..ops import kaldi_fbank, resample
+        @jax.jit
+        def _cond(ecapa_params, st_params, ref16):
+            """Fused voice-prompt conditioning: fixed 10 s 16 kHz reference →
+            (speaker embedding, 100-frame prompt mel, 50 prompt speech tokens).
+            One dispatch — the eager chain (ECAPA fbank+embed, resample,
+            kaldi fbank, FSQ tokenizer) costs >1 s in relay RPCs otherwise."""
+            from ..models import speech_tokenizer as st
+            from ..ops import kaldi_fbank, resample
 
+            spk = ecapa.embed_audio(ecapa_params, self._ecapa_cfg, ref16[None])
+            ref24 = resample(ref16, 16_000, 24_000)
+            pmel = kaldi_fbank(ref24[None], sr=24_000)[:, :100].astype(dtype)
+            ids = st.tokenize_audio(st_params, self._st_cfg, ref24)
+            psp = (ids[None, :50] % self.cfg.lm.speech_token_size).astype(jnp.int32)
+            return spk.astype(dtype), pmel, psp
+
+        self._cond_fn = _cond
+
+    def _prepare_conditioning(self, text: str, reference_audio_16k):
+        """Shared text/voice-prompt prep for batch and streaming synthesis."""
         ids = self.tokenizer.encode(text)[:256]
         bucket = _bucket(max(len(ids), 1), TEXT_BUCKETS)
         toks = np.zeros((1, bucket), np.int32)
@@ -258,18 +271,11 @@ class JaxCosyVoiceTts:
         tmask[0, : len(ids)] = True
 
         if reference_audio_16k is not None and len(np.asarray(reference_audio_16k).reshape(-1)) > 1600:
+            # fixed 10 s window (tile-pad short refs) → static shapes, one
+            # compiled conditioning program for every request
             ref = np.asarray(reference_audio_16k, np.float32).reshape(-1)[: 16_000 * 10]
-            spk = ecapa.embed_audio(self._ecapa, self._ecapa_cfg, jnp.asarray(ref[None]))
-            ref24 = resample(jnp.asarray(ref), 16_000, 24_000)
-            pmel_full = kaldi_fbank(ref24[None], sr=24_000)  # [1, F, 80]
-            n_prompt = min(int(pmel_full.shape[1]), 100)
-            pmel = pmel_full[:, :n_prompt].astype(self.dtype)
-            # prompt speech tokens from the FSQ speech tokenizer (25 Hz)
-            from ..models import speech_tokenizer as st
-
-            ids = st.tokenize_audio(self._st, self._st_cfg, ref24)
-            psp = (np.asarray(ids)[None, : max(n_prompt // 2, 2)]
-                   % self.cfg.lm.speech_token_size).astype(np.int32)
+            ref = np.resize(ref, 16_000 * 10)
+            spk, pmel, psp = self._cond_fn(self._ecapa, self._st, ref)
         else:
             spk = jnp.zeros((1, self.cfg.flow.spk_embed_dim))
             pmel = jnp.zeros((1, 4, self.cfg.flow.n_mels), self.dtype)
@@ -278,12 +284,36 @@ class JaxCosyVoiceTts:
 
         seconds = float(np.clip(len(text) * self.seconds_per_char, 0.6, 30.0))
         max_new = _bucket(int(seconds * 25), (64, 128, 256, 512, 768))
+        return (jnp.asarray(toks), jnp.asarray(tmask), jnp.asarray(spk, self.dtype),
+                pmel, pmm, jnp.asarray(psp), max_new)
+
+    def synthesize(
+        self, text: str, *, style_prompt: str = "",
+        reference_audio_16k: Optional[np.ndarray] = None, language: str = "en",
+    ) -> np.ndarray:
+        toks, tmask, spk, pmel, pmm, psp, max_new = self._prepare_conditioning(
+            text, reference_audio_16k)
         self._key, k = jax.random.split(self._key)
-        audio = self._fn(
-            self.params, k, jnp.asarray(toks), jnp.asarray(tmask),
-            jnp.asarray(spk, self.dtype), pmel, pmm, jnp.asarray(psp), max_new,
-        )
+        audio = self._fn(self.params, k, toks, tmask, spk, pmel, pmm, psp, max_new)
         return np.asarray(audio, np.float32)[0]
+
+    def synthesize_streaming(
+        self, text: str, *, style_prompt: str = "",
+        reference_audio_16k: Optional[np.ndarray] = None, language: str = "en",
+    ):
+        """Incremental synthesis: yields np.float32 chunks at sample_rate.
+
+        TPU-native streaming delivery — the capability the reference config
+        declares (chunk_size 25, greek_sft.yaml:20-21) but whose API threw
+        away (first generator chunk only, Docker/cosyvoice_api.py:129)."""
+        toks, tmask, spk, pmel, pmm, psp, max_new = self._prepare_conditioning(
+            text, reference_audio_16k)
+        self._key, k = jax.random.split(self._key)
+        yield from cvm.synthesize_streaming(
+            self.params, self.cfg, k, toks, tmask,
+            psp, jnp.ones_like(psp, bool), spk, pmel, pmm,
+            max_new_tokens=max_new,
+        )
 
 
 def jax_engines(**kwargs) -> "Engines":

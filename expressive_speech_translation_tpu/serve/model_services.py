@@ -51,6 +51,27 @@ def _wav_response(audio: np.ndarray, sr: int) -> Response:
     return Response(data, mimetype="audio/wav")
 
 
+def _streaming_wav_response(chunks, sr: int) -> Response:
+    """Chunked-transfer WAV: header with unbounded RIFF/data sizes (the live-
+    stream convention players accept) followed by PCM16 chunks as they are
+    synthesised — time-to-first-byte is one TTS chunk, not the utterance."""
+    import struct
+
+    header = (
+        b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+        + b"data" + struct.pack("<I", 0xFFFFFFFF)
+    )
+
+    def gen():
+        yield header
+        for c in chunks:
+            pcm = np.clip(np.asarray(c, np.float32), -1.0, 1.0)
+            yield (pcm * 32767.0).astype("<i2").tobytes()
+
+    return Response(gen(), mimetype="audio/wav", direct_passthrough=True)
+
+
 def _read_audio_upload(file) -> tuple[np.ndarray, int]:
     suffix = Path(file.filename or "a.wav").suffix.lower() or ".wav"
     raw = file.read()
@@ -137,8 +158,14 @@ class CosyVoiceService(_ServiceApp):
                 from .. import ops
 
                 ref = np.asarray(ops.resample(jnp.asarray(ref), ref_sr, 16_000))
+        sr = getattr(model, "sample_rate", 24_000)
+        want_stream = request.form.get("stream", "").lower() in ("1", "true", "yes")
+        if want_stream and hasattr(model, "synthesize_streaming"):
+            chunks = model.synthesize_streaming(
+                text, style_prompt=style, reference_audio_16k=ref)
+            return _streaming_wav_response(chunks, sr)
         wave = model.synthesize(text, style_prompt=style, reference_audio_16k=ref)
-        return _wav_response(np.asarray(wave, np.float32), getattr(model, "sample_rate", 24_000))
+        return _wav_response(np.asarray(wave, np.float32), sr)
 
 
 class MuseTalkService(_ServiceApp):

@@ -254,3 +254,35 @@ def test_mtp_generation_and_decode_span():
         p, lm_cfg, k, text, tmask, sp, smask, max_new_tokens=8))
     toks2, _ = fn(params, jax.random.PRNGKey(3))
     assert toks2.shape == (2, 8)
+
+
+def test_streaming_synthesis_matches_token_budget(params):
+    """synthesize_streaming: chunked emission conserves samples exactly
+    (sum of yielded chunks == r * emitted_tokens * hop) and joins are finite."""
+    text, tmask, sp, smask = _prompt(b=1)
+    spk = jnp.zeros((1, TINY_FLOW.spk_embed_dim))
+    pm = jnp.asarray(np.random.default_rng(1).standard_normal((1, 6, TINY_FLOW.n_mels)), jnp.float32)
+    pmm = jnp.ones((1, 6), bool)
+    stream = cv.StreamConfig(chunk_tokens=8, flow_context=6, vocoder_context=4,
+                             fade_samples=256)
+    chunks = list(cv.synthesize_streaming(
+        params, TINY, jax.random.PRNGKey(7), text, tmask, sp, smask, spk, pm, pmm,
+        stream=stream, max_new_tokens=24, min_new_tokens=4,
+    ))
+    assert chunks, "stream yielded nothing"
+    wav = np.concatenate(chunks)
+    assert np.isfinite(wav).all()
+    hop = TINY_VOC.hop
+    r = TINY_FLOW.token_mel_ratio
+    # total samples must be an exact multiple of one token's worth of audio
+    assert len(wav) % (r * hop) == 0
+    n_tok = len(wav) // (r * hop)
+    assert 4 <= n_tok <= 24
+    # batch > 1 is rejected
+    text2, tmask2, sp2, smask2 = _prompt(b=2)
+    with pytest.raises(ValueError):
+        next(cv.synthesize_streaming(
+            params, TINY, jax.random.PRNGKey(8), text2, tmask2, sp2, smask2,
+            jnp.zeros((2, TINY_FLOW.spk_embed_dim)),
+            jnp.zeros((2, 6, TINY_FLOW.n_mels)), jnp.ones((2, 6), bool),
+        ))

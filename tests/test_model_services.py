@@ -122,3 +122,20 @@ def test_openvoice_service_contract():
     assert resp.status_code == 200 and resp.data[:4] == b"RIFF"
     assert client.post("/clone-voice", data={
         "source_audio": (io.BytesIO(wav_bytes()), "s.wav")}).status_code == 400
+
+
+def test_cosyvoice_service_streaming():
+    """stream=true → chunked WAV: unbounded RIFF header + PCM16 whose decoded
+    samples match the non-streaming synthesis of the same text."""
+    svc = CosyVoiceService()
+    client = Client(svc)
+    text = "streaming hello"
+    resp = client.post("/generate-speech/", data={"text": text, "stream": "true"})
+    assert resp.status_code == 200 and resp.mimetype == "audio/wav"
+    data = resp.data
+    assert data[:4] == b"RIFF" and data[4:8] == b"\xff\xff\xff\xff"
+    assert data[36:40] == b"data" and data[40:44] == b"\xff\xff\xff\xff"
+    pcm = np.frombuffer(data[44:], "<i2").astype(np.float32) / 32767.0
+    ref = svc.get_model("default").synthesize(text)
+    assert len(pcm) == len(ref)
+    np.testing.assert_allclose(pcm, np.clip(ref, -1, 1), atol=1e-3)
