@@ -849,3 +849,21 @@ def synthesize_streaming(
             break
     if held is not None and len(held):
         yield held
+
+
+# --------------------------------------------------------------- parallelism
+
+
+def speech_lm_partition_rules(tp_axis: str = "tp"):
+    """TP rules for the full speech LM: backbone rules plus hidden-sharded
+    embedding tables and a vocab-parallel output head (the 6564-way logits +
+    softmax shard over ``tp_axis``; XLA inserts the cross-shard reductions)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.partition import PartitionRules
+
+    return PartitionRules(rules=q2.partition_rules(tp_axis).rules + (
+        (r"(text_embed|speech_embed)$", P(None, tp_axis)),
+        (r"head/kernel$", P(None, tp_axis)),
+        (r"head/bias$", P(tp_axis)),
+    ))

@@ -301,3 +301,28 @@ def from_hf_state_dict(state: Dict[str, Any], cfg: Qwen2Config) -> Params:
             "down": linear_from_torch(g(f"{base}.mlp.down_proj.weight")),
         })
     return {"layers": layers, "ln_f": {"scale": t2j(g("norm.weight"))}}
+
+
+# --------------------------------------------------------------- parallelism
+
+
+def partition_rules(tp_axis: str = "tp"):
+    """Megatron-style tensor-parallel layout for the backbone.
+
+    Column-parallel q/k/v/gate/up (output features sharded over ``tp_axis``)
+    and row-parallel o/down (input features sharded), so each attention/MLP
+    block needs exactly one all-reduce — inserted automatically by XLA's
+    sharding propagation, not hand-written collectives. Replaces the
+    reference's single-process-group DDP (train_greek.sh:24) with a layout
+    that also scales model size. Requires heads % tp == 0 and
+    kv_heads % tp == 0 for fully local attention-head math.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.partition import PartitionRules
+
+    return PartitionRules(rules=(
+        (r"/(q|k|v|gate|up)/kernel$", P(None, tp_axis)),
+        (r"/(q|k|v)/bias$", P(tp_axis)),
+        (r"/(o|down)/kernel$", P(tp_axis, None)),
+    ))

@@ -25,12 +25,29 @@ class PartitionRules:
 
     rules: Tuple[Tuple[str, P], ...]
 
-    def spec_for(self, path: str, shape: Sequence[int]) -> P:
+    def spec_for(self, path: str, shape: Sequence[int], mesh: Mesh | None = None) -> P:
+        """First matching rule whose spec fits ``shape``; falls back to
+        replication when a sharded dim isn't divisible by its mesh axis
+        (e.g. a 53-way vocab head under tp=2 — better replicated than a
+        crash; XLA requires even shards)."""
         for pattern, spec in self.rules:
             if re.search(pattern, path):
-                if len(spec) <= len(shape):
+                if len(spec) <= len(shape) and _divisible(spec, shape, mesh):
                     return spec
         return P()
+
+
+def _divisible(spec: P, shape: Sequence[int], mesh: Mesh | None) -> bool:
+    if mesh is None:
+        return True
+    for dim, axes in zip(shape, spec):
+        if axes is None:
+            continue
+        for ax in (axes if isinstance(axes, tuple) else (axes,)):
+            n = mesh.shape.get(ax, 1)
+            if n and dim % n != 0:
+                return False
+    return True
 
 
 def _flatten_with_paths(tree):
@@ -53,7 +70,7 @@ def logical_to_sharding(params, mesh: Mesh, rules: PartitionRules):
     """Device-put every leaf according to the first matching rule."""
     flat, treedef = _flatten_with_paths(params)
     placed = [
-        jax.device_put(leaf, NamedSharding(mesh, rules.spec_for(path, getattr(leaf, "shape", ()))))
+        jax.device_put(leaf, NamedSharding(mesh, rules.spec_for(path, getattr(leaf, "shape", ()), mesh)))
         for path, leaf in flat
     ]
     return jax.tree_util.tree_unflatten(treedef, placed)
@@ -64,7 +81,7 @@ def sharding_tree(params, mesh: Mesh, rules: PartitionRules):
     (for use as pjit in_shardings/out_shardings) instead of placing data."""
     flat, treedef = _flatten_with_paths(params)
     specs = [
-        NamedSharding(mesh, rules.spec_for(path, getattr(leaf, "shape", ())))
+        NamedSharding(mesh, rules.spec_for(path, getattr(leaf, "shape", ()), mesh))
         for path, leaf in flat
     ]
     return jax.tree_util.tree_unflatten(treedef, specs)

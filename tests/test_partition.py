@@ -1,0 +1,80 @@
+"""Tensor-parallel partition rules: layout correctness and numerical
+transparency on the virtual 8-device CPU mesh (SURVEY.md §2.19 — the reference
+has no TP; these rules are the TPU-native scaling design pjit exercises)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from expressive_speech_translation_tpu.models import cosyvoice as cv
+from expressive_speech_translation_tpu.models import qwen2 as q2
+from expressive_speech_translation_tpu.parallel import MeshSpec, make_mesh
+from expressive_speech_translation_tpu.parallel.mesh import DP_AXIS, TP_AXIS
+from expressive_speech_translation_tpu.parallel.partition import sharding_tree
+from expressive_speech_translation_tpu.train.sft import SFTBatch, lm_loss
+
+LM = cv.SpeechLMConfig(
+    backbone=q2.Qwen2Config(hidden=64, layers=2, heads=4, kv_heads=2,
+                            ffn_dim=128, max_positions=128),
+    text_vocab=96, speech_token_size=61,  # head dim 64 — divisible by tp=2
+)
+
+
+def _batch(b=4):
+    g = np.random.default_rng(0)
+    return SFTBatch(
+        text_tokens=jnp.asarray(g.integers(0, 96, (b, 5)), jnp.int32),
+        text_mask=jnp.ones((b, 5), bool),
+        speech_tokens=jnp.asarray(g.integers(0, 61, (b, 7)), jnp.int32),
+        speech_mask=jnp.ones((b, 7), bool),
+    )
+
+
+def test_tp_rules_apply_expected_layout():
+    mesh = make_mesh(MeshSpec(dp=-1, tp=2))
+    params = cv.init_speech_lm(jax.random.PRNGKey(0), LM)
+    sh = sharding_tree(params, mesh, cv.speech_lm_partition_rules(TP_AXIS))
+    layer = sh["backbone"]["layers"][0]
+    assert layer["q"]["kernel"].spec == P(None, TP_AXIS)      # column-parallel
+    assert layer["o"]["kernel"].spec == P(TP_AXIS, None)      # row-parallel
+    assert layer["down"]["kernel"].spec == P(TP_AXIS, None)
+    assert layer["input_ln"]["scale"].spec == P()             # replicated norm
+    assert sh["head"]["kernel"].spec == P(None, TP_AXIS)      # vocab-parallel
+    assert sh["speech_embed"].spec == P(None, TP_AXIS)
+
+
+def test_tp_rules_divisibility_fallback():
+    """A 53-way head under tp=2 must fall back to replication, not crash."""
+    mesh = make_mesh(MeshSpec(dp=-1, tp=2))
+    odd = cv.SpeechLMConfig(backbone=LM.backbone, text_vocab=96, speech_token_size=50)
+    params = cv.init_speech_lm(jax.random.PRNGKey(0), odd)
+    sh = sharding_tree(params, mesh, cv.speech_lm_partition_rules(TP_AXIS))
+    assert sh["head"]["kernel"].spec == P()                   # 53 % 2 != 0
+    assert sh["head"]["bias"].spec == P()
+    assert sh["backbone"]["layers"][0]["q"]["kernel"].spec == P(None, TP_AXIS)
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_forward_matches_replicated(tp):
+    """The sharded loss must equal the single-device loss: TP is a layout,
+    not a numerics change."""
+    params = cv.init_speech_lm(jax.random.PRNGKey(1), LM)
+    batch = _batch()
+    ref, _ = lm_loss(params, LM, batch, compute_dtype=jnp.float32)
+
+    mesh = make_mesh(MeshSpec(dp=-1, tp=tp))
+    rules = cv.speech_lm_partition_rules(TP_AXIS)
+    p_sh = sharding_tree(params, mesh, rules)
+    params_tp = jax.device_put(params, p_sh)
+    data_sh = NamedSharding(mesh, P(DP_AXIS))
+    batch_tp = jax.device_put(batch, SFTBatch(*([data_sh] * 4)))
+
+    fn = jax.jit(
+        lambda p, b: lm_loss(p, LM, b, compute_dtype=jnp.float32)[0],
+        in_shardings=(p_sh, SFTBatch(*([data_sh] * 4))),
+    )
+    got = fn(params_tp, batch_tp)
+    np.testing.assert_allclose(float(got), float(ref), rtol=2e-5, atol=2e-5)
