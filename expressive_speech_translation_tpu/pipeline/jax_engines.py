@@ -243,6 +243,16 @@ class JaxCosyVoiceTts:
 
         self._fn = _synth
 
+        @functools.partial(jax.jit, static_argnums=(9,))
+        def _synth_b(params, key, text, tmask, spk, pmel, pmm, psp, psm, max_new):
+            out = cvm.synthesize(
+                params, self.cfg, key, text, tmask, psp, psm, spk, pmel, pmm,
+                max_new_tokens=max_new,
+            )
+            return out["audio"], out["token_lengths"]
+
+        self._fn_b = _synth_b
+
         @jax.jit
         def _cond(ecapa_params, st_params, ref16):
             """Fused voice-prompt conditioning: fixed 10 s 16 kHz reference →
@@ -260,6 +270,33 @@ class JaxCosyVoiceTts:
             return spk.astype(dtype), pmel, psp
 
         self._cond_fn = _cond
+
+        @jax.jit
+        def _cond_b(ecapa_params, st_params, ref16, has_ref):
+            """Batched conditioning: [N, 10 s] references → per-row (spk,
+            prompt mel, prompt tokens), rows without a reference zeroed/masked.
+            One dispatch for the whole serving batch."""
+            from ..models import speech_tokenizer as st
+            from ..ops import kaldi_fbank, resample
+
+            spk = ecapa.embed_audio(ecapa_params, self._ecapa_cfg, ref16)
+            ref24 = resample(ref16, 16_000, 24_000)
+            pmel = kaldi_fbank(ref24, sr=24_000)[:, :100].astype(dtype)
+            st_mel = kaldi_fbank(ref24, sr=24_000, frame_length_ms=40.0,
+                                 frame_shift_ms=20.0, n_mels=self._st_cfg.n_mels)
+            ids, _ = st.encode(st_params, self._st_cfg, st_mel,
+                               jnp.ones(st_mel.shape[:2], bool))
+            psp = (ids[:, :50] % self.cfg.lm.speech_token_size).astype(jnp.int32)
+            hr = has_ref
+            spk = spk.astype(dtype) * hr[:, None]
+            pmel = pmel * hr[:, None, None]
+            psp = psp * hr[:, None].astype(jnp.int32)
+            # rows without a reference keep 2 live (zero) prompt slots — same
+            # conditioning the single-request path uses
+            psm = hr[:, None].astype(bool) | (jnp.arange(psp.shape[1])[None, :] < 2)
+            return spk, pmel, psp, psm
+
+        self._cond_b_fn = _cond_b
 
     def _prepare_conditioning(self, text: str, reference_audio_16k):
         """Shared text/voice-prompt prep for batch and streaming synthesis."""
@@ -296,6 +333,56 @@ class JaxCosyVoiceTts:
         self._key, k = jax.random.split(self._key)
         audio = self._fn(self.params, k, toks, tmask, spk, pmel, pmm, psp, max_new)
         return np.asarray(audio, np.float32)[0]
+
+    def synthesize_batch(self, requests: List[Dict[str, Any]]) -> List[np.ndarray]:
+        """Batched synthesis: N concurrent requests → ONE compiled dispatch.
+
+        ``requests`` entries: {"text": str, "reference_audio_16k": array|None,
+        "style_prompt": str, "language": str}. Per-request conditioning is
+        prepared individually (each already a single fused program), padded to
+        shared buckets (text width, prompt-mel frames, prompt tokens, decode
+        budget, batch size), and run through one B×… program. The reference
+        serves strictly one request per GPU pass (Docker/cosyvoice_api.py:96);
+        at serving batch 8 the MXU amortises weight streaming 8×.
+        """
+        if not requests:
+            return []
+        n = len(requests)
+        from ..serve.batching import bucket_batch
+
+        nb = bucket_batch(n)
+        # text packing: pure numpy (shared bucket width across the batch)
+        enc = [self.tokenizer.encode(r["text"])[:256] for r in requests]
+        t_w = _bucket(max(max(len(e) for e in enc), 1), TEXT_BUCKETS)
+        toks = np.zeros((nb, t_w), np.int32)
+        tmask = np.zeros((nb, t_w), bool)
+        for i, e in enumerate(enc):
+            toks[i, : len(e)] = np.asarray(e) % self.cfg.lm.text_vocab
+            tmask[i, : len(e)] = True
+        # voice-prompt conditioning: ONE batched dispatch for all rows
+        refs = np.zeros((nb, 16_000 * 10), np.float32)
+        has_ref = np.zeros((nb,), np.float32)
+        for i, r in enumerate(requests):
+            ra = r.get("reference_audio_16k")
+            if ra is not None and len(np.asarray(ra).reshape(-1)) > 1600:
+                refs[i] = np.resize(
+                    np.asarray(ra, np.float32).reshape(-1)[: 16_000 * 10], 16_000 * 10)
+                has_ref[i] = 1.0
+        spk, pmel, psp, psm = self._cond_b_fn(self._ecapa, self._st, refs, has_ref)
+        pmm = np.ones((nb, pmel.shape[1]), bool)
+        seconds = max(
+            float(np.clip(len(r["text"]) * self.seconds_per_char, 0.6, 30.0))
+            for r in requests
+        )
+        max_new = _bucket(int(seconds * 25), (64, 128, 256, 512, 768))
+        self._key, k = jax.random.split(self._key)
+        audio, lengths = self._fn_b(
+            self.params, k, toks, tmask, spk, pmel, pmm, psp, psm, max_new,
+        )
+        audio = np.asarray(audio, np.float32)
+        lengths = np.asarray(lengths)
+        spt = self.cfg.flow.token_mel_ratio * self.cfg.vocoder.hop  # samples/token
+        return [audio[i, : max(int(lengths[i]), 1) * spt] for i in range(n)]
 
     def synthesize_streaming(
         self, text: str, *, style_prompt: str = "",

@@ -1,0 +1,133 @@
+"""Serving micro-batcher: coalescing, correctness, error fan-out, and the
+batched TTS dispatch path (the reference serves one request per GPU pass —
+Docker/cosyvoice_api.py:96; this is the TPU-native throughput answer)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from expressive_speech_translation_tpu.serve.batching import (
+    BatchedTts,
+    MicroBatcher,
+    bucket_batch,
+)
+
+
+def test_bucket_batch():
+    assert [bucket_batch(n) for n in (1, 2, 3, 5, 8, 9, 99)] == [1, 2, 4, 8, 8, 16, 16]
+
+
+def test_microbatcher_coalesces_and_preserves_mapping():
+    calls = []
+
+    def run(items):
+        calls.append(len(items))
+        time.sleep(0.05)  # force queue build-up behind the first batch
+        return [x * 10 for x in items]
+
+    mb = MicroBatcher(run, max_batch=8, max_wait_ms=30)
+    futs = [mb.submit(i) for i in range(16)]
+    results = [f.result(timeout=10) for f in futs]
+    mb.shutdown()
+    assert results == [i * 10 for i in range(16)]
+    assert sum(calls) == 16
+    assert len(calls) < 16, f"no coalescing happened: {calls}"
+    assert mb.n_items == 16 and mb.n_batches == len(calls)
+
+
+def test_microbatcher_error_fans_out_and_recovers():
+    def run(items):
+        if any(x < 0 for x in items):
+            raise ValueError("bad item")
+        return items
+
+    mb = MicroBatcher(run, max_batch=4, max_wait_ms=5)
+    bad = mb.submit(-1)
+    with pytest.raises(ValueError):
+        bad.result(timeout=10)
+    # the batcher must keep serving after a failed batch
+    assert mb.submit(7).result(timeout=10) == 7
+    mb.shutdown()
+    with pytest.raises(RuntimeError):
+        mb.submit(1)
+
+
+def test_microbatcher_concurrent_callers():
+    mb = MicroBatcher(lambda xs: [x + 1 for x in xs], max_batch=8, max_wait_ms=10)
+    out = {}
+
+    def call(i):
+        out[i] = mb(i)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(12)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    mb.shutdown()
+    assert out == {i: i + 1 for i in range(12)}
+
+
+class _FakeBatchTts:
+    sample_rate = 24_000
+
+    def __init__(self):
+        self.batch_sizes = []
+
+    def synthesize_batch(self, requests):
+        self.batch_sizes.append(len(requests))
+        return [np.full(100 + len(r["text"]), 0.1, np.float32) for r in requests]
+
+
+def test_batched_tts_facade():
+    inner = _FakeBatchTts()
+    tts = BatchedTts(inner, max_batch=4, max_wait_ms=20)
+    results = {}
+
+    def call(i):
+        results[i] = tts.synthesize("x" * i)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    tts.shutdown()
+    for i in range(8):
+        assert len(results[i]) == 100 + i
+    assert tts.stats["items"] == 8
+    assert max(inner.batch_sizes) > 1, "facade never batched concurrent calls"
+    with pytest.raises(TypeError):
+        BatchedTts(object())
+
+
+def test_jax_tts_synthesize_batch_mixed_conditioning():
+    """Batched engine path: mixed with/without-reference requests through ONE
+    dispatch; every output is a finite waveform of whole-token length."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import cosyvoice as cvm
+    from expressive_speech_translation_tpu.models import qwen2 as q2
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxCosyVoiceTts
+
+    cfg = cvm.CosyVoiceConfig(
+        lm=cvm.SpeechLMConfig(
+            backbone=q2.Qwen2Config(hidden=32, layers=1, heads=4, kv_heads=2,
+                                    ffn_dim=64, max_positions=512),
+            text_vocab=128, speech_token_size=61),
+        flow=cvm.FlowConfig(token_vocab=64, dim=32, layers=1, heads=4, n_steps=2),
+        vocoder=cvm.VocoderConfig(base_channels=32, upsample_rates=(8, 6, 10),
+                                  upsample_kernels=(16, 12, 20)),
+    )
+    tts = JaxCosyVoiceTts(cfg, dtype=jnp.float32, seconds_per_char=0.02)
+    ref = (0.3 * np.sin(2 * np.pi * 180 * np.arange(32000) / 16000)).astype(np.float32)
+    reqs = [
+        {"text": "hello batched world"},
+        {"text": "short"},
+        {"text": "a cloned voice request", "reference_audio_16k": ref},
+    ]
+    outs = tts.synthesize_batch(reqs)
+    assert len(outs) == 3
+    spt = cfg.flow.token_mel_ratio * cfg.vocoder.hop
+    for w in outs:
+        assert w.dtype == np.float32 and np.isfinite(w).all()
+        assert len(w) % spt == 0 and len(w) > 0
+    assert tts.synthesize_batch([]) == []
