@@ -99,6 +99,11 @@ class ServeConfig:
     podcast_limit: str = "5 per minute"
     save_debug_audio: bool = False
     memory_threshold: float = 0.9  # services/resource_monitor.py:11
+    # serving micro-batching (serve/batching.py) — coalesce concurrent TTS
+    # requests into one device dispatch; reference serves 1 request/GPU pass
+    tts_batching: bool = False
+    tts_max_batch: int = 8
+    tts_batch_wait_ms: float = 20.0
 
 
 @dataclass(frozen=True)

@@ -403,12 +403,21 @@ class JaxCosyVoiceTts:
         )
 
 
-def jax_engines(**kwargs) -> "Engines":
-    """Engines wired to the JAX models (random weights unless supplied)."""
+def jax_engines(*, batch_tts: bool = False, max_batch: int = 8,
+                batch_wait_ms: float = 20.0, **kwargs) -> "Engines":
+    """Engines wired to the JAX models (random weights unless supplied).
+
+    ``batch_tts=True`` wraps the TTS engine in the serving micro-batcher so
+    concurrent pipeline requests coalesce into one device dispatch."""
     from .engines import Engines
 
+    tts: Any = JaxCosyVoiceTts(kwargs.get("tts_cfg"), kwargs.get("tts_params"), kwargs.get("tokenizer"))
+    if batch_tts:
+        from ..serve.batching import BatchedTts
+
+        tts = BatchedTts(tts, max_batch=max_batch, max_wait_ms=batch_wait_ms)
     return Engines(
         asr=JaxWhisperAsr(kwargs.get("asr_cfg"), kwargs.get("asr_params"), kwargs.get("tokenizer")),
         nmt=JaxNllbNmt(kwargs.get("nmt_cfg"), kwargs.get("nmt_params"), kwargs.get("tokenizer")),
-        tts=JaxCosyVoiceTts(kwargs.get("tts_cfg"), kwargs.get("tts_params"), kwargs.get("tokenizer")),
+        tts=tts,
     )

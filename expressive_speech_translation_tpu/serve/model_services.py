@@ -115,24 +115,41 @@ class _ServiceApp:
 class CosyVoiceService(_ServiceApp):
     """TTS service with the multi-model registry (default / greek, lazy-loaded)."""
 
-    def __init__(self, model_factories: Optional[Dict[str, Callable[[], Any]]] = None):
+    def __init__(
+        self,
+        model_factories: Optional[Dict[str, Callable[[], Any]]] = None,
+        *,
+        batching: bool = False,
+        max_batch: int = 8,
+        batch_wait_ms: float = 20.0,
+    ):
         if model_factories is None:
             from ..pipeline.engines import FakeTts
 
             model_factories = {"default": FakeTts, "greek": FakeTts}
         self._factories = model_factories
         self._models: Dict[str, Any] = {}
+        self._batching = batching
+        self._max_batch = max_batch
+        self._batch_wait_ms = batch_wait_ms
         self.routes = Map([
             Rule("/generate-speech/", endpoint="generate", methods=["POST"]),
             Rule("/health", endpoint="health", methods=["GET"]),
         ])
 
     def get_model(self, name: str):
-        """Lazy load + cache (cosyvoice_api.py:37-69)."""
+        """Lazy load + cache (cosyvoice_api.py:37-69); with batching on,
+        batch-capable models are wrapped in the micro-batching facade."""
         key = name if name in self._factories else "default"
         if key not in self._models:
             log.info("loading TTS model %r", key)
-            self._models[key] = self._factories[key]()
+            model = self._factories[key]()
+            if self._batching and hasattr(model, "synthesize_batch"):
+                from .batching import BatchedTts
+
+                model = BatchedTts(model, max_batch=self._max_batch,
+                                   max_wait_ms=self._batch_wait_ms)
+            self._models[key] = model
         return self._models[key]
 
     def warm_up(self):
@@ -140,7 +157,13 @@ class CosyVoiceService(_ServiceApp):
         self.get_model("default").synthesize("Hello world.")
 
     def route_health(self, request, req_id):
-        return _json({"status": "healthy", "models_loaded": list(self._models)})
+        payload = {"status": "healthy", "models_loaded": list(self._models)}
+        batch_stats = {
+            name: m.stats for name, m in self._models.items() if hasattr(m, "stats")
+        }
+        if batch_stats:
+            payload["batching"] = batch_stats
+        return _json(payload)
 
     def route_generate(self, request, req_id):
         text = request.form.get("text")
@@ -293,9 +316,15 @@ def run_service(name: str, port: Optional[int] = None) -> None:
         "openvoice": (OpenVoiceService, 8004),
     }
     cls, default_port = services[name]
-    app = cls()
     if name == "cosyvoice":
+        from ..core.config import load_config
+
+        sc = load_config().serve
+        app = cls(batching=sc.tts_batching, max_batch=sc.tts_max_batch,
+                  batch_wait_ms=sc.tts_batch_wait_ms)
         app.warm_up()
+    else:
+        app = cls()
     run_simple("0.0.0.0", port or default_port, app, threaded=True)
 
 

@@ -131,3 +131,27 @@ def test_jax_tts_synthesize_batch_mixed_conditioning():
         assert w.dtype == np.float32 and np.isfinite(w).all()
         assert len(w) % spt == 0 and len(w) > 0
     assert tts.synthesize_batch([]) == []
+
+
+def test_cosyvoice_service_with_batching_enabled():
+    """Service facade wires BatchedTts and reports stats on /health."""
+    from werkzeug.test import Client
+
+    from expressive_speech_translation_tpu.serve.model_services import CosyVoiceService
+
+    class _Batchable:
+        sample_rate = 24_000
+
+        def synthesize_batch(self, requests):
+            return [np.zeros(240, np.float32) for _ in requests]
+
+        def synthesize(self, text, **kw):  # bypassed when wrapped
+            raise AssertionError("wrapped model's synthesize must not be called")
+
+    svc = CosyVoiceService({"default": _Batchable}, batching=True, max_batch=4,
+                           batch_wait_ms=5)
+    client = Client(svc)
+    resp = client.post("/generate-speech/", data={"text": "hi"})
+    assert resp.status_code == 200 and resp.data[:4] == b"RIFF"
+    health = client.get("/health").get_json()
+    assert health["batching"]["default"] == {"items": 1, "batches": 1}
