@@ -78,65 +78,138 @@ class JaxWhisperAsr:
 
         self._fn = _transcribe
 
-    def transcribe(self, audio_16k: np.ndarray, language: Optional[str] = None) -> Dict[str, Any]:
-        x = np.asarray(audio_16k, np.float32).reshape(-1)
-        duration = len(x) / 16_000.0
+        @jax.jit
+        def _transcribe_b(params, audio, prompt):
+            """Batched 30 s chunks [N, samples] (zero-padded) in one dispatch.
+            Uses the XLA mel (batch-native); the fused Pallas mel is per-row
+            and its win (~7 ms/30 s) is noise next to batched decode."""
+            from ..ops import whisper_log_mel
+
+            mel = whisper_log_mel(audio).astype(dtype)
+            return wjm.greedy_decode_with_alignment(
+                params, self.cfg, mel, prompt, max_new_tokens=max_new_tokens
+            )
+
+        self._fn_b = _transcribe_b
+
+    def _prompt_row(self, language: Optional[str]) -> List[int]:
         try:
             lang_tok = whisper_lang_token(language or "eng")
         except KeyError:
             lang_tok = whisper_lang_token("eng")
-        prompt = jnp.asarray(
-            [[self.cfg.bos_token, lang_tok, self.cfg.task_transcribe, self.cfg.no_timestamps]],
-            jnp.int32,
-        )
+        return [self.cfg.bos_token, lang_tok, self.cfg.task_transcribe, self.cfg.no_timestamps]
+
+    def _decode_chunk_host(
+        self, tokens: np.ndarray, aligns: np.ndarray, p_len: int,
+        chunk_offset: float, chunk_seconds: float,
+    ) -> tuple:
+        """Host post-pass for one decoded 30 s chunk: DTW token times over the
+        cross-attention alignment (whisper find_alignment parity) + word
+        splitting. Returns (text, words)."""
+        gen = tokens[p_len:]
+        keep = [(i, int(t)) for i, t in enumerate(gen)
+                if t != self.cfg.eos_token and t < 50_000]
+        if not keep:
+            return "", []
+        token_aligns = aligns[p_len:][[i for i, _ in keep]]
+        token_times = wjm.dtw_token_times(token_aligns, len(keep), chunk_seconds)
+        chunk_text = self.tokenizer.decode([t for _, t in keep]).strip()
+        words: List[Dict[str, Any]] = []
+        current: List[int] = []
+        word_start = float(token_times[0]) if len(token_times) else 0.0
+        for (i, tok), t_sec in zip(keep, token_times):
+            piece = self.tokenizer.decode([tok])
+            if piece.isspace() or piece == "":
+                if current:
+                    words.append({
+                        "word": self.tokenizer.decode(current).strip(),
+                        "start": round(chunk_offset + word_start, 3),
+                        "end": round(chunk_offset + float(t_sec), 3),
+                    })
+                    current = []
+                word_start = float(t_sec)
+            else:
+                if not current:
+                    word_start = float(t_sec)
+                current.append(tok)
+        if current:
+            words.append({
+                "word": self.tokenizer.decode(current).strip(),
+                "start": round(chunk_offset + word_start, 3),
+                "end": round(chunk_offset + chunk_seconds, 3),
+            })
+        return chunk_text, [w for w in words if w["word"]]
+
+    def transcribe(self, audio_16k: np.ndarray, language: Optional[str] = None) -> Dict[str, Any]:
+        x = np.asarray(audio_16k, np.float32).reshape(-1)
+        prompt = jnp.asarray([self._prompt_row(language)], jnp.int32)
         texts: List[str] = []
         words: List[Dict[str, Any]] = []
         chunk = 16_000 * 30
         p_len = int(prompt.shape[1])
         for start in range(0, max(len(x), 1), chunk):
             seg = x[start:start + chunk]
-            chunk_offset = start / 16_000.0
-            chunk_seconds = len(seg) / 16_000.0
             tokens_a, aligns = self._fn(self.params, jnp.asarray(seg), prompt)
-            tokens = np.asarray(tokens_a)[0]
-            gen = tokens[p_len:]
-            keep = [(i, int(t)) for i, t in enumerate(gen)
-                    if t != self.cfg.eos_token and t < 50_000]
-            if not keep:
-                continue
-            # per-token times via DTW over the cross-attention alignment
-            # (whisper find_alignment parity; ops run host-side on numpy)
-            token_aligns = np.asarray(aligns)[0][p_len:][[i for i, _ in keep]]
-            token_times = wjm.dtw_token_times(token_aligns, len(keep), chunk_seconds)
-            chunk_text = self.tokenizer.decode([t for _, t in keep]).strip()
-            texts.append(chunk_text)
-            # word boundaries: split the token stream at whitespace tokens
-            current: List[int] = []
-            word_start = float(token_times[0]) if len(token_times) else 0.0
-            for (i, tok), t_sec in zip(keep, token_times):
-                piece = self.tokenizer.decode([tok])
-                if piece.isspace() or piece == "":
-                    if current:
-                        words.append({
-                            "word": self.tokenizer.decode(current).strip(),
-                            "start": round(chunk_offset + word_start, 3),
-                            "end": round(chunk_offset + float(t_sec), 3),
-                        })
-                        current = []
-                    word_start = float(t_sec)
-                else:
-                    if not current:
-                        word_start = float(t_sec)
-                    current.append(tok)
-            if current:
-                words.append({
-                    "word": self.tokenizer.decode(current).strip(),
-                    "start": round(chunk_offset + word_start, 3),
-                    "end": round(chunk_offset + chunk_seconds, 3),
-                })
+            chunk_text, chunk_words = self._decode_chunk_host(
+                np.asarray(tokens_a)[0], np.asarray(aligns)[0], p_len,
+                start / 16_000.0, len(seg) / 16_000.0,
+            )
+            if chunk_text:
+                texts.append(chunk_text)
+            words.extend(chunk_words)
         text = " ".join(t for t in texts if t)
-        words = [w for w in words if w["word"]]
         return {"text": text, "language": language or "eng", "words": words}
+
+    def transcribe_batch(self, requests: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        """Batched ASR: every 30 s chunk of every request rides ONE dispatch.
+
+        ``requests`` entries: {"audio_16k": array, "language": str|None}.
+        Chunks are flattened across requests (a 70 s file contributes 3 rows),
+        zero-padded to the 30 s window, and the row count padded to a bucket —
+        so concurrent callers of any duration mix share compiled graphs.
+        """
+        if not requests:
+            return []
+        from ..serve.batching import bucket_batch
+
+        chunk = 16_000 * 30
+        specs = []   # (request index, chunk offset seconds, chunk seconds)
+        rows: List[np.ndarray] = []
+        prompts: List[List[int]] = []
+        for i, r in enumerate(requests):
+            x = np.asarray(r["audio_16k"], np.float32).reshape(-1)
+            prow = self._prompt_row(r.get("language"))
+            for start in range(0, max(len(x), 1), chunk):
+                seg = x[start:start + chunk]
+                padded = np.zeros(chunk, np.float32)
+                padded[: len(seg)] = seg
+                rows.append(padded)
+                prompts.append(prow)
+                specs.append((i, start / 16_000.0, len(seg) / 16_000.0))
+        nb = bucket_batch(len(rows), (1, 2, 4, 8, 16, 32))
+        audio = np.zeros((nb, chunk), np.float32)
+        audio[: len(rows)] = np.stack(rows)
+        prompt = np.tile(np.asarray(prompts[0], np.int32), (nb, 1))
+        prompt[: len(prompts)] = np.asarray(prompts, np.int32)
+        tokens_a, aligns_a = self._fn_b(self.params, audio, prompt)
+        tokens_np = np.asarray(tokens_a)
+        aligns_np = np.asarray(aligns_a)
+        p_len = prompt.shape[1]
+        results = [{"text": [], "words": []} for _ in requests]
+        for row, (ri, offset, seconds) in enumerate(specs):
+            t, w = self._decode_chunk_host(
+                tokens_np[row], aligns_np[row], p_len, offset, seconds)
+            if t:
+                results[ri]["text"].append(t)
+            results[ri]["words"].extend(w)
+        return [
+            {
+                "text": " ".join(res["text"]),
+                "language": requests[i].get("language") or "eng",
+                "words": res["words"],
+            }
+            for i, res in enumerate(results)
+        ]
 
 
 class JaxNllbNmt:

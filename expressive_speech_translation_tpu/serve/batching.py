@@ -164,3 +164,27 @@ class BatchedTts:
 
     def shutdown(self):
         self._mb.shutdown()
+
+
+class BatchedAsr:
+    """AsrEngine facade over a batch-capable engine + MicroBatcher
+    (counterpart of :class:`BatchedTts` for ``transcribe``)."""
+
+    def __init__(self, engine: Any, *, max_batch: int = 8, max_wait_ms: float = 20.0):
+        if not hasattr(engine, "transcribe_batch"):
+            raise TypeError("engine must expose transcribe_batch(requests)")
+        self.engine = engine
+        self._mb = MicroBatcher(
+            engine.transcribe_batch, max_batch=max_batch,
+            max_wait_ms=max_wait_ms, name="asr-microbatch",
+        )
+
+    def transcribe(self, audio_16k: Any, language: Optional[str] = None):
+        return self._mb({"audio_16k": audio_16k, "language": language})
+
+    @property
+    def stats(self) -> dict:
+        return {"items": self._mb.n_items, "batches": self._mb.n_batches}
+
+    def shutdown(self):
+        self._mb.shutdown()

@@ -155,3 +155,38 @@ def test_cosyvoice_service_with_batching_enabled():
     assert resp.status_code == 200 and resp.data[:4] == b"RIFF"
     health = client.get("/health").get_json()
     assert health["batching"]["default"] == {"items": 1, "batches": 1}
+
+
+def test_jax_asr_transcribe_batch_matches_single():
+    """Batched ASR must produce the same transcripts/word times as the
+    single-request path (greedy decode is deterministic)."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import whisper as wjm
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxWhisperAsr
+    from expressive_speech_translation_tpu.serve.batching import BatchedAsr
+
+    cfg = wjm.WhisperConfig(
+        n_mels=80, d_model=64, encoder_layers=1, decoder_layers=1, heads=4,
+        vocab_size=51865, max_source_positions=1500, max_target_positions=448,
+    )
+    asr = JaxWhisperAsr(cfg, dtype=jnp.float32, max_new_tokens=8)
+    g = np.random.default_rng(0)
+    a1 = (0.2 * g.standard_normal(16000 * 2)).astype(np.float32)
+    a2 = (0.2 * np.sin(2 * np.pi * 300 * np.arange(16000 * 35) / 16000)).astype(np.float32)
+
+    single = [asr.transcribe(a1), asr.transcribe(a2, language="fra")]
+    batched = asr.transcribe_batch([
+        {"audio_16k": a1}, {"audio_16k": a2, "language": "fra"},
+    ])
+    for s, b in zip(single, batched):
+        assert b["text"] == s["text"]
+        assert b["language"] == s["language"]
+        assert b["words"] == s["words"]
+
+    facade = BatchedAsr(asr, max_batch=4, max_wait_ms=5)
+    out = facade.transcribe(a1)
+    facade.shutdown()
+    assert out["text"] == single[0]["text"]
+    with pytest.raises(TypeError):
+        BatchedAsr(object())
