@@ -66,6 +66,8 @@ class WhisperConfig:
     task_transcribe: int = 50359
     task_translate: int = 50358
     no_timestamps: int = 50363
+    lang_token_start: int = 50259    # <|en|>; 99 consecutive language tokens
+    n_langs: int = 99
 
     @property
     def attn(self) -> AttnConfig:
@@ -367,6 +369,26 @@ def decode_full(
 
 
 # ------------------------------------------------------------------ generation
+
+
+def detect_language(
+    params: Params, cfg: WhisperConfig, mel: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whisper language identification (openai-whisper ``detect_language``
+    parity, used when the caller passes no source language —
+    services/cascaded_backend.py:188 reads the detected language back).
+
+    One decoder step from ``<|startoftranscript|>`` with logits restricted to
+    the 99 consecutive language tokens. mel [B, n_mels, 3000] →
+    (lang token ids [B], probabilities [B, n_langs])."""
+    enc_out = encode(params, cfg, mel)
+    sot = jnp.full((mel.shape[0], 1), cfg.bos_token, jnp.int32)
+    logits = decode_full(params, cfg, sot, enc_out)[:, 0, :]
+    lang_logits = jax.lax.dynamic_slice_in_dim(
+        logits, cfg.lang_token_start, min(cfg.n_langs, cfg.vocab_size - cfg.lang_token_start), axis=1
+    )
+    probs = jax.nn.softmax(lang_logits.astype(jnp.float32), axis=-1)
+    return cfg.lang_token_start + jnp.argmax(lang_logits, axis=-1), probs
 
 
 def greedy_decode(

@@ -92,6 +92,14 @@ class JaxWhisperAsr:
 
         self._fn_b = _transcribe_b
 
+        @jax.jit
+        def _detect(params, audio):
+            mel = whisper_log_mel_pallas(audio).astype(dtype)
+            ids, probs = wjm.detect_language(params, self.cfg, mel[None])
+            return ids[0], probs[0]
+
+        self._detect_fn = _detect
+
     def _prompt_row(self, language: Optional[str]) -> List[int]:
         try:
             lang_tok = whisper_lang_token(language or "eng")
@@ -140,8 +148,20 @@ class JaxWhisperAsr:
             })
         return chunk_text, [w for w in words if w["word"]]
 
+    def detect_language(self, audio_16k: np.ndarray) -> str:
+        """Identify the spoken language from the first 30 s (whisper
+        detect_language parity; the reference reads the detected language out
+        of the ASR result, cascaded_backend.py:188)."""
+        from .languages import whisper_token_to_app
+
+        x = np.asarray(audio_16k, np.float32).reshape(-1)[: 16_000 * 30]
+        tok, _ = self._detect_fn(self.params, x)
+        return whisper_token_to_app(int(tok))
+
     def transcribe(self, audio_16k: np.ndarray, language: Optional[str] = None) -> Dict[str, Any]:
         x = np.asarray(audio_16k, np.float32).reshape(-1)
+        if language is None:
+            language = self.detect_language(x)
         prompt = jnp.asarray([self._prompt_row(language)], jnp.int32)
         texts: List[str] = []
         words: List[Dict[str, Any]] = []
@@ -176,9 +196,12 @@ class JaxWhisperAsr:
         specs = []   # (request index, chunk offset seconds, chunk seconds)
         rows: List[np.ndarray] = []
         prompts: List[List[int]] = []
+        langs = [r.get("language") for r in requests]
         for i, r in enumerate(requests):
             x = np.asarray(r["audio_16k"], np.float32).reshape(-1)
-            prow = self._prompt_row(r.get("language"))
+            if langs[i] is None:
+                langs[i] = self.detect_language(x)
+            prow = self._prompt_row(langs[i])
             for start in range(0, max(len(x), 1), chunk):
                 seg = x[start:start + chunk]
                 padded = np.zeros(chunk, np.float32)
@@ -205,7 +228,7 @@ class JaxWhisperAsr:
         return [
             {
                 "text": " ".join(res["text"]),
-                "language": requests[i].get("language") or "eng",
+                "language": langs[i] or "eng",
                 "words": res["words"],
             }
             for i, res in enumerate(results)

@@ -54,3 +54,14 @@ def whisper_lang_token(app_code: str) -> int:
 def supported_languages() -> list[str]:
     """Languages the cascaded pipeline supports end-to-end."""
     return sorted(set(COSYVOICE_LANGUAGES) & set(NLLB_LANGUAGES))
+
+
+_WHISPER_TOKEN_TO_SHORT = {tok: code for code, tok in WHISPER_LANG_TOKENS.items()}
+_WHISPER_TO_APP = {v: k for k, v in reversed(_APP_TO_WHISPER.items())}
+
+
+def whisper_token_to_app(token: int) -> str:
+    """Whisper language-token id → app code (best effort: languages outside
+    the pipeline's 19 supported codes fall back to the whisper short code)."""
+    short = _WHISPER_TOKEN_TO_SHORT.get(int(token), "en")
+    return _WHISPER_TO_APP.get(short, short)

@@ -93,7 +93,28 @@ def lm_loss(
     denom = jnp.maximum(jnp.sum(tgt_mask), 1)
     loss = jnp.sum(nll * tgt_mask) / denom
     acc = jnp.sum((jnp.argmax(speech_logits, -1) == targets) & tgt_mask) / denom
-    return loss, {"loss": loss, "acc": acc}
+    metrics = {"loss": loss, "acc": acc}
+
+    # Multi-token-prediction heads (cfg.mtp > 1): head j predicts token
+    # t+2+j from the hidden state at t, trained jointly with the main head so
+    # generate_speech_tokens_mtp can emit K tokens per backbone pass.
+    if "mtp_heads" in p:
+        speech_hidden = hidden[:, start - 1: start + ts, :]   # [B, Ts+1, H]
+        mtp_total = jnp.float32(0.0)
+        for j, head in enumerate(p["mtp_heads"]):
+            shift = j + 1
+            h_j = speech_hidden[:, : ts + 1 - shift, :]
+            logits_j = h_j @ head["kernel"] + head["bias"]
+            t_j = targets[:, shift:]
+            m_j = tgt_mask[:, shift:]
+            logp_j = jax.nn.log_softmax(logits_j.astype(jnp.float32), axis=-1)
+            nll_j = -jnp.take_along_axis(logp_j, t_j[..., None], axis=-1)[..., 0]
+            mtp_total = mtp_total + jnp.sum(nll_j * m_j) / jnp.maximum(jnp.sum(m_j), 1)
+        mtp_loss = mtp_total / len(p["mtp_heads"])
+        metrics["mtp_loss"] = mtp_loss
+        loss = loss + mtp_loss
+        metrics["loss"] = loss
+    return loss, metrics
 
 
 def make_optimizer(

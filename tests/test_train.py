@@ -149,3 +149,36 @@ def test_pad_batch_masks():
     assert arrays["speech_tokens"].shape == (2, 4)
     assert arrays["speech_tokens_mask"].sum() == 5
     assert arrays["speech_tokens"][1, 2] == 0
+
+
+def test_lm_loss_trains_mtp_heads():
+    """With cfg.mtp > 1 the loss gets an mtp term and the MTP heads receive
+    nonzero gradients (jointly trained with the main head)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from expressive_speech_translation_tpu.models import cosyvoice as cv
+    from expressive_speech_translation_tpu.models import qwen2 as q2
+    from expressive_speech_translation_tpu.train.sft import SFTBatch, lm_loss
+
+    cfg = cv.SpeechLMConfig(
+        backbone=q2.Qwen2Config(hidden=32, layers=1, heads=4, kv_heads=2,
+                                ffn_dim=64, max_positions=64),
+        text_vocab=50, speech_token_size=20, mtp=3,
+    )
+    params = cv.init_speech_lm(jax.random.PRNGKey(0), cfg)
+    g = np.random.default_rng(0)
+    batch = SFTBatch(
+        text_tokens=jnp.asarray(g.integers(0, 50, (2, 4)), jnp.int32),
+        text_mask=jnp.ones((2, 4), bool),
+        speech_tokens=jnp.asarray(g.integers(0, 20, (2, 6)), jnp.int32),
+        speech_mask=jnp.ones((2, 6), bool),
+    )
+    (loss, metrics), grads = jax.value_and_grad(
+        lambda p: lm_loss(p, cfg, batch, compute_dtype=jnp.float32), has_aux=True
+    )(params)
+    assert np.isfinite(float(loss)) and "mtp_loss" in metrics
+    assert float(metrics["loss"]) > float(metrics["loss"] - metrics["mtp_loss"])
+    for head_grad in grads["mtp_heads"]:
+        assert float(jnp.abs(head_grad["kernel"]).max()) > 0

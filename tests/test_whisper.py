@@ -162,3 +162,38 @@ def test_alignment_decode_and_dtw(hf_pair, mel):
     assert times.shape == (t_tok,)
     assert (np.diff(times) >= 0).all()
     np.testing.assert_allclose(times, [0.0, 1.0, 2.0, 3.0, 4.0], atol=0.31)
+
+
+def test_detect_language_range_and_engine_autodetect():
+    """detect_language returns a token inside the 99-language block and the
+    engine resolves it to an app code when language=None."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import whisper as wj
+    from expressive_speech_translation_tpu.ops import whisper_log_mel
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxWhisperAsr
+    from expressive_speech_translation_tpu.pipeline.languages import (
+        WHISPER_LANG_TOKENS,
+        whisper_token_to_app,
+    )
+
+    cfg = wj.WhisperConfig(d_model=64, encoder_layers=1, decoder_layers=1,
+                           heads=4, ffn_dim=128)
+    params = wj.init_whisper(jax.random.PRNGKey(0), cfg)
+    g = np.random.default_rng(0)
+    audio = jnp.asarray(0.1 * g.standard_normal((2, 16000)), jnp.float32)
+    mel = whisper_log_mel(audio)
+    ids, probs = wj.detect_language(params, cfg, mel)
+    assert ids.shape == (2,) and probs.shape == (2, cfg.n_langs)
+    lo = cfg.lang_token_start
+    assert ((np.asarray(ids) >= lo) & (np.asarray(ids) < lo + cfg.n_langs)).all()
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+    # deterministic
+    ids2, _ = wj.detect_language(params, cfg, mel)
+    assert (np.asarray(ids) == np.asarray(ids2)).all()
+    assert whisper_token_to_app(WHISPER_LANG_TOKENS["el"]) == "ell"
+
+    asr = JaxWhisperAsr(cfg, dtype=jnp.float32, max_new_tokens=4)
+    out = asr.transcribe(np.asarray(audio[0]))
+    assert isinstance(out["language"], str) and len(out["language"]) >= 2
+    assert out["language"] == asr.detect_language(np.asarray(audio[0]))
