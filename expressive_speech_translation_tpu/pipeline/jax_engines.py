@@ -287,6 +287,35 @@ class JaxNllbNmt:
         content = [int(t) for t in out[2:] if t not in (self.cfg.eos_token, self.cfg.pad_token)]
         return self.tokenizer.decode(content)
 
+    def translate_batch(self, requests: List[Dict[str, Any]]) -> List[str]:
+        """Batched NMT: requests sharing a target language ride one generate
+        dispatch (forced-BOS is a static arg, so the batch is grouped by
+        target). Entries: {"text", "source_lang", "target_lang"}."""
+        if not requests:
+            return []
+        from ..serve.batching import bucket_batch
+
+        results: List[Optional[str]] = [None] * len(requests)
+        by_target: Dict[int, List[int]] = {}
+        for i, r in enumerate(requests):
+            by_target.setdefault(self._lang_id(r["target_lang"]), []).append(i)
+        for forced_bos, idxs in by_target.items():
+            srcs = []
+            for i in idxs:
+                ids = self.tokenizer.encode(requests[i]["text"])[: self.cfg.max_positions - 2]
+                srcs.append(ids + [self.cfg.eos_token])
+            bucket = _bucket(max(len(s) for s in srcs), TEXT_BUCKETS)
+            nb = bucket_batch(len(idxs))
+            padded = np.full((nb, bucket), self.cfg.pad_token, np.int32)
+            for row, s in enumerate(srcs):
+                padded[row, : len(s)] = np.asarray(s) % self.cfg.vocab_size
+            out = np.asarray(self._fn(self.params, jnp.asarray(padded), forced_bos))
+            for row, i in enumerate(idxs):
+                content = [int(t) for t in out[row, 2:]
+                           if t not in (self.cfg.eos_token, self.cfg.pad_token)]
+                results[i] = self.tokenizer.decode(content)
+        return results  # type: ignore[return-value]
+
 
 class JaxCosyVoiceTts:
     """TTS engine: CosyVoice synthesize with speaker conditioning from the
@@ -499,21 +528,29 @@ class JaxCosyVoiceTts:
         )
 
 
-def jax_engines(*, batch_tts: bool = False, max_batch: int = 8,
+def jax_engines(*, batch_tts: bool = False, batch_asr: bool = False,
+                batch_nmt: bool = False, max_batch: int = 8,
                 batch_wait_ms: float = 20.0, **kwargs) -> "Engines":
     """Engines wired to the JAX models (random weights unless supplied).
 
-    ``batch_tts=True`` wraps the TTS engine in the serving micro-batcher so
-    concurrent pipeline requests coalesce into one device dispatch."""
+    ``batch_tts/asr/nmt=True`` wrap the stage engines in serving
+    micro-batchers so concurrent pipeline requests coalesce into single
+    batched device dispatches."""
     from .engines import Engines
 
+    asr: Any = JaxWhisperAsr(kwargs.get("asr_cfg"), kwargs.get("asr_params"), kwargs.get("tokenizer"))
+    nmt: Any = JaxNllbNmt(kwargs.get("nmt_cfg"), kwargs.get("nmt_params"), kwargs.get("tokenizer"))
     tts: Any = JaxCosyVoiceTts(kwargs.get("tts_cfg"), kwargs.get("tts_params"), kwargs.get("tokenizer"))
     if batch_tts:
         from ..serve.batching import BatchedTts
 
         tts = BatchedTts(tts, max_batch=max_batch, max_wait_ms=batch_wait_ms)
-    return Engines(
-        asr=JaxWhisperAsr(kwargs.get("asr_cfg"), kwargs.get("asr_params"), kwargs.get("tokenizer")),
-        nmt=JaxNllbNmt(kwargs.get("nmt_cfg"), kwargs.get("nmt_params"), kwargs.get("tokenizer")),
-        tts=tts,
-    )
+    if batch_asr:
+        from ..serve.batching import BatchedAsr
+
+        asr = BatchedAsr(asr, max_batch=max_batch, max_wait_ms=batch_wait_ms)
+    if batch_nmt:
+        from ..serve.batching import BatchedNmt
+
+        nmt = BatchedNmt(nmt, max_batch=max_batch, max_wait_ms=batch_wait_ms)
+    return Engines(asr=asr, nmt=nmt, tts=tts)

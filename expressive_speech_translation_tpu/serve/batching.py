@@ -188,3 +188,27 @@ class BatchedAsr:
 
     def shutdown(self):
         self._mb.shutdown()
+
+
+class BatchedNmt:
+    """NmtEngine facade over a batch-capable engine + MicroBatcher."""
+
+    def __init__(self, engine: Any, *, max_batch: int = 16, max_wait_ms: float = 10.0):
+        if not hasattr(engine, "translate_batch"):
+            raise TypeError("engine must expose translate_batch(requests)")
+        self.engine = engine
+        self._mb = MicroBatcher(
+            engine.translate_batch, max_batch=max_batch,
+            max_wait_ms=max_wait_ms, name="nmt-microbatch",
+        )
+
+    def translate(self, text: str, source_lang: str, target_lang: str) -> str:
+        return self._mb({"text": text, "source_lang": source_lang,
+                         "target_lang": target_lang})
+
+    @property
+    def stats(self) -> dict:
+        return {"items": self._mb.n_items, "batches": self._mb.n_batches}
+
+    def shutdown(self):
+        self._mb.shutdown()

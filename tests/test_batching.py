@@ -190,3 +190,28 @@ def test_jax_asr_transcribe_batch_matches_single():
     assert out["text"] == single[0]["text"]
     with pytest.raises(TypeError):
         BatchedAsr(object())
+
+
+def test_jax_nmt_translate_batch_matches_single():
+    """Batched NMT (grouped by target language) must match the single path
+    token-for-token (beam/greedy decode is deterministic)."""
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxNllbNmt
+    from expressive_speech_translation_tpu.serve.batching import BatchedNmt
+
+    nmt = JaxNllbNmt(max_new_tokens=12)
+    reqs = [
+        {"text": "hello world", "source_lang": "eng", "target_lang": "fra"},
+        {"text": "good morning", "source_lang": "eng", "target_lang": "deu"},
+        {"text": "a longer sentence to translate now", "source_lang": "eng",
+         "target_lang": "fra"},
+    ]
+    single = [nmt.translate(r["text"], r["source_lang"], r["target_lang"]) for r in reqs]
+    batched = nmt.translate_batch(reqs)
+    assert batched == single
+    assert nmt.translate_batch([]) == []
+
+    facade = BatchedNmt(nmt, max_batch=4, max_wait_ms=5)
+    assert facade.translate(**reqs[0]) == single[0]
+    facade.shutdown()
+    with pytest.raises(TypeError):
+        BatchedNmt(object())
