@@ -331,7 +331,12 @@ class JaxCosyVoiceTts:
         *,
         dtype=jnp.bfloat16,
         seconds_per_char: float = 0.08,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — the speech-LM params are
+        placed by the tensor-parallel partition rules (models/cosyvoice.py
+        ``speech_lm_partition_rules``) and inference programs pick the layout
+        up from the committed arrays; everything else replicates."""
         from ..models import ecapa, qwen2 as q2
 
         self.cfg = cfg or cvm.CosyVoiceConfig(
@@ -346,6 +351,19 @@ class JaxCosyVoiceTts:
             log.warning("JaxCosyVoiceTts: random weights (no checkpoint supplied)")
             params = cvm.init_cosyvoice(jax.random.PRNGKey(2), self.cfg)
         self.params = cast_floats(params, dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import TP_AXIS
+            from ..parallel.partition import logical_to_sharding
+
+            self.params = {
+                "lm": logical_to_sharding(
+                    self.params["lm"], mesh, cvm.speech_lm_partition_rules(TP_AXIS)),
+                "flow": jax.device_put(self.params["flow"], NamedSharding(mesh, P())),
+                "vocoder": jax.device_put(self.params["vocoder"], NamedSharding(mesh, P())),
+            }
         self.tokenizer = tokenizer or ByteTokenizer()
         self.seconds_per_char = seconds_per_char
         self.dtype = dtype

@@ -78,3 +78,27 @@ def test_tp_forward_matches_replicated(tp):
     )
     got = fn(params_tp, batch_tp)
     np.testing.assert_allclose(float(got), float(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_tts_engine_inference_under_tp_mesh():
+    """JaxCosyVoiceTts(mesh=…): LM params land in the TP layout and synthesis
+    runs across the mesh (XLA inserts the collectives)."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxCosyVoiceTts
+
+    cfg = cv.CosyVoiceConfig(
+        lm=cv.SpeechLMConfig(
+            backbone=q2.Qwen2Config(hidden=32, layers=1, heads=4, kv_heads=2,
+                                    ffn_dim=64, max_positions=512),
+            text_vocab=128, speech_token_size=61),
+        flow=cv.FlowConfig(token_vocab=64, dim=32, layers=1, heads=4, n_steps=2),
+        vocoder=cv.VocoderConfig(base_channels=32, upsample_rates=(8, 6, 10),
+                                 upsample_kernels=(16, 12, 20)),
+    )
+    mesh = make_mesh(MeshSpec(dp=-1, tp=2))
+    tts = JaxCosyVoiceTts(cfg, dtype=jnp.float32, seconds_per_char=0.02, mesh=mesh)
+    qk = tts.params["lm"]["backbone"]["layers"][0]["q"]["kernel"]
+    assert qk.sharding.spec == P(None, TP_AXIS)
+    wave = tts.synthesize("tensor parallel hello")
+    assert np.isfinite(wave).all() and len(wave) > 0
