@@ -21,6 +21,15 @@ import jax  # noqa: E402
 # before conftest runs; override at the config level as well.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: this host has ONE cpu core, so the suite's
+# wall time is dominated by compiles of the jitted test programs. The first
+# run populates the cache; every later run (local iteration, per-round CI)
+# loads compiled executables from disk instead.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".xla_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
