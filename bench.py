@@ -16,7 +16,8 @@ random-weight stopping behaviour:
 North star (BASELINE.md): RTF < 0.3 on v5e-8; this runs on ONE v5e chip.
 vs_baseline = 0.3 / measured_RTF  (>1 = beats the per-chip budget).
 
-Env knobs: EST_BENCH_SCALE=small|full (default full), EST_BENCH_REPEATS.
+Env knobs: EST_BENCH_SCALE=small|full (default full), EST_BENCH_REPEATS,
+EST_BENCH_QUANT=int8 (weight-only int8 speech-LM decode).
 """
 
 from __future__ import annotations
@@ -118,6 +119,11 @@ def main() -> int:
 
     # ---------------- TTS ----------------
     tts_params = cast_floats(cv.init_cosyvoice(jax.random.PRNGKey(2), tts_cfg), dtype)
+    if os.environ.get("EST_BENCH_QUANT", "") == "int8":
+        # weight-only int8 LM decode (1.7x at 0.5B; see models/cosyvoice.py
+        # quantize_speech_lm) — off by default so the headline stays bf16
+        tts_params = dict(tts_params)
+        tts_params["lm"] = cv.quantize_speech_lm(tts_params["lm"])
     text = jnp.asarray(g.integers(0, tts_cfg.lm.text_vocab, (1, 64)), jnp.int32)
     tmask = jnp.ones((1, 64), bool)
     psp = jnp.asarray(g.integers(0, tts_cfg.lm.speech_token_size, (1, 75)), jnp.int32)

@@ -41,10 +41,29 @@ def init_dense(key, in_dim: int, out_dim: int, *, bias: bool = True) -> Params:
 
 
 def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p["kernel"]
+    if "kernel_q" in p:
+        # weight-only int8: the matmul operand is convert(int8) — XLA:TPU
+        # streams the int8 weights from HBM (half the bytes of bf16, the
+        # binding constraint of autoregressive decode) and converts in
+        # registers; the per-output-channel scale applies after the dot.
+        y = (x @ p["kernel_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+    else:
+        y = x @ p["kernel"]
     if "bias" in p:
         y = y + p["bias"]
     return y
+
+
+def quantize_dense(p: Params) -> Params:
+    """Symmetric per-output-channel int8 weight quantization of a dense param
+    ({"kernel" [in, out], "bias"?}) for bandwidth-bound serving."""
+    k = p["kernel"]
+    scale = jnp.maximum(jnp.max(jnp.abs(k), axis=0, keepdims=True), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    out: Params = {"kernel_q": q, "scale": scale.astype(jnp.float32)}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
 
 
 def init_layer_norm(dim: int) -> Params:

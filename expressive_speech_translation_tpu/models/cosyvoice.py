@@ -867,3 +867,30 @@ def speech_lm_partition_rules(tp_axis: str = "tp"):
         (r"head/kernel$", P(None, tp_axis)),
         (r"head/bias$", P(tp_axis)),
     ))
+
+
+# ------------------------------------------------------------- quantization
+
+
+def quantize_speech_lm(params: Params) -> Params:
+    """Weight-only int8 for the decode hot path: every backbone matmul kernel
+    and the output head(s) become int8 with per-channel scales (common.dense
+    dispatches on ``kernel_q``). Embedding tables and norms stay float —
+    only gathered rows / tiny vectors stream per step. Autoregressive decode
+    is HBM-bandwidth-bound, so halving weight bytes ≈ halves step time."""
+    from .common import quantize_dense
+
+    out = dict(params)
+    backbone = dict(params["backbone"])
+    layers = []
+    for layer in backbone["layers"]:
+        ql = dict(layer)
+        for name in ("q", "k", "v", "o", "gate", "up", "down"):
+            ql[name] = quantize_dense(layer[name])
+        layers.append(ql)
+    backbone["layers"] = layers
+    out["backbone"] = backbone
+    out["head"] = quantize_dense(params["head"])
+    if "mtp_heads" in params:
+        out["mtp_heads"] = [quantize_dense(h) for h in params["mtp_heads"]]
+    return out

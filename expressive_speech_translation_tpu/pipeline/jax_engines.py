@@ -332,11 +332,13 @@ class JaxCosyVoiceTts:
         dtype=jnp.bfloat16,
         seconds_per_char: float = 0.08,
         mesh=None,
+        quantize: bool = False,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — the speech-LM params are
         placed by the tensor-parallel partition rules (models/cosyvoice.py
         ``speech_lm_partition_rules``) and inference programs pick the layout
-        up from the committed arrays; everything else replicates."""
+        up from the committed arrays; everything else replicates.
+        ``quantize``: weight-only int8 for the speech-LM decode path."""
         from ..models import ecapa, qwen2 as q2
 
         self.cfg = cfg or cvm.CosyVoiceConfig(
@@ -351,6 +353,9 @@ class JaxCosyVoiceTts:
             log.warning("JaxCosyVoiceTts: random weights (no checkpoint supplied)")
             params = cvm.init_cosyvoice(jax.random.PRNGKey(2), self.cfg)
         self.params = cast_floats(params, dtype)
+        if quantize:
+            self.params = dict(self.params)
+            self.params["lm"] = cvm.quantize_speech_lm(self.params["lm"])
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

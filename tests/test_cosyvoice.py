@@ -286,3 +286,46 @@ def test_streaming_synthesis_matches_token_budget(params):
             jnp.zeros((2, TINY_FLOW.spk_embed_dim)),
             jnp.zeros((2, 6, TINY_FLOW.n_mels)), jnp.ones((2, 6), bool),
         ))
+
+
+def test_int8_weight_only_quantization(params):
+    """Quantized dense ≈ float dense (per-channel int8, <1% rel error on
+    random weights) and the quantized LM still generates valid tokens."""
+    from expressive_speech_translation_tpu.models.common import dense, quantize_dense
+
+    g = np.random.default_rng(0)
+    p = {"kernel": jnp.asarray(g.standard_normal((64, 48)), jnp.float32),
+         "bias": jnp.asarray(g.standard_normal(48), jnp.float32)}
+    x = jnp.asarray(g.standard_normal((4, 64)), jnp.float32)
+    ref = np.asarray(dense(p, x))
+    got = np.asarray(dense(quantize_dense(p), x))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.02, f"int8 relative error {rel}"
+
+    qlm = cv.quantize_speech_lm(params["lm"])
+    assert qlm["backbone"]["layers"][0]["q"]["kernel_q"].dtype == jnp.int8
+    assert "kernel" not in qlm["head"] and qlm["head"]["kernel_q"].dtype == jnp.int8
+    text, tmask, sp, smask = _prompt()
+    tokens, lengths = jax.jit(lambda p, k: cv.generate_speech_tokens(
+        p, TINY_LM, k, text, tmask, sp, smask, max_new_tokens=12))(
+        qlm, jax.random.PRNGKey(3))
+    t = np.asarray(tokens)
+    assert t.shape == (2, 12) and (t <= TINY_LM.eos_speech).all()
+
+
+def test_tts_engine_quantized():
+    from expressive_speech_translation_tpu.models import qwen2 as q2m
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxCosyVoiceTts
+
+    cfg = cv.CosyVoiceConfig(
+        lm=cv.SpeechLMConfig(
+            backbone=q2m.Qwen2Config(hidden=32, layers=1, heads=4, kv_heads=2,
+                                     ffn_dim=64, max_positions=512),
+            text_vocab=128, speech_token_size=61),
+        flow=cv.FlowConfig(token_vocab=64, dim=32, layers=1, heads=4, n_steps=2),
+        vocoder=cv.VocoderConfig(base_channels=32, upsample_rates=(8, 6, 10),
+                                 upsample_kernels=(16, 12, 20)),
+    )
+    tts = JaxCosyVoiceTts(cfg, dtype=jnp.float32, seconds_per_char=0.02, quantize=True)
+    wave = tts.synthesize("int8 hello")
+    assert np.isfinite(wave).all() and len(wave) > 0
