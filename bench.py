@@ -89,8 +89,12 @@ def main() -> int:
     g = np.random.default_rng(0)
     stage_seconds = {}
 
+    quant = os.environ.get("EST_BENCH_QUANT", "") == "int8"
+
     # ---------------- ASR ----------------
     asr_params = cast_floats(wj.init_whisper(jax.random.PRNGKey(0), asr_cfg), dtype)
+    if quant:
+        asr_params = wj.quantize_whisper_decoder(asr_params)
     audio = jnp.asarray((0.1 * g.standard_normal(int(16000 * audio_seconds))).astype(np.float32))
     prompt = jnp.asarray(
         [[asr_cfg.bos_token, 50259, asr_cfg.task_transcribe, asr_cfg.no_timestamps]], jnp.int32
@@ -107,6 +111,8 @@ def main() -> int:
 
     # ---------------- NMT ----------------
     nmt_params = cast_floats(nj.init_nllb(jax.random.PRNGKey(1), nmt_cfg), dtype)
+    if quant:
+        nmt_params = nj.quantize_nllb_decoder(nmt_params)
     src = jnp.asarray(g.integers(4, min(nmt_cfg.vocab_size - 4, 250_000), (1, 48)), jnp.int32)
 
     @jax.jit
@@ -119,7 +125,7 @@ def main() -> int:
 
     # ---------------- TTS ----------------
     tts_params = cast_floats(cv.init_cosyvoice(jax.random.PRNGKey(2), tts_cfg), dtype)
-    if os.environ.get("EST_BENCH_QUANT", "") == "int8":
+    if quant:
         # weight-only int8 LM decode (1.7x at 0.5B; see models/cosyvoice.py
         # quantize_speech_lm) — off by default so the headline stays bf16
         tts_params = dict(tts_params)

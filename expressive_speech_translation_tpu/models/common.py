@@ -66,6 +66,40 @@ def quantize_dense(p: Params) -> Params:
     return out
 
 
+def quantize_transformer_blocks(blocks) -> list:
+    """int8-quantize the dense kernels of standard attention/MLP blocks
+    (init_attention q/k/v/o + init_mlp fc1/fc2); norms stay float."""
+    out = []
+    for blk in blocks:
+        q = dict(blk)
+        for key in ("self_attn", "cross_attn"):
+            if key in blk:
+                q[key] = {n: quantize_dense(p) for n, p in blk[key].items()}
+        if "mlp" in blk:
+            q["mlp"] = {n: quantize_dense(p) for n, p in blk["mlp"].items()}
+        out.append(q)
+    return out
+
+
+def quantize_embed_head(embed: jnp.ndarray) -> Params:
+    """Per-vocab-row int8 copy of a tied embedding for the OUTPUT projection
+    (the [vocab, d] matmul is the single largest weight stream of whisper/NLLB
+    decode). The float table stays for gathers; this int8 copy serves
+    ``logits = x @ embed.T``."""
+    scale = jnp.maximum(jnp.max(jnp.abs(embed), axis=1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(embed / scale[:, None]), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale.astype(jnp.float32)}
+
+
+def tied_head_logits(container: Params, x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
+    """``x @ embed.T`` — through the int8 head when ``container`` carries
+    ``embed_q`` (x: [..., d] → logits [..., vocab])."""
+    if "embed_q" in container:
+        eq = container["embed_q"]
+        return (x @ eq["q"].T.astype(x.dtype)) * eq["scale"].astype(x.dtype)
+    return x @ embed.T
+
+
 def init_layer_norm(dim: int) -> Params:
     return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
 

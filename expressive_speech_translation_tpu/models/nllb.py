@@ -36,6 +36,7 @@ from .common import (
     linear_from_torch,
     mha,
     mha_step,
+    tied_head_logits,
     mlp,
     t2j,
 )
@@ -189,7 +190,7 @@ def decode_step(
         h = layer_norm(block["mlp_ln"], x)
         x = x + _mlp(block["mlp"], h)
     x = layer_norm(params["decoder"]["ln"], x)
-    logits = x[:, 0, :] @ params["embed"].T
+    logits = tied_head_logits(params, x[:, 0, :], params["embed"])
     return logits, new_cache
 
 
@@ -212,7 +213,7 @@ def decode_full(
         h = layer_norm(block["mlp_ln"], x)
         x = x + _mlp(block["mlp"], h)
     x = layer_norm(params["decoder"]["ln"], x)
-    return x @ params["embed"].T
+    return tied_head_logits(params, x, params["embed"])
 
 
 # ----------------------------------------------------------------- generation
@@ -272,6 +273,20 @@ def generate(
         return greedy_search(step_fn, prompt, cache, (cross_kv, enc_pad_mask), bc)
     return beam_search(step_fn, prompt, cache, (cross_kv, enc_pad_mask), bc)
 
+
+
+def quantize_nllb_decoder(params: Params) -> Params:
+    """Weight-only int8 for NLLB decode: decoder block kernels + a per-row
+    int8 copy of the tied embedding for the 256k-vocab logit matmul (the
+    dominant per-token weight stream at 600M scale). Encoder stays bf16."""
+    from .common import quantize_embed_head, quantize_transformer_blocks
+
+    out = dict(params)
+    dec = dict(params["decoder"])
+    dec["layers"] = quantize_transformer_blocks(dec["layers"])
+    out["decoder"] = dec
+    out["embed_q"] = quantize_embed_head(params["embed"])
+    return out
 
 # ----------------------------------------------------------------- conversion
 

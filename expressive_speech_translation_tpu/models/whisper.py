@@ -45,6 +45,7 @@ from .common import (
     mlp,
     sinusoid_position_embedding,
     t2j,
+    tied_head_logits,
     linear_from_torch,
 )
 
@@ -212,7 +213,7 @@ def decode_step(
         h = layer_norm(block["mlp_ln"], x)
         x = x + mlp(block["mlp"], h)
     x = layer_norm(dec["ln"], x)
-    logits = x[:, 0, :] @ dec["embed"].T
+    logits = tied_head_logits(dec, x[:, 0, :], dec["embed"])
     return logits, new_cache
 
 
@@ -250,7 +251,7 @@ def decode_step_with_attn(
         h = layer_norm(block["mlp_ln"], x)
         x = x + mlp(block["mlp"], h)
     x = layer_norm(dec["ln"], x)
-    logits = x[:, 0, :] @ dec["embed"].T
+    logits = tied_head_logits(dec, x[:, 0, :], dec["embed"])
     # upper-half layers carry the cleanest alignment (whisper convention)
     half = len(attn_maps) // 2
     alignment = jnp.mean(jnp.stack(attn_maps[half:]), axis=0)
@@ -365,11 +366,26 @@ def decode_full(
         h = layer_norm(block["mlp_ln"], x)
         x = x + mlp(block["mlp"], h)
     x = layer_norm(dec["ln"], x)
-    return x @ dec["embed"].T
+    return tied_head_logits(dec, x, dec["embed"])
 
 
 # ------------------------------------------------------------------ generation
 
+
+
+def quantize_whisper_decoder(params: Params) -> Params:
+    """Weight-only int8 for the decode hot path: decoder block kernels +
+    the tied output head (per-row int8 copy of ``decoder/embed`` — at
+    whisper-medium the 51865x1024 logit matmul is the largest per-token
+    weight stream). The encoder stays bf16 (one batched pass, MXU-bound)."""
+    from .common import quantize_embed_head, quantize_transformer_blocks
+
+    out = dict(params)
+    dec = dict(params["decoder"])
+    dec["layers"] = quantize_transformer_blocks(dec["layers"])
+    dec["embed_q"] = quantize_embed_head(dec["embed"])
+    out["decoder"] = dec
+    return out
 
 def detect_language(
     params: Params, cfg: WhisperConfig, mel: jnp.ndarray

@@ -59,12 +59,15 @@ class JaxWhisperAsr:
         *,
         dtype=jnp.bfloat16,
         max_new_tokens: int = 224,
+        quantize: bool = False,
     ):
         self.cfg = cfg or wjm.WhisperConfig.base()
         if params is None:
             log.warning("JaxWhisperAsr: random weights (no checkpoint supplied)")
             params = wjm.init_whisper(jax.random.PRNGKey(0), self.cfg)
         self.params = cast_floats(params, dtype)
+        if quantize:
+            self.params = wjm.quantize_whisper_decoder(self.params)
         self.tokenizer = tokenizer or ByteTokenizer()
         self.max_new_tokens = max_new_tokens
         self.dtype = dtype
@@ -248,6 +251,7 @@ class JaxNllbNmt:
         dtype=jnp.bfloat16,
         num_beams: int = 1,
         max_new_tokens: int = 200,
+        quantize: bool = False,
     ):
         self.cfg = cfg or njm.NLLBConfig(
             d_model=512, encoder_layers=6, decoder_layers=6, heads=8,
@@ -257,6 +261,8 @@ class JaxNllbNmt:
             log.warning("JaxNllbNmt: random weights (no checkpoint supplied)")
             params = njm.init_nllb(jax.random.PRNGKey(1), self.cfg)
         self.params = cast_floats(params, dtype)
+        if quantize:
+            self.params = njm.quantize_nllb_decoder(self.params)
         self.tokenizer = tokenizer or ByteTokenizer()
         self.lang_code_to_id = lang_code_to_id or {}
         self.num_beams = num_beams

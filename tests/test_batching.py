@@ -215,3 +215,29 @@ def test_jax_nmt_translate_batch_matches_single():
     facade.shutdown()
     with pytest.raises(TypeError):
         BatchedNmt(object())
+
+
+def test_quantized_asr_nmt_engines_run():
+    """quantize=True engines (int8 decoder weights) produce results of the
+    same shape/type as float engines."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import nllb as njm
+    from expressive_speech_translation_tpu.models import whisper as wjm
+    from expressive_speech_translation_tpu.pipeline.jax_engines import (
+        JaxNllbNmt,
+        JaxWhisperAsr,
+    )
+
+    wcfg = wjm.WhisperConfig(d_model=64, encoder_layers=1, decoder_layers=1,
+                             heads=4, ffn_dim=128)
+    asr = JaxWhisperAsr(wcfg, dtype=jnp.float32, max_new_tokens=4, quantize=True)
+    assert asr.params["decoder"]["embed_q"]["q"].dtype == jnp.int8
+    out = asr.transcribe(np.zeros(16000, np.float32), language="eng")
+    assert set(out) == {"text", "language", "words"}
+
+    ncfg = njm.NLLBConfig(d_model=64, encoder_layers=1, decoder_layers=1,
+                          heads=4, ffn_dim=128, vocab_size=512)
+    nmt = JaxNllbNmt(ncfg, dtype=jnp.float32, max_new_tokens=6, quantize=True)
+    assert nmt.params["embed_q"]["q"].dtype == jnp.int8
+    assert isinstance(nmt.translate("hello", "eng", "fra"), str)
