@@ -864,7 +864,8 @@ def speech_lm_partition_rules(tp_axis: str = "tp"):
 
     return PartitionRules(rules=q2.partition_rules(tp_axis).rules + (
         (r"(text_embed|speech_embed)$", P(None, tp_axis)),
-        (r"head/kernel$", P(None, tp_axis)),
+        (r"head/kernel(_q)?$", P(None, tp_axis)),
+        (r"head/scale$", P(None, tp_axis)),
         (r"head/bias$", P(tp_axis)),
     ))
 

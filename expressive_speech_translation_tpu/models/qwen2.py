@@ -322,7 +322,10 @@ def partition_rules(tp_axis: str = "tp"):
     from ..parallel.partition import PartitionRules
 
     return PartitionRules(rules=(
-        (r"/(q|k|v|gate|up)/kernel$", P(None, tp_axis)),
+        # kernel(_q) covers both float and weight-only-int8 layouts; the
+        # per-output-channel quant scale [1, out] shards with the columns
+        (r"/(q|k|v|gate|up)/kernel(_q)?$", P(None, tp_axis)),
+        (r"/(q|k|v|gate|up)/scale$", P(None, tp_axis)),
         (r"/(q|k|v)/bias$", P(tp_axis)),
-        (r"/(o|down)/kernel$", P(tp_axis, None)),
+        (r"/(o|down)/kernel(_q)?$", P(tp_axis, None)),
     ))

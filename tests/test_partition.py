@@ -102,3 +102,28 @@ def test_tts_engine_inference_under_tp_mesh():
     assert qk.sharding.spec == P(None, TP_AXIS)
     wave = tts.synthesize("tensor parallel hello")
     assert np.isfinite(wave).all() and len(wave) > 0
+
+
+def test_tp_rules_cover_quantized_params():
+    """int8 layouts (kernel_q + per-channel scale) shard like their float
+    counterparts, and the quantized LM runs under a TP mesh."""
+    params = cv.quantize_speech_lm(cv.init_speech_lm(jax.random.PRNGKey(0), LM))
+    mesh = make_mesh(MeshSpec(dp=-1, tp=2))
+    rules = cv.speech_lm_partition_rules(TP_AXIS)
+    sh = sharding_tree(params, mesh, rules)
+    layer = sh["backbone"]["layers"][0]
+    assert layer["q"]["kernel_q"].spec == P(None, TP_AXIS)
+    assert layer["q"]["scale"].spec == P(None, TP_AXIS)
+    assert layer["down"]["kernel_q"].spec == P(TP_AXIS, None)
+    assert sh["head"]["kernel_q"].spec == P(None, TP_AXIS)
+    # norm scales must NOT be caught by the dense-scale rule
+    assert layer["input_ln"]["scale"].spec == P()
+
+    from expressive_speech_translation_tpu.parallel.partition import logical_to_sharding
+    placed = logical_to_sharding(params, mesh, rules)
+    batch = _batch(b=2)
+    toks, lengths = jax.jit(lambda p, k: cv.generate_speech_tokens(
+        p, LM, k, batch.text_tokens[:2], batch.text_mask[:2],
+        batch.speech_tokens[:2], batch.speech_mask[:2], max_new_tokens=8))(
+        placed, jax.random.PRNGKey(1))
+    assert np.asarray(toks).shape == (2, 8)
