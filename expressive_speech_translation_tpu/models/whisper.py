@@ -400,11 +400,12 @@ def detect_language(
     enc_out = encode(params, cfg, mel)
     sot = jnp.full((mel.shape[0], 1), cfg.bos_token, jnp.int32)
     logits = decode_full(params, cfg, sot, enc_out)[:, 0, :]
-    lang_logits = jax.lax.dynamic_slice_in_dim(
-        logits, cfg.lang_token_start, min(cfg.n_langs, cfg.vocab_size - cfg.lang_token_start), axis=1
-    )
+    # clamp for tiny test vocabs where the multilingual token block is absent
+    start = min(cfg.lang_token_start, max(cfg.vocab_size - 1, 0))
+    width = max(1, min(cfg.n_langs, cfg.vocab_size - start))
+    lang_logits = jax.lax.dynamic_slice_in_dim(logits, start, width, axis=1)
     probs = jax.nn.softmax(lang_logits.astype(jnp.float32), axis=-1)
-    return cfg.lang_token_start + jnp.argmax(lang_logits, axis=-1), probs
+    return start + jnp.argmax(lang_logits, axis=-1), probs
 
 
 def greedy_decode(
