@@ -157,6 +157,44 @@ class CascadedBackend(TranslationBackend):
             "stage_summary": self.last_stage_summary,
         }
 
+    def translate_speech_streaming(
+        self,
+        audio: np.ndarray,
+        source_lang: str,
+        target_lang: str,
+    ):
+        """Streaming S2ST: ASR + NMT run once, then translated speech is
+        yielded incrementally as the TTS engine synthesises it (16 kHz
+        chunks). First yield is a header dict with the transcripts; time to
+        first audio is one TTS chunk instead of the whole utterance. Temporal
+        mapping and loudness normalisation are offline-only post passes and
+        are skipped on this path. Requires a TTS engine with
+        ``synthesize_streaming`` (falls back to one offline chunk otherwise).
+        """
+        if not self.is_language_supported(target_lang):
+            raise ValidationError(f"Unsupported target language: {target_lang}")
+        x = np.asarray(audio, np.float32).reshape(-1)
+        asr = self.engines.asr.transcribe(x, language=source_lang)
+        source_text = asr.get("text", "")
+        target_text = self.engines.nmt.translate(
+            source_text, NLLB_LANGUAGES.get(source_lang, source_lang),
+            NLLB_LANGUAGES.get(target_lang, target_lang),
+        )
+        yield {"type": "transcripts", "source": source_text, "target": target_text}
+        reference = self.reference_audio_for_cloning(x)
+        kw = dict(style_prompt=source_text, reference_audio_16k=reference,
+                  language=COSYVOICE_LANGUAGES.get(target_lang, "en"))
+        tts = self.engines.tts
+        tts_sr = getattr(tts, "sample_rate", 24_000)
+        chunks = (tts.synthesize_streaming(target_text, **kw)
+                  if hasattr(tts, "synthesize_streaming")
+                  else iter([tts.synthesize(target_text, **kw)]))
+        for chunk in chunks:
+            c = np.asarray(chunk, np.float32)
+            if tts_sr != 16_000:
+                c = np.asarray(ops.resample(jnp.asarray(c), tts_sr, 16_000))
+            yield {"type": "audio", "chunk": c, "sample_rate": 16_000}
+
     # ------------------------------------------------------------ temporal map
 
     def _apply_natural_temporal_mapping(

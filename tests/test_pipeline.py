@@ -244,3 +244,28 @@ def test_wav_roundtrip_formats(tmp_path):
     y, sr = read_wav(p)
     assert y.shape == st.shape
     np.testing.assert_allclose(y, st, atol=1e-4)
+
+
+def test_translate_speech_streaming_events():
+    """Streaming S2ST: transcripts header first, then 16 kHz audio chunks;
+    falls back to one offline chunk for engines without streaming."""
+    import numpy as np
+
+    from expressive_speech_translation_tpu.pipeline.cascaded import CascadedBackend
+    from expressive_speech_translation_tpu.pipeline.engines import fake_engines
+
+    backend = CascadedBackend(fake_engines("hello streaming world"))
+    backend.initialize()
+    audio = (0.2 * np.sin(2 * np.pi * 220 * np.arange(32000) / 16000)).astype(np.float32)
+    events = list(backend.translate_speech_streaming(audio, "eng", "fra"))
+    assert events[0]["type"] == "transcripts"
+    assert events[0]["source"] == "hello streaming world"
+    assert "[fra_Latn]" in events[0]["target"]
+    chunks = [e for e in events[1:] if e["type"] == "audio"]
+    assert chunks and all(e["sample_rate"] == 16_000 for e in chunks)
+    wav = np.concatenate([e["chunk"] for e in chunks])
+    assert np.isfinite(wav).all() and len(wav) > 16_000 // 2
+    # offline parity: same total duration as the batch path (FakeTts is
+    # deterministic and streaming is a pure chunking of it)
+    offline = backend.translate_speech(audio, "eng", "fra")
+    assert abs(len(wav) - offline["audio"].shape[1]) / 16_000 < 0.6
