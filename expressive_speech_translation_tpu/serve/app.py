@@ -206,6 +206,33 @@ class App:
 
         processed = self.audio_processor.process_audio(audio, orig_sr=sr)
         backend = self.manager.get_backend(backend_name)
+        if (request.form.get("stream", "").lower() in ("1", "true", "yes")
+                and hasattr(backend, "translate_speech_streaming")):
+            # SSE streaming S2ST: transcripts event, then base64 PCM16 audio
+            # chunks as the TTS synthesises them (same SSE framing as the
+            # video route)
+            from .video import generate_progress_event
+
+            req_id = new_request_id()
+
+            def events():
+                for ev in backend.translate_speech_streaming(processed, source, target):
+                    if ev["type"] == "transcripts":
+                        yield generate_progress_event(
+                            50, "Translating speech",
+                            transcripts={"source": ev["source"], "target": ev["target"]},
+                            request_id=req_id)
+                    else:
+                        pcm = np.clip(ev["chunk"], -1.0, 1.0)
+                        yield generate_progress_event(
+                            75, "Synthesizing speech",
+                            audio_chunk=base64.b64encode(
+                                (pcm * 32767.0).astype("<i2").tobytes()).decode(),
+                            sample_rate=ev["sample_rate"])
+                yield generate_progress_event(100, "Complete", done=True)
+
+            return Response(events(), mimetype="text/event-stream",
+                            direct_passthrough=True)
         result = backend.translate_speech(processed, source, target)
         encoded = base64.b64encode(_wav_bytes(result["audio"][0])).decode()
         return _json({

@@ -236,3 +236,32 @@ def test_error_ids_stable(client):
     r1 = client.post("/translate", data={"file": (io.BytesIO(b"z"), "a.exe"), "target_language": "x"})
     assert r1.status_code == 400
     assert len(r1.get_json()["error_id"]) == 8
+
+
+def test_translate_streaming_sse():
+    """POST /translate with stream=true → SSE: transcripts event, PCM16
+    audio_chunk events, terminal done event."""
+    import base64 as b64
+    import json as jsonlib
+
+    from expressive_speech_translation_tpu.serve.app import create_app
+
+    app = create_app()
+    client = Client(app)
+    resp = client.post("/translate", data={
+        "target_language": "fra",
+        "stream": "true",
+        "audio": (io.BytesIO(wav_bytes()), "in.wav"),
+    })
+    assert resp.status_code == 200
+    assert resp.mimetype == "text/event-stream"
+    frames = [jsonlib.loads(line[len("data: "):])
+              for line in resp.get_data(as_text=True).splitlines()
+              if line.startswith("data: ")]
+    assert frames[0]["phase"] == "Translating speech"
+    assert "source" in frames[0]["transcripts"]
+    chunks = [f for f in frames if "audio_chunk" in f]
+    assert chunks and all(f["sample_rate"] == 16_000 for f in chunks)
+    pcm = b64.b64decode(chunks[0]["audio_chunk"])
+    assert len(pcm) % 2 == 0 and len(pcm) > 0
+    assert frames[-1].get("done") is True
