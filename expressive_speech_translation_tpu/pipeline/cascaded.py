@@ -69,6 +69,9 @@ class CascadedBackend(TranslationBackend):
         self.initialized = True
         log.info("CascadedBackend initialized")
 
+    def weights_info(self) -> str:
+        return self.engines.weights_info()
+
     # -------------------------------------------------------------- languages
 
     def is_language_supported(self, lang: str) -> bool:

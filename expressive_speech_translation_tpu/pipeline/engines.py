@@ -48,6 +48,21 @@ class Engines:
     nmt: NmtEngine
     tts: TtsEngine
 
+    def weights_info(self) -> str:
+        """"loaded" | "random" | "fake" — surfaced in /health/model and the
+        /translate response so weightless serving is never silent (a 200 with
+        random weights must be distinguishable from production output)."""
+        kinds = []
+        for e in (self.asr, self.nmt, self.tts):
+            e = getattr(e, "engine", e)  # unwrap serving micro-batchers
+            wl = getattr(e, "weightless", None)
+            kinds.append("fake" if wl is None else ("random" if wl else "loaded"))
+        if all(k == "loaded" for k in kinds):
+            return "loaded"
+        if any(k == "random" for k in kinds):
+            return "random"
+        return "fake"
+
 
 # ----------------------------------------------------------------- fake stage
 

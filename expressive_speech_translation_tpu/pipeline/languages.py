@@ -51,6 +51,25 @@ def whisper_lang_token(app_code: str) -> int:
     return WHISPER_LANG_TOKENS[_APP_TO_WHISPER[app_code]]
 
 
+def nllb_placeholder_lang_ids(vocab_size: int) -> dict[str, int]:
+    """Deterministic weightless-mode language-token ids.
+
+    Real NLLB places language tokens at the top of the vocab (256001+); this
+    mirrors that layout inside an arbitrary toy vocab with a FIXED table
+    (sorted app codes → descending ids from vocab end), so forced-BOS ids are
+    stable across processes/restarts — unlike Python ``hash()``, which is
+    salted per process. Both app codes and FLORES codes resolve.
+    """
+    apps = sorted(NLLB_LANGUAGES)
+    base = max(vocab_size - 1 - len(apps), 0)
+    out: dict[str, int] = {}
+    for i, app in enumerate(apps):
+        tid = min(base + 1 + i, vocab_size - 1)
+        out[app] = tid
+        out[NLLB_LANGUAGES[app]] = tid
+    return out
+
+
 def supported_languages() -> list[str]:
     """Languages the cascaded pipeline supports end-to-end."""
     return sorted(set(COSYVOICE_LANGUAGES) & set(NLLB_LANGUAGES))

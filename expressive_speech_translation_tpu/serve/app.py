@@ -216,29 +216,43 @@ class App:
             req_id = new_request_id()
 
             def events():
-                for ev in backend.translate_speech_streaming(processed, source, target):
-                    if ev["type"] == "transcripts":
-                        yield generate_progress_event(
-                            50, "Translating speech",
-                            transcripts={"source": ev["source"], "target": ev["target"]},
-                            request_id=req_id)
-                    else:
-                        pcm = np.clip(ev["chunk"], -1.0, 1.0)
-                        yield generate_progress_event(
-                            75, "Synthesizing speech",
-                            audio_chunk=base64.b64encode(
-                                (pcm * 32767.0).astype("<i2").tobytes()).decode(),
-                            sample_rate=ev["sample_rate"])
-                yield generate_progress_event(100, "Complete", done=True)
+                # mid-stream failures must yield a structured error frame, not
+                # truncate the stream (reference video_routes.py catches and
+                # emits data:{error, phase})
+                phase = "Translating speech"
+                try:
+                    for ev in backend.translate_speech_streaming(processed, source, target):
+                        if ev["type"] == "transcripts":
+                            yield generate_progress_event(
+                                50, phase,
+                                transcripts={"source": ev["source"], "target": ev["target"]},
+                                request_id=req_id)
+                            phase = "Synthesizing speech"
+                        else:
+                            pcm = np.clip(ev["chunk"], -1.0, 1.0)
+                            yield generate_progress_event(
+                                75, phase,
+                                audio_chunk=base64.b64encode(
+                                    (pcm * 32767.0).astype("<i2").tobytes()).decode(),
+                                sample_rate=ev["sample_rate"])
+                    yield generate_progress_event(100, "Complete", done=True)
+                except Exception as e:  # noqa: BLE001 — SSE error contract
+                    eid = error_id(repr(e))
+                    log.exception("streaming translate failed %s", eid)
+                    yield generate_progress_event(
+                        100, phase, error="Translation failed", error_id=eid)
 
             return Response(events(), mimetype="text/event-stream",
-                            direct_passthrough=True)
+                            direct_passthrough=True,
+                            headers={"Cache-Control": "no-cache",
+                                     "X-Accel-Buffering": "no"})
         result = backend.translate_speech(processed, source, target)
         encoded = base64.b64encode(_wav_bytes(result["audio"][0])).decode()
         return _json({
             "audio": encoded,
             "transcripts": result.get("transcripts", {}),
             "request_id": result.get("process_id", new_request_id()),
+            "weights": getattr(backend, "weights_info", lambda: "unknown")(),
         })
 
     def route_process_video(self, request: Request) -> Response:
@@ -314,11 +328,15 @@ class App:
         # peek WITHOUT get_backend(): the manager lazily initializes there,
         # which would make this endpoint lie about cold state
         backend_ok = False
+        weights = "unknown"
         name = self.manager.default_backend
         if name is not None:
-            backend_ok = bool(getattr(self.manager._backends[name], "initialized", False))
+            b = self.manager._backends[name]
+            backend_ok = bool(getattr(b, "initialized", False))
+            weights = getattr(b, "weights_info", lambda: "unknown")()
         return _json({
             "healthy": backend_ok,
+            "weights": weights,
             "process_rss_mb": round(proc.memory_info().rss / 1e6, 1),
             "device_memory": device_memory_stats(),
         }, 200 if backend_ok else 503)

@@ -96,23 +96,30 @@ class VideoProcessor:
     def _stream(
         self, video_bytes, backend, source_lang, target_lang, *, filename, req_dir, req_id
     ) -> Generator[str, None, None]:
+        phase = "Starting"
+
+        def _ev(step: str, label: str) -> str:
+            nonlocal phase
+            phase = label
+            return generate_progress_event(PROGRESS_STEPS[step], label)
+
         try:
             src = req_dir / Path(filename).name
             src.write_bytes(video_bytes)
 
-            yield generate_progress_event(PROGRESS_STEPS["extract"], "Extracting audio")
+            yield _ev("extract", "Extracting audio")
             audio, sr = self.video_io.extract_audio(str(src))
 
-            yield generate_progress_event(PROGRESS_STEPS["preprocess"], "Preprocessing audio")
+            yield _ev("preprocess", "Preprocessing audio")
             from ..pipeline.audio_processor import AudioProcessor
 
             audio16 = AudioProcessor().process_audio(audio, orig_sr=sr)
 
-            yield generate_progress_event(PROGRESS_STEPS["translate"], "Translating speech")
+            yield _ev("translate", "Translating speech")
             result = backend.translate_speech(audio16, source_lang, target_lang)
             dubbed = result["audio"][0]
 
-            yield generate_progress_event(PROGRESS_STEPS["watermark"], "Adding watermark")
+            yield _ev("watermark", "Adding watermark")
             from ..media.wavio import write_wav
 
             wav_path = req_dir / "dubbed.wav"
@@ -122,7 +129,7 @@ class VideoProcessor:
             except Exception:  # noqa: BLE001 — watermark is non-fatal (video_routes.py:266-267)
                 log.exception("watermarking failed (non-fatal)")
 
-            yield generate_progress_event(PROGRESS_STEPS["lipsync"], "Applying lip sync")
+            yield _ev("lipsync", "Applying lip sync")
             out_path = req_dir / "output.mp4"
             try:
                 self.video_io.lipsync(str(src), dubbed, 16_000, str(out_path))
@@ -135,7 +142,7 @@ class VideoProcessor:
                 )
                 self.video_io.mux(str(src), dubbed, 16_000, str(out_path))
 
-            yield generate_progress_event(PROGRESS_STEPS["encode"], "Encoding result")
+            yield _ev("encode", "Encoding result")
             encoded = base64.b64encode(out_path.read_bytes()).decode()
             yield (
                 "data: "
@@ -150,5 +157,14 @@ class VideoProcessor:
                 })
                 + "\n\n"
             )
+        except Exception as e:  # noqa: BLE001 — SSE error contract: a failure
+            # mid-stream yields a structured data:{error, phase} frame rather
+            # than truncating the stream (video_routes.py error events)
+            from ..core.errors import error_id
+
+            eid = error_id(repr(e))
+            log.exception("video processing failed %s (phase %s)", eid, phase)
+            yield generate_progress_event(
+                100, phase, error="Video processing failed", error_id=eid)
         finally:
             shutil.rmtree(req_dir, ignore_errors=True)  # video_routes.py:324-326
