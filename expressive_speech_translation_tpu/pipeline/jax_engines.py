@@ -105,11 +105,21 @@ class JaxWhisperAsr:
         self._detect_fn = _detect
 
     def _prompt_row(self, language: Optional[str]) -> List[int]:
+        from .languages import whisper_lang_index
+
         try:
-            lang_tok = whisper_lang_token(language or "eng")
-        except KeyError:
-            lang_tok = whisper_lang_token("eng")
+            idx = whisper_lang_index(language or "eng")
+        except (KeyError, ValueError):
+            idx = whisper_lang_index("eng")
+        lang_tok = self.cfg.lang_token_start + idx
         return [self.cfg.bos_token, lang_tok, self.cfg.task_transcribe, self.cfg.no_timestamps]
+
+    @property
+    def _special_floor(self) -> int:
+        """Content-token ceiling: whisper places every special token at the
+        top of the vocab (<|endoftext|> 50257 and up); ids at/above the lowest
+        special are dropped from transcripts (skip_special_tokens parity)."""
+        return min(self.cfg.eos_token, self.cfg.bos_token, self.cfg.lang_token_start)
 
     def _decode_chunk_host(
         self, tokens: np.ndarray, aligns: np.ndarray, p_len: int,
@@ -120,7 +130,7 @@ class JaxWhisperAsr:
         splitting. Returns (text, words)."""
         gen = tokens[p_len:]
         keep = [(i, int(t)) for i, t in enumerate(gen)
-                if t != self.cfg.eos_token and t < 50_000]
+                if t != self.cfg.eos_token and t < self._special_floor]
         if not keep:
             return "", []
         token_aligns = aligns[p_len:][[i for i, _ in keep]]
@@ -160,7 +170,9 @@ class JaxWhisperAsr:
 
         x = np.asarray(audio_16k, np.float32).reshape(-1)[: 16_000 * 30]
         tok, _ = self._detect_fn(self.params, x)
-        return whisper_token_to_app(int(tok))
+        # normalize to the standard 50259-based block before table lookup so
+        # non-standard vocab layouts (tiny parity models) resolve correctly
+        return whisper_token_to_app(int(tok) - self.cfg.lang_token_start + 50_259)
 
     def transcribe(self, audio_16k: np.ndarray, language: Optional[str] = None) -> Dict[str, Any]:
         x = np.asarray(audio_16k, np.float32).reshape(-1)

@@ -51,6 +51,13 @@ def whisper_lang_token(app_code: str) -> int:
     return WHISPER_LANG_TOKENS[_APP_TO_WHISPER[app_code]]
 
 
+def whisper_lang_index(app_code: str) -> int:
+    """Position of the language inside whisper's 99-token language block —
+    combine with ``cfg.lang_token_start`` so non-standard vocab layouts (tiny
+    parity-test models) resolve the right token."""
+    return _WHISPER_LANG_ORDER.index(_APP_TO_WHISPER[app_code])
+
+
 def nllb_placeholder_lang_ids(vocab_size: int) -> dict[str, int]:
     """Deterministic weightless-mode language-token ids.
 
