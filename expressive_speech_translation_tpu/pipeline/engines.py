@@ -2,14 +2,16 @@
 
 The reference's cascade talks to its stages through process boundaries (whisper
 in-process, CosyVoice/MuseTalk over HTTP — SURVEY.md §3.1). Here a stage is an
-in-process engine object; three implementations exist:
+engine object satisfying the protocols below; three assemblies exist:
 
-- :class:`JaxEngines` — the production path: models/* compiled on TPU.
-- :class:`FakeEngines` — deterministic fakes so the orchestrator, serve layer,
-  and batch runner are testable without weights (the test rigor the reference
-  lacks — SURVEY.md §4 implication).
-- :class:`RemoteEngines` — HTTP clients preserving the reference's container
-  contracts (/generate-speech/ etc.) for split deployments (serve/clients.py).
+- :func:`~..pipeline.jax_engines.jax_engines` — the production path:
+  models/* compiled on TPU.
+- :func:`fake_engines` (this module) — deterministic fakes so the
+  orchestrator, serve layer, and batch runner are testable without weights
+  (the test rigor the reference lacks — SURVEY.md §4 implication).
+- :func:`~..serve.clients.remote_engines` — ASR/NMT in-process + TTS over
+  HTTP, preserving the reference's container contracts (/generate-speech/
+  etc., cascaded_backend.py:455-475) for split deployments.
 """
 
 from __future__ import annotations
