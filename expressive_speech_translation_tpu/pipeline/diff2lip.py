@@ -2,8 +2,9 @@
 
 Parity with Backend/diff2lip/generate.py (414 LoC) + guided_diffusion:
 mel-window cropping aligned to video fps (:36-43), face-box smoothing over a
-5-frame window (:92-149; S3FD stays host-side — a pluggable detector, defaulting
-to a centre-crop proxy), DDPM/DDIM sampling over a timestep-conditioned UNet
+5-frame window (:92-149; the S3FD role is filled by the clip-level skin×motion
+face detector in pipeline/face.py, with a centre-crop fallback; a per-frame
+detector can still be plugged in), DDPM/DDIM sampling over a timestep-conditioned UNet
 (:159-199), and ``--sample_mode cross`` for cross-identity dubbing
 (tests/test_diff2lip.py:31).
 
@@ -64,9 +65,8 @@ def smooth_boxes(boxes: List[Tuple[int, int, int, int]], window: int = 5) -> Lis
 
 
 def center_face_detector(frame: np.ndarray) -> Tuple[int, int, int, int]:
-    """Default detector proxy (S3FD is torch-side in the reference): a centred
-    square covering the middle 60% of the frame. Replace with a real detector
-    via the ``detector`` argument of :class:`Diff2LipPipeline`."""
+    """Centred-square fallback (middle 60% of the frame) for when the real
+    clip-level detector (pipeline/face.py) finds no face."""
     h, w = frame.shape[:2]
     size = int(min(h, w) * 0.6)
     y0 = (h - size) // 2
@@ -160,9 +160,14 @@ class Diff2LipPipeline:
         cfg: Diff2LipConfig = Diff2LipConfig(),
         params: Optional[Params] = None,
         *,
-        detector: Callable[[np.ndarray], Tuple[int, int, int, int]] = center_face_detector,
+        detector: Optional[Callable[[np.ndarray], Tuple[int, int, int, int]]] = None,
         use_ddim: bool = True,
     ):
+        """``detector``: optional per-frame face detector. When None (the
+        default) the clip-level detector (pipeline/face.py — skin×motion face
+        localization, the reference's S3FD role, diff2lip/face_detection/)
+        finds one stable box for the shot, falling back to a centre crop when
+        no face is found."""
         self.cfg = cfg
         if params is None:
             log.warning("Diff2LipPipeline: random weights (no checkpoint supplied)")
@@ -204,7 +209,12 @@ class Diff2LipPipeline:
         s = self.cfg.image_size
         identity = identity_frames if identity_frames is not None else frames
 
-        boxes = smooth_boxes([self.detector(f) for f in frames])
+        if self.detector is not None:
+            boxes = smooth_boxes([self.detector(f) for f in frames])
+        else:
+            from .face import frames_face_detector
+
+            boxes = [frames_face_detector(frames)] * n  # stable per-shot box
         mels = mel_windows_for_frames(audio_16k, n, fps, window_frames=self.cfg.mel_window,
                                       n_mels=self.cfg.n_mels)
 

@@ -1,0 +1,118 @@
+"""Full-frame MuseTalk lip-sync: detection → crop → re-render → blend.
+
+The reference's MuseTalk container drives DWPose face bboxes + FaceParsing
+over the input video, VAE/UNet re-renders 256×256 crops in batches of 8, and
+blends jaw-mode back into the frames (Docker/api_inference_logic.py:42-73,
+89-97, 104-170). This module is the host-side orchestration around
+``models/musetalk.py`` device compute, with the DWPose role filled by the
+clip-level face detector in ``pipeline/face.py`` — so lip-sync runs on
+arbitrary video without a caller-supplied bbox.
+
+``musetalk_lipsync_fn`` adapts the pipeline to ``media.native.NativeVideoIO``'s
+``lipsync_fn(frames, fps, audio, sr) → frames`` seam, which is what the
+MuseTalk service and the video route consume.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import musetalk as mtm
+from .face import frames_face_detector
+
+log = logging.getLogger(__name__)
+
+
+def _mel_audio_features(audio_16k: np.ndarray, audio_dim: int) -> jnp.ndarray:
+    """Default audio-feature extractor: log-mel frames tiled to ``audio_dim``
+    at ~50 features/s (the reference feeds whisper encoder states at 50 Hz —
+    api_inference_logic.py:99-102; a whisper encoder can be plugged in via
+    ``audio_feature_fn``)."""
+    from ..ops.mel import mel_filterbank
+    from ..ops.stft import spectrogram
+
+    power = spectrogram(jnp.asarray(np.asarray(audio_16k, np.float32)),
+                        400, 320, center=True, power=2.0)  # 16k/320 = 50 Hz
+    fb = jnp.asarray(mel_filterbank(16_000, 400, 80))
+    feats = jnp.log10(jnp.maximum(power @ fb, 1e-10))  # [T, 80]
+    reps = -(-audio_dim // feats.shape[-1])
+    return jnp.tile(feats, (1, reps))[:, :audio_dim]
+
+
+class MuseTalkPipeline:
+    def __init__(
+        self,
+        params=None,
+        cfg: mtm.MuseTalkConfig = None,
+        *,
+        audio_feature_fn: Optional[Callable[[np.ndarray], jnp.ndarray]] = None,
+        batch_size: int = 8,   # api_inference_logic.py:130
+        dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg or mtm.MuseTalkConfig()
+        if params is None:
+            log.warning("MuseTalkPipeline: random weights (no checkpoint supplied)")
+            params = mtm.init_musetalk(jax.random.PRNGKey(7), self.cfg)
+        from ..models.common import cast_floats
+
+        self.params = cast_floats(params, dtype)
+        self.dtype = dtype
+        self.audio_feature_fn = audio_feature_fn or (
+            lambda a: _mel_audio_features(a, self.cfg.audio_dim))
+        self.batch_size = batch_size
+
+    def render(
+        self,
+        frames: np.ndarray,       # [N, H, W, 3] uint8
+        fps: float,
+        audio_16k: np.ndarray,
+    ) -> np.ndarray:
+        """Lip-sync full frames to the audio; returns uint8 frames."""
+        n = frames.shape[0]
+        s = self.cfg.image_size
+        y0, x0, y1, x1 = frames_face_detector(frames)
+
+        crops = jnp.stack([
+            jax.image.resize(
+                jnp.asarray(frames[i, y0:y1, x0:x1], jnp.float32) / 127.5 - 1.0,
+                (s, s, 3), "linear")
+            for i in range(n)
+        ]).astype(self.dtype)
+
+        feats = self.audio_feature_fn(np.asarray(audio_16k, np.float32))
+        windows = mtm.whisper_chunks_for_video(
+            feats, n_frames=n, fps=fps, ctx=self.cfg.audio_ctx).astype(self.dtype)
+
+        rendered = mtm.lipsync_frames(
+            self.params, self.cfg, crops, windows, batch_size=self.batch_size)
+
+        out = frames.copy()
+        for i in range(n):
+            frame = jnp.asarray(frames[i], jnp.float32) / 127.5 - 1.0
+            blended = mtm.blend_face(
+                frame, rendered[i].astype(jnp.float32), (y0, x0, y1, x1))
+            out[i] = np.asarray(jnp.clip((blended + 1.0) * 127.5, 0, 255), np.uint8)
+        return out
+
+
+def musetalk_lipsync_fn(
+    params=None, cfg: mtm.MuseTalkConfig = None, **kwargs,
+) -> Callable[[np.ndarray, float, np.ndarray, int], np.ndarray]:
+    """Adapter for ``NativeVideoIO(lipsync_fn=...)`` — resamples the dub audio
+    to 16 kHz and renders."""
+    pipe = MuseTalkPipeline(params, cfg, **kwargs)
+
+    def fn(frames: np.ndarray, fps: float, audio: np.ndarray, sr: int) -> np.ndarray:
+        wave = np.asarray(audio, np.float32).reshape(-1)
+        if sr != 16_000:
+            from .. import ops
+
+            wave = np.asarray(ops.resample(jnp.asarray(wave), sr, 16_000))
+        return pipe.render(np.asarray(frames), fps, wave)
+
+    return fn

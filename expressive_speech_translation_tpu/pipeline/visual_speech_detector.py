@@ -2,10 +2,15 @@
 
 Parity with services/visual_speech_detector.py (263 LoC): every-3rd-frame
 mouth-area analysis, activity threshold 0.005, minimum speech run 0.5 s, merge
-gaps < 0.5 s (:25, :165-241). The reference uses MediaPipe FaceMesh convex-hull
-mouth area (:133-163); MediaPipe is not available in this image, so the default
-``mouth_area_fn`` is a luminance-variance proxy over the lower-centre face
-region, and a real landmark model can be plugged in via the constructor.
+gaps < 0.5 s (:25, :165-241). The reference measures MediaPipe FaceMesh
+convex-hull mouth area (:133-163); MediaPipe is not available in this image,
+so the default path localizes the face and mouth with the clip-level detector
+in pipeline/face.py (skin×motion face box + chroma lip-map mouth box —
+verified on the committed speaking-head fixture) and measures open-mouth
+interior area per analysed frame. When no face is found, a luminance-variance
+proxy over the lower-centre region keeps segments flowing (the reference
+likewise emits 0.0 for frames where FaceMesh finds no face, :93-96). A custom
+``mouth_area_fn`` can still be plugged in via the constructor.
 """
 
 from __future__ import annotations
@@ -54,22 +59,38 @@ class VisualSpeechDetector:
         *,
         frame_skip: int = FRAME_SKIP,
         activity_threshold: float = ACTIVITY_THRESHOLD,
+        use_landmarks: bool = True,
     ):
         self.fps = fps
-        self.mouth_area_fn = mouth_area_fn or _default_mouth_area
+        self.mouth_area_fn = mouth_area_fn
         self.frame_skip = frame_skip
         self.activity_threshold = activity_threshold
+        self.use_landmarks = use_landmarks and mouth_area_fn is None
         self.initialized = False
 
     def initialize(self) -> None:
         self.initialized = True
 
+    def _mouth_areas(self, frames: List[np.ndarray]) -> np.ndarray:
+        """Mouth area per analysed frame: real face/mouth localization when
+        available, else the constructor fn, else the lower-centre proxy."""
+        if self.use_landmarks:
+            from .face import FaceLandmarkDetector
+
+            areas = FaceLandmarkDetector().mouth_area_series(
+                frames, frame_skip=self.frame_skip)
+            if len(areas):
+                return areas
+            log.info("no face found; falling back to lower-centre proxy")
+        fn = self.mouth_area_fn or _default_mouth_area
+        return np.asarray([fn(f) for f in frames[:: self.frame_skip]])
+
     def mouth_activity(self, frames: List[np.ndarray]) -> np.ndarray:
         """Per-analysed-frame |Δ mouth area| (every ``frame_skip``-th frame)."""
-        areas = [self.mouth_area_fn(f) for f in frames[:: self.frame_skip]]
+        areas = self._mouth_areas(frames)
         if len(areas) < 2:
             return np.zeros(max(len(areas), 0))
-        return np.abs(np.diff(np.asarray(areas), prepend=areas[0]))
+        return np.abs(np.diff(areas, prepend=areas[0]))
 
     def detect_speech_segments(self, frames: List[np.ndarray]) -> List[SpeechSegment]:
         """Threshold → min-duration filter → gap merge (:165-241)."""

@@ -1,0 +1,206 @@
+"""Face/mouth localization (pipeline/face.py) — VERDICT r1 item 5.
+
+The reference's MediaPipe FaceMesh / DWPose / S3FD roles are filled by a
+classical skin×motion + chroma-lip-map detector. Tests run against BOTH the
+committed real speaking-head fixture (the reference's own demo video) and
+synthetic clips with known face/mouth geometry.
+"""
+
+import numpy as np
+import pytest
+
+from expressive_speech_translation_tpu.pipeline import face as F
+from expressive_speech_translation_tpu.pipeline.visual_speech_detector import (
+    VisualSpeechDetector,
+)
+
+FIXTURE = "/root/reference/Frontend/public/videos/man-speaking-into-the-microphone.mp4"
+
+
+@pytest.fixture(scope="module")
+def fixture_frames():
+    from expressive_speech_translation_tpu.media import native
+
+    frames, fps = native.decode_video(FIXTURE, max_frames=240)
+    return frames, fps
+
+
+# --------------------------------------------------------------- synthetic
+
+SKIN = (195, 130, 105)   # passes the YCbCr skin box
+LIPS = (185, 70, 85)     # redder: passes the lip map
+WALL = (226, 176, 140)   # skin-toned but brighter static background
+
+
+def synthetic_clip(n=48, h=180, w=240, mouth_open_every=12):
+    """Skin-toned wall + a moving 'head' with articulating dark mouth."""
+    g = np.random.default_rng(0)
+    frames = []
+    for t in range(n):
+        f = np.empty((h, w, 3), np.uint8)
+        f[:] = WALL
+        f += g.integers(0, 3, f.shape, dtype=np.uint8)  # sensor noise
+        # head: skin ellipse, oscillating horizontally (speaking head sway)
+        cy, cx = h // 2, w // 2 + int(6 * np.sin(t / 2.0))
+        yy, xx = np.mgrid[:h, :w]
+        head = ((yy - cy) / 45.0) ** 2 + ((xx - cx) / 30.0) ** 2 < 1.0
+        f[head] = SKIN
+        # lips at the lower face; mouth opens (dark interior) periodically
+        ly, lx = cy + 24, cx
+        f[ly - 3: ly + 3, lx - 9: lx + 9] = LIPS
+        if (t // (mouth_open_every // 2)) % 2 == 1:
+            f[ly - 2: ly + 2, lx - 6: lx + 6] = (20, 10, 10)
+        frames.append(f)
+    return np.stack(frames)
+
+
+def test_synthetic_face_bbox():
+    frames = synthetic_clip()
+    box = F.detect_face_bbox(frames)
+    assert box is not None
+    y0, x0, y1, x1 = box
+    # head centre (90, ~120) inside the detected box; wall not swallowed
+    assert y0 <= 90 <= y1 and x0 <= 120 <= x1
+    assert (y1 - y0) * (x1 - x0) < 0.6 * 180 * 240
+
+
+def test_synthetic_mouth_bbox_on_lips():
+    frames = synthetic_clip()
+    face = F.detect_face_bbox(frames)
+    mouth = F.detect_mouth_bbox(frames, face)
+    assert mouth is not None
+    my0, mx0, my1, mx1 = mouth
+    # lips drawn at y=114, x=120
+    assert my0 <= 114 <= my1
+    assert mx0 <= 120 <= mx1
+
+
+def test_synthetic_speech_segments_follow_mouth():
+    frames = list(synthetic_clip(n=120, mouth_open_every=12))
+    det = VisualSpeechDetector(fps=24.0)
+    segments = det.detect_speech_segments(frames)
+    assert len(segments) >= 1
+    assert all(s.duration >= 0.5 for s in segments)
+
+
+def test_no_face_returns_none():
+    g = np.random.default_rng(1)
+    frames = g.integers(0, 40, (16, 64, 64, 3), dtype=np.uint8)  # dark noise
+    assert F.detect_face_bbox(frames) is None
+
+
+def test_grayscale_frames_no_crash():
+    g = np.random.default_rng(2)
+    frames = g.integers(0, 255, (8, 64, 64), dtype=np.uint8)
+    F.detect_face_bbox(frames)  # motion-only path; must not raise
+
+
+# ------------------------------------------------------------ real fixture
+
+
+def test_real_fixture_face_and_mouth(fixture_frames):
+    frames, _ = fixture_frames
+    det = F.FaceLandmarkDetector()
+    track = det.track(frames)
+    assert track is not None
+    fy0, fx0, fy1, fx1 = track.face
+    # the speaker's head occupies roughly x 560-840, y 0-400 in this shot
+    assert 400 < fx0 < 700 and 700 < fx1 < 1000
+    assert fy1 < 550
+    assert track.mouth is not None
+    my0, mx0, my1, mx1 = track.mouth
+    # mouth (lips ~y 245-280, x 740-800) inside the detected mouth box
+    assert my0 <= 255 <= my1
+    assert mx0 <= 770 <= mx1
+
+
+def test_real_fixture_detection_stable_across_halves(fixture_frames):
+    frames, _ = fixture_frames
+    half = len(frames) // 2
+    b1 = F.detect_face_bbox(frames[:half])
+    b2 = F.detect_face_bbox(frames[half:])
+    assert b1 is not None and b2 is not None
+    # IoU of the two halves' face boxes > 0.4 (stable detection)
+    y0 = max(b1[0], b2[0]); x0 = max(b1[1], b2[1])
+    y1 = min(b1[2], b2[2]); x1 = min(b1[3], b2[3])
+    inter = max(0, y1 - y0) * max(0, x1 - x0)
+    a1 = (b1[2] - b1[0]) * (b1[3] - b1[1])
+    a2 = (b2[2] - b2[0]) * (b2[3] - b2[1])
+    assert inter / (a1 + a2 - inter) > 0.4
+
+
+def test_real_fixture_mouth_area_series_nonempty(fixture_frames):
+    frames, fps = fixture_frames
+    det = F.FaceLandmarkDetector()
+    areas = det.mouth_area_series(frames)
+    assert len(areas) == len(frames[::3])
+    assert areas.std() > 1e-3  # articulating mouth: the signal varies
+
+
+def test_real_fixture_speech_segments(fixture_frames):
+    frames, fps = fixture_frames
+    det = VisualSpeechDetector(fps=fps)
+    segments = det.detect_speech_segments(list(frames))
+    assert len(segments) >= 1  # the man is speaking
+    total = sum(s.duration for s in segments)
+    assert total > 1.0
+
+
+def test_lipsync_bbox_without_caller_bbox(fixture_frames):
+    frames, _ = fixture_frames
+    box = F.frames_face_detector(frames)
+    y0, x0, y1, x1 = box
+    assert (y1 - y0) == (x1 - x0)  # square crop for the 256x256 models
+    assert x0 < 770 < x1  # covers the face
+
+
+# ------------------------------------------------- full-frame lip-sync paths
+
+
+def test_musetalk_pipeline_full_frames_no_bbox():
+    """MuseTalk end-to-end on raw frames: detection → crop → render → blend
+    (VERDICT r1: lip-sync must run on arbitrary frames without a bbox)."""
+    import jax
+    from expressive_speech_translation_tpu.models import musetalk as mt
+    from expressive_speech_translation_tpu.pipeline.musetalk_pipeline import (
+        MuseTalkPipeline, musetalk_lipsync_fn,
+    )
+
+    cfg = mt.MuseTalkConfig(image_size=32, vae_channels=(8, 16, 32),
+                            unet_channels=(8, 16, 32), audio_dim=48, heads=2)
+    params = mt.init_musetalk(jax.random.PRNGKey(3), cfg)
+    frames = synthetic_clip(n=6)
+    sr = 16_000
+    t = np.arange(int(sr * 6 / 24.0)) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+    pipe = MuseTalkPipeline(params, cfg, batch_size=4)
+    out = pipe.render(frames, 24.0, audio)
+    assert out.shape == frames.shape and out.dtype == np.uint8
+    # only the face region is re-rendered; the wall corner is untouched
+    np.testing.assert_array_equal(out[:, :8, :8], frames[:, :8, :8])
+    assert (out != frames).any()
+
+    # NativeVideoIO adapter seam (resamples 24k dub audio)
+    fn = musetalk_lipsync_fn(params, cfg, batch_size=4)
+    out2 = fn(frames, 24.0, np.resize(audio, int(24_000 * 0.25)), 24_000)
+    assert out2.shape == frames.shape
+
+
+def test_diff2lip_default_detector_uses_face():
+    """Diff2LipPipeline with no detector arg localizes the face itself."""
+    import jax
+    from expressive_speech_translation_tpu.pipeline.diff2lip import (
+        Diff2LipConfig, Diff2LipPipeline,
+    )
+
+    cfg = Diff2LipConfig(image_size=32, channels=(8, 16), heads=2,
+                         diffusion_steps=8, sampling_steps="ddim2")
+    pipe = Diff2LipPipeline(cfg)
+    frames = synthetic_clip(n=4)
+    sr = 16_000
+    audio = np.zeros(int(sr * 4 / 24.0), np.float32)
+    out = pipe.generate(frames, audio, 24.0, key=jax.random.PRNGKey(0),
+                        batch_size=4)
+    assert out.shape == frames.shape
+    np.testing.assert_array_equal(out[:, :8, :8], frames[:, :8, :8])
