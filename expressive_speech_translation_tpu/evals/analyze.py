@@ -6,10 +6,19 @@ syntax/name errors — ``return results-`` at :511, undefined
 notes). Orchestrates the metric battery per manifest job for two systems
 (ours vs a comparison dir) and writes one CSV row per job.
 
-Visual metrics that require external models (DeepFace emotion, ArcFace
-identity, OpenFace AUs, DFDC detector — analyze_outputs.py:177-426) are
-pluggable hooks: pass callables via ``extra_metrics``; absent hooks produce
-NaN columns instead of crashing (the reference template crashed).
+Covers the full reference column set:
+
+- linguistic: BLEU/chrF/token-F1 vs reference transcripts; ``sonar_score`` /
+  ``bert_score_f1`` are pluggable hooks (the reference's SONAR/BERTScore need
+  checkpoints absent here) — absent hooks emit NaN, never crash (the
+  reference template crashed)
+- audio: F0/intensity/HNR (:142-175), ECAPA speaker similarity (:113-121),
+  SER emotion label (:125-138 — acoustic-proxy classifier, evals/ser.py)
+- visual (when ``{job_id}.mp4`` exists): emotion label, identity distance,
+  AU proxies, mouth↔audio correlation, head-pose std, deepfake-artifact
+  score (:177-426 — self-contained stand-ins, evals/visual_metrics.py)
+
+Extra per-job callables can be added via ``extra_metrics``.
 """
 
 from __future__ import annotations
@@ -57,6 +66,41 @@ def analyze_single_job(
     row.update({k: round(v, 3) for k, v in f0_statistics(audio, sr).items()})
     row.update({k: round(v, 2) for k, v in rms_intensity(audio).items()})
     row["hnr_db"] = round(harmonics_to_noise_ratio(audio, sr), 2)
+
+    from .ser import classify_audio_emotion
+
+    row["audio_emotion"] = classify_audio_emotion(audio, sr)
+
+    # semantic scores are checkpoint-backed in the reference (SONAR,
+    # BERTScore); pluggable here, NaN when no scorer is wired
+    row.setdefault("sonar_score", float("nan"))
+    row.setdefault("bert_score_f1", float("nan"))
+
+    video = system_dir / f"{job_id}.mp4"
+    if video.exists():
+        try:
+            from ..media import native
+            from .acoustic_metrics import av_sync_correlation
+            from .visual_metrics import video_metrics
+
+            frames, fps = native.decode_video(video, max_frames=240)
+            src_video = (reference_dir / f"{job_id}.mp4") if reference_dir else None
+            src_frames = None
+            if src_video is not None and src_video.exists():
+                src_frames, _ = native.decode_video(src_video, max_frames=240)
+            row.update(video_metrics(frames, fps, audio, sr,
+                                     source_frames=src_frames))
+            # AV-sync confidence = mouth-activity↔envelope correlation at the
+            # video frame rate (SyncNet-confidence stand-in)
+            from ..pipeline.face import FaceLandmarkDetector
+
+            activity = FaceLandmarkDetector().mouth_area_series(
+                frames, frame_skip=1)
+            row["av_sync_confidence"] = round(
+                av_sync_correlation(audio, sr, activity, fps), 4)
+        except Exception:  # noqa: BLE001 — visual battery must not kill the sweep
+            log.exception("visual metrics failed for %s", job_id)
+            row["visual_metrics_error"] = True
 
     tpath = system_dir / f"{job_id}_transcripts.json"
     transcripts = json.loads(tpath.read_text()) if tpath.exists() else {}

@@ -140,14 +140,20 @@ class CascadedBackend(TranslationBackend):
             )
         tts_sr = getattr(self.engines.tts, "sample_rate", 24_000)
         if tts_sr != 16_000:
-            tts_audio = np.asarray(ops.resample(jnp.asarray(tts_audio), tts_sr, 16_000))
+            # host polyphase mirror of ops.resample — per-request lengths vary,
+            # so the device op would recompile/eager-dispatch every request
+            from ..ops.host_dsp import resample_np
+
+            tts_audio = resample_np(np.asarray(tts_audio), tts_sr, 16_000)
 
         with timer.stage("post"):
+            from ..ops.host_dsp import loudness_normalize_np
+
             out = self._apply_natural_temporal_mapping(
                 tts_audio, x, words, pauses,
                 original_video_frames=original_video_frames, video_fps=video_fps,
             )
-            out = np.asarray(ops.loudness_normalize(jnp.asarray(out), TARGET_LUFS))
+            out = loudness_normalize_np(out, TARGET_LUFS)
 
         self.last_stage_summary = timer.summary()
         log.info("[%s] done: %s", process_id, {

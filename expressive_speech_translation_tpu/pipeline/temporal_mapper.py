@@ -122,7 +122,11 @@ class TemporalMapper:
         return (0.8 * tone).astype(np.float32)
 
     def stretch_to_duration(self, audio: np.ndarray, target_seconds: float) -> np.ndarray:
-        """Phase-vocoder stretch with the reference's [0.7, 1.5] rate clip."""
+        """Phase-vocoder stretch with the reference's [0.7, 1.5] rate clip.
+
+        Runs the host (numpy) mirror of ops.phase_vocoder_stretch: per-request
+        audio lengths vary, so the jitted op would recompile per request, and
+        eager dispatch costs ~1.2 s in relay round-trips (ops/host_dsp.py)."""
         audio = np.asarray(audio, np.float32).reshape(-1)
         current = len(audio) / self.sr
         if current < 1e-3 or target_seconds < 1e-3:
@@ -130,7 +134,9 @@ class TemporalMapper:
         rate = float(np.clip(current / target_seconds, MIN_STRETCH, MAX_STRETCH))
         if abs(rate - 1.0) < 0.02:
             return audio
-        return np.asarray(ops.phase_vocoder_stretch(jnp.asarray(audio), rate)).astype(np.float32)
+        from ..ops.host_dsp import phase_vocoder_stretch_np
+
+        return phase_vocoder_stretch_np(audio, rate)
 
     def apply_temporal_guidance(
         self,

@@ -148,3 +148,49 @@ def test_ops_jit_on_8device_mesh():
     out = fn(x)
     assert out.shape == (8, 80, 3000)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ----------------------------------------------- host (numpy) glue mirrors
+
+
+class TestHostDspParity:
+    """ops/host_dsp.py must mirror the JAX ops exactly — the serving post
+    stage runs the host versions (per-request shapes vary; see module doc)."""
+
+    def test_phase_vocoder_parity(self):
+        import jax.numpy as jnp
+
+        from expressive_speech_translation_tpu.ops.host_dsp import (
+            phase_vocoder_stretch_np,
+        )
+
+        x = sine(220.0, 16000, 1.5) + 0.2 * sine(731.0, 16000, 1.5)
+        for rate in (0.8, 1.0, 1.3):
+            ref = np.asarray(ops.phase_vocoder_stretch(jnp.asarray(x), rate))
+            got = phase_vocoder_stretch_np(x, rate)
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_loudness_normalize_parity(self):
+        import jax.numpy as jnp
+
+        from expressive_speech_translation_tpu.ops.host_dsp import (
+            loudness_normalize_np,
+        )
+
+        x = 0.02 * sine(300.0, 16000, 0.7)
+        ref = np.asarray(ops.loudness_normalize(jnp.asarray(x), -23.0))
+        got = loudness_normalize_np(x, -23.0)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    @pytest.mark.parametrize("orig,new", [(24000, 16000), (22050, 16000), (16000, 24000)])
+    def test_resample_parity(self, orig, new):
+        import jax.numpy as jnp
+
+        from expressive_speech_translation_tpu.ops.host_dsp import resample_np
+
+        x = sine(440.0, orig, 0.9)
+        ref = np.asarray(ops.resample(jnp.asarray(x), orig, new))
+        got = resample_np(x, orig, new)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-4)
