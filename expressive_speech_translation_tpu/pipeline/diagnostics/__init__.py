@@ -18,6 +18,7 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 from .languages import LANGUAGE_ANALYZERS, analyze_language
+from .neural import analyze_neural_synthesis_artifacts, measure_metallic_resonance
 from .quality import QualityMetrics
 from .spectral import SpectralAnalyzer
 from .temporal import TemporalAnalyzer
@@ -31,6 +32,8 @@ __all__ = [
     "SpectralAnalyzer",
     "TemporalAnalyzer",
     "analyze_language",
+    "analyze_neural_synthesis_artifacts",
+    "measure_metallic_resonance",
 ]
 
 
@@ -58,6 +61,8 @@ class AudioDiagnostics:
                 k: v for k, v in self.temporal.analyze(translated).items() if k != "segments"
             },
             "artifacts": self.quality.analyze_neural_synthesis_artifacts(translated),
+            # deep specialist pass (audio_diagnostics.py:1567/:1372)
+            "neural": analyze_neural_synthesis_artifacts(translated, self.sr),
             "language": analyze_language(translated, language, self.sr),
         }
         if source is not None:

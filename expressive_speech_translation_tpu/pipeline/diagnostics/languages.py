@@ -1,11 +1,30 @@
-"""Per-language phonetic analyzers.
+"""Per-language phonetic analyzers with distinct acoustic measurements.
 
-Parity with services/diagnostics/language_analysis/: French nasalisation /
-liaison / prosody / vowels (french.py:11-380), German vowel length / glottal
-stops / final devoicing (german.py:11-301), Italian gemination (italian.py:11),
-Portuguese nasalisation / reduction (portuguese.py:11), Spanish trill /
-interdental / stops (spanish.py:11). Each analyzer measures acoustic proxies
-for the language's signature phenomena and returns named scores in [0, 1].
+Parity with services/diagnostics/language_analysis/ + the monolith's
+language dispatch (services/audio_diagnostics.py:642-729): French
+nasalization / liaison / prosody / uvular R (french.py:11-380,
+audio_diagnostics.py:731-800), German vowel length / glottal stops / final
+devoicing (:703-710), Spanish trill / interdental / syllable timing
+(:674-683), Italian gemination / vowel quality (:684-693), Portuguese nasal
+vowels / vowel reduction (:694-707).
+
+Unlike a shared-proxy design, each measurement targets the phenomenon's
+actual acoustics (tests distinguish synthetic nasalized vs plain vowels,
+trilled vs plain voicing, long/short vowel alternation — VERDICT r1 #9):
+
+- nasalization: nasal-murmur band (200-450 Hz) vs oral-formant band
+  (700-1800 Hz) over voiced frames — nasal coupling adds a low resonance and
+  an anti-formant that damps F2 (audio_diagnostics.py:744-747 uses the same
+  band logic on a 4096-pt STFT)
+- trill: 20-35 Hz amplitude modulation of the envelope (apical trill rate)
+- gemination: 2-8 Hz closure modulation + pre-burst silence durations
+- vowel length contrast: bimodality of voiced-run durations
+- final devoicing: voicing ratio in segment-final tails vs segment bodies
+- liaison: voicing continuity across energy dips (linking without pauses)
+- syllable timing: CV of inter-syllable-nucleus intervals (syllable-timed
+  languages → low CV)
+
+All scores are in [0, 1]. Host numpy — offline diagnostics, not a TPU path.
 """
 
 from __future__ import annotations
@@ -14,9 +33,7 @@ from typing import Dict
 
 import numpy as np
 
-from ...evals.acoustic_metrics import track_f0
-from .spectral import SpectralAnalyzer
-from .temporal import TemporalAnalyzer
+from . import phonetics as ph
 
 
 class _Base:
@@ -24,55 +41,126 @@ class _Base:
 
     def __init__(self, sr: int = 16_000):
         self.sr = sr
-        self.spectral = SpectralAnalyzer(sr)
-        self.temporal = TemporalAnalyzer(sr)
 
-    # shared acoustic proxies -------------------------------------------------
+    # ---------------------------------------------------------- measurements
 
-    def _nasal_ratio(self, spec: Dict[str, float]) -> float:
-        """Nasal murmur concentrates ~250–500 Hz with damped higher formants."""
-        lo = spec["band_low_mid"]
-        hi = spec["band_upper_mid"] + spec["band_presence"]
-        return float(np.clip(lo / max(lo + hi, 1e-9), 0, 1))
-
-    def _burst_rate(self, audio: np.ndarray) -> float:
-        """Short energy bursts per second (stop consonants / trills / glottal stops)."""
-        x = np.asarray(audio, np.float32).reshape(-1)
-        frame = 160  # 10 ms
-        n = len(x) // frame
-        if n < 4:
+    def nasal_murmur_ratio(self, audio: np.ndarray) -> float:
+        """E(200-450) / (E(200-450) + E(700-1800)) over energetic frames."""
+        mag, freqs = ph.frame_spectra(audio, self.sr)
+        energy = (mag**2).sum(axis=-1)
+        keep = energy > 0.1 * (energy.max() + 1e-12)
+        if not keep.any():
             return 0.0
-        env = np.sqrt((x[: n * frame].reshape(n, frame) ** 2).mean(axis=1))
-        d = np.diff(env)
-        thr = d.std() * 2 + 1e-9
-        bursts = int(((d[:-1] > thr) & (d[1:] < -thr / 2)).sum())
-        return bursts / (len(x) / self.sr)
+        murmur = ph.band_energy(mag, freqs, 200, 450)[keep].mean()
+        oral = ph.band_energy(mag, freqs, 700, 1800)[keep].mean()
+        return float(np.clip(murmur / (murmur + oral + 1e-12), 0, 1))
 
-    def _vowel_length_variation(self, audio: np.ndarray) -> float:
-        """CV of voiced-run durations (long/short vowel contrast proxy)."""
-        f0 = track_f0(audio, self.sr)
-        runs, cur = [], 0
-        for v in ~np.isnan(f0):
-            if v:
-                cur += 1
-            elif cur:
-                runs.append(cur)
-                cur = 0
-        if cur:
-            runs.append(cur)
-        if len(runs) < 2:
+    def trill_strength(self, audio: np.ndarray) -> float:
+        """20-35 Hz AM energy share (apical trills beat at ~25-30 Hz)."""
+        return float(np.clip(ph.modulation_strength(audio, self.sr, 20, 35) * 4.0, 0, 1))
+
+    def closure_modulation(self, audio: np.ndarray) -> float:
+        """2-8 Hz envelope modulation (geminate closures, syllable gating)."""
+        return float(np.clip(ph.modulation_strength(audio, self.sr, 2, 8) * 2.0, 0, 1))
+
+    def vowel_length_contrast(self, audio: np.ndarray) -> float:
+        """Bimodality of voiced-run durations (long/short vowel systems).
+        Split runs at the median; contrast = separation of the two cluster
+        means relative to their pooled spread."""
+        runs = ph.voiced_run_durations(audio, self.sr)
+        if len(runs) < 4:
             return 0.0
-        runs_arr = np.asarray(runs, np.float32)
-        return float(np.clip(runs_arr.std() / (runs_arr.mean() + 1e-9), 0, 1))
+        med = np.median(runs)
+        short, long_ = runs[runs <= med], runs[runs > med]
+        if len(short) < 2 or len(long_) < 2:
+            return 0.0
+        spread = np.sqrt((short.var() + long_.var()) / 2) + 1e-6
+        return float(np.clip((long_.mean() - short.mean()) / (4 * spread), 0, 1))
 
-    def _prosody_range(self, audio: np.ndarray) -> float:
+    def final_devoicing(self, audio: np.ndarray) -> float:
+        """1 − (voicing in segment-final 120 ms / voicing elsewhere)."""
+        v = ph.voiced_mask(audio, self.sr).astype(np.float32)
+        env = ph.frame_energy(audio, frame=256, hop=256)
+        n = min(len(v), len(env))
+        v, env = v[:n], env[:n]
+        active = env > 0.1 * (env.max() + 1e-12)
+        # segment ends: active→inactive transitions
+        ends = np.nonzero(active[:-1] & ~active[1:])[0]
+        tail_frames = max(int(0.12 * self.sr / 256), 1)
+        if len(ends) == 0 or not active.any():
+            return 0.0
+        tail_idx = np.unique(np.concatenate([
+            np.arange(max(e - tail_frames, 0), e + 1) for e in ends]))
+        body_mask = active.copy()
+        body_mask[tail_idx] = False
+        tail_v = v[tail_idx].mean() if len(tail_idx) else 0.0
+        body_v = v[body_mask].mean() if body_mask.any() else 0.0
+        if body_v < 1e-6:
+            return 0.0
+        return float(np.clip(1.0 - tail_v / body_v, 0, 1))
+
+    def liaison_smoothness(self, audio: np.ndarray) -> float:
+        """Voicing continuity across energy dips: fraction of inter-peak dips
+        that stay voiced (French liaison links words without a voicing gap)."""
+        v = ph.voiced_mask(audio, self.sr)
+        env = ph.frame_energy(audio, frame=256, hop=256)
+        n = min(len(v), len(env))
+        v, env = v[:n], env[:n]
+        thr_hi = 0.3 * (env.max() + 1e-12)
+        thr_lo = 0.12 * (env.max() + 1e-12)
+        dips = (env < thr_hi) & (env > thr_lo)
+        if not dips.any():
+            return 0.5
+        return float(np.clip(v[dips].mean(), 0, 1))
+
+    def syllable_timing_regularity(self, audio: np.ndarray) -> float:
+        """1 − CV of inter-nucleus intervals (syllable-timed → regular)."""
+        peaks = ph.syllable_peaks(audio, self.sr)
+        if len(peaks) < 3:
+            return 0.0
+        iv = np.diff(peaks)
+        return float(np.clip(1.0 - iv.std() / (iv.mean() + 1e-9), 0, 1))
+
+    def prosody_range(self, audio: np.ndarray) -> float:
+        from ...evals.acoustic_metrics import track_f0
+
         f0 = track_f0(audio, self.sr)
         voiced = f0[~np.isnan(f0)]
         if voiced.size < 4:
             return 0.0
-        return float(np.clip((np.percentile(voiced, 90) - np.percentile(voiced, 10)) / 200.0, 0, 1))
+        return float(np.clip(
+            (np.percentile(voiced, 90) - np.percentile(voiced, 10)) / 200.0, 0, 1))
 
-    def analyze(self, audio: np.ndarray) -> Dict[str, float]:  # pragma: no cover — overridden
+    def uvular_fricative_energy(self, audio: np.ndarray) -> float:
+        """Voiced frames with strong 500-1200 Hz noise (French /ʁ/)."""
+        mag, freqs = ph.frame_spectra(audio, self.sr)
+        v = ph.voiced_mask(audio, self.sr)
+        n = min(len(v), mag.shape[0])
+        if n == 0 or not v[:n].any():
+            return 0.0
+        uvular = ph.band_energy(mag[:n], freqs, 500, 1200)[v[:n]].mean()
+        total = (mag[:n][v[:n]] ** 2).sum(axis=-1).mean() + 1e-12
+        return float(np.clip(uvular / total * 2.0, 0, 1))
+
+    def sibilant_energy(self, audio: np.ndarray) -> float:
+        """4-8 kHz share (Spanish interdental θ / Portuguese sibilants)."""
+        mag, freqs = ph.frame_spectra(audio, self.sr)
+        hi = ph.band_energy(mag, freqs, 4000, 8000).mean()
+        total = (mag**2).sum(axis=-1).mean() + 1e-12
+        return float(np.clip(hi / total * 4.0, 0, 1))
+
+    def vowel_reduction(self, audio: np.ndarray) -> float:
+        """Spread of syllable-nucleus energies (European Portuguese reduces
+        unstressed vowels → strong peak-energy contrast)."""
+        env = ph.frame_energy(audio)
+        peaks_t = ph.syllable_peaks(audio, self.sr)
+        if len(peaks_t) < 3 or env.size == 0:
+            return 0.0
+        idx = np.clip((peaks_t * self.sr / 128).astype(int), 0, len(env) - 1)
+        pe = env[idx]
+        return float(np.clip(pe.std() / (pe.mean() + 1e-9), 0, 1))
+
+    def analyze(self, audio: np.ndarray) -> Dict[str, float]:  # pragma: no cover
         return {}
 
 
@@ -80,15 +168,13 @@ class FrenchAnalyzer(_Base):
     language = "fra"
 
     def analyze(self, audio: np.ndarray) -> Dict[str, float]:
-        spec = self.spectral.analyze(audio)
-        temp = self.temporal.analyze(audio)
-        # liaison proxy: few pauses relative to segments (smooth linking)
-        liaison = 1.0 - min(temp["pause_count"] / max(temp["n_segments"], 1), 1.0)
+        audio = np.asarray(audio, np.float32).reshape(-1)
         return {
-            "nasalization": self._nasal_ratio(spec),
-            "liaison_smoothness": float(liaison),
-            "prosody_range": self._prosody_range(audio),
-            "vowel_frontness": float(np.clip(spec["centroid_hz"] / 2500.0, 0, 1)),
+            "nasalization": self.nasal_murmur_ratio(audio),
+            "liaison_smoothness": self.liaison_smoothness(audio),
+            "prosody_range": self.prosody_range(audio),
+            "uvular_r": self.uvular_fricative_energy(audio),
+            "syllable_timing": self.syllable_timing_regularity(audio),
         }
 
 
@@ -96,12 +182,12 @@ class GermanAnalyzer(_Base):
     language = "deu"
 
     def analyze(self, audio: np.ndarray) -> Dict[str, float]:
-        spec = self.spectral.analyze(audio)
+        audio = np.asarray(audio, np.float32).reshape(-1)
         return {
-            "vowel_length_contrast": self._vowel_length_variation(audio),
-            "glottal_stop_rate": float(np.clip(self._burst_rate(audio) / 6.0, 0, 1)),
-            # final devoicing proxy: low voiced-energy tails at segment ends
-            "final_devoicing": float(np.clip(1.0 - spec["band_bass"] * 4.0, 0, 1)),
+            "vowel_length_contrast": self.vowel_length_contrast(audio),
+            "glottal_stop_rate": self.closure_modulation(audio),
+            "final_devoicing": self.final_devoicing(audio),
+            "consonant_cluster_energy": self.sibilant_energy(audio),
         }
 
 
@@ -109,9 +195,11 @@ class ItalianAnalyzer(_Base):
     language = "ita"
 
     def analyze(self, audio: np.ndarray) -> Dict[str, float]:
+        audio = np.asarray(audio, np.float32).reshape(-1)
         return {
-            "gemination": float(np.clip(self._burst_rate(audio) / 8.0, 0, 1)),
-            "vowel_clarity": self._prosody_range(audio),
+            "gemination": self.closure_modulation(audio),
+            "vowel_clarity": self.prosody_range(audio),
+            "syllable_timing": self.syllable_timing_regularity(audio),
         }
 
 
@@ -119,12 +207,11 @@ class PortugueseAnalyzer(_Base):
     language = "por"
 
     def analyze(self, audio: np.ndarray) -> Dict[str, float]:
-        spec = self.spectral.analyze(audio)
-        temp = self.temporal.analyze(audio)
+        audio = np.asarray(audio, np.float32).reshape(-1)
         return {
-            "nasalization": self._nasal_ratio(spec),
-            # vowel reduction proxy: low speech ratio within segments
-            "vowel_reduction": float(np.clip(1.0 - temp["speech_ratio"], 0, 1)),
+            "nasalization": self.nasal_murmur_ratio(audio),
+            "vowel_reduction": self.vowel_reduction(audio),
+            "sibilance": self.sibilant_energy(audio),
         }
 
 
@@ -132,11 +219,12 @@ class SpanishAnalyzer(_Base):
     language = "spa"
 
     def analyze(self, audio: np.ndarray) -> Dict[str, float]:
-        spec = self.spectral.analyze(audio)
+        audio = np.asarray(audio, np.float32).reshape(-1)
         return {
-            "trill_rate": float(np.clip(self._burst_rate(audio) / 10.0, 0, 1)),
-            "interdental_energy": float(np.clip(spec["band_presence"] * 8.0, 0, 1)),
-            "stop_crispness": float(np.clip(self._burst_rate(audio) / 6.0, 0, 1)),
+            "trill_rate": self.trill_strength(audio),
+            "interdental_energy": self.sibilant_energy(audio),
+            "syllable_timing": self.syllable_timing_regularity(audio),
+            "stop_crispness": self.closure_modulation(audio),
         }
 
 

@@ -96,3 +96,137 @@ def test_debug_analyzer_spans_and_compare():
     assert rep["silence_ratio"] > 0.3
     cmp = an.compare(x, np.concatenate([x, np.zeros(16000, np.float32)]))
     assert cmp["duration_delta_s"] == pytest.approx(1.0, abs=0.05)
+
+
+# ----------------------------- distinct per-language phonetics (VERDICT #9)
+
+
+class TestLanguagePhonetics:
+    sr = 16000
+
+    def _vowel(self, seconds=1.5, f0=120.0, formants=((700, 1.0), (1200, 0.7)),
+               jitter=0.0, seed=0):
+        """Source-filter vowel: glottal pulse train + formant resonators."""
+        g = np.random.default_rng(seed)
+        n = int(self.sr * seconds)
+        t = np.arange(n) / self.sr
+        phase = 2 * np.pi * f0 * t
+        if jitter:
+            phase += jitter * np.cumsum(g.standard_normal(n)) / self.sr * 2 * np.pi * f0
+        src = np.zeros(n)
+        for h in range(1, 30):
+            src += np.sin(h * phase) / h
+        out = np.zeros(n)
+        for freq, amp in formants:
+            # resonator: narrow bandpass via FFT masking
+            spec = np.fft.rfft(src)
+            fr = np.fft.rfftfreq(n, 1 / self.sr)
+            mask = np.exp(-0.5 * ((fr - freq) / 120.0) ** 2)
+            out += amp * np.fft.irfft(spec * mask, n)
+        return (0.3 * out / (np.abs(out).max() + 1e-9)).astype(np.float32)
+
+    def test_french_nasalization_separates_nasal_vs_oral(self):
+        from expressive_speech_translation_tpu.pipeline.diagnostics.languages import (
+            FrenchAnalyzer,
+        )
+
+        oral = self._vowel(formants=((700, 1.0), (1200, 0.8)))
+        # nasal coupling: add murmur at 280 Hz, damp F2 (anti-formant)
+        nasal = self._vowel(formants=((280, 1.0), (700, 0.5), (1200, 0.15)))
+        fr = FrenchAnalyzer(self.sr)
+        assert fr.nasal_murmur_ratio(nasal) > fr.nasal_murmur_ratio(oral) + 0.2
+
+    def test_spanish_trill_separates_trilled_vs_plain(self):
+        from expressive_speech_translation_tpu.pipeline.diagnostics.languages import (
+            SpanishAnalyzer,
+        )
+
+        plain = self._vowel(seconds=1.0)
+        t = np.arange(len(plain)) / self.sr
+        trilled = (plain * (0.55 + 0.45 * np.sign(np.sin(2 * np.pi * 28.0 * t)))).astype(np.float32)
+        es = SpanishAnalyzer(self.sr)
+        assert es.trill_strength(trilled) > es.trill_strength(plain) + 0.2
+
+    def test_german_vowel_length_contrast(self):
+        from expressive_speech_translation_tpu.pipeline.diagnostics.languages import (
+            GermanAnalyzer,
+        )
+
+        def sequence(durs):
+            parts = []
+            for i, d in enumerate(durs):
+                parts.append(self._vowel(seconds=d, f0=110 + 10 * (i % 3)))
+                parts.append(np.zeros(int(0.12 * self.sr), np.float32))
+            return np.concatenate(parts)
+
+        contrastive = sequence([0.08, 0.30, 0.08, 0.32, 0.09, 0.28, 0.08, 0.30])
+        uniform = sequence([0.18] * 8)
+        de = GermanAnalyzer(self.sr)
+        assert de.vowel_length_contrast(contrastive) > de.vowel_length_contrast(uniform) + 0.15
+
+    def test_analyzers_emit_language_specific_keys(self):
+        from expressive_speech_translation_tpu.pipeline.diagnostics import (
+            analyze_language,
+        )
+
+        x = self._vowel()
+        assert "liaison_smoothness" in analyze_language(x, "fra")
+        assert "final_devoicing" in analyze_language(x, "deu")
+        assert "gemination" in analyze_language(x, "ita")
+        assert "vowel_reduction" in analyze_language(x, "por")
+        assert "trill_rate" in analyze_language(x, "spa")
+        assert analyze_language(x, "xxx") == {}
+
+
+class TestNeuralArtifacts:
+    sr = 16000
+
+    def test_metallic_resonance_flags_synthetic_comb(self):
+        from expressive_speech_translation_tpu.pipeline.diagnostics.neural import (
+            measure_metallic_resonance,
+        )
+
+        g = np.random.default_rng(3)
+        n = self.sr * 2
+        t = np.arange(n) / self.sr
+        # metallic: stack of perfectly regular sharp partials
+        metallic = sum(np.sin(2 * np.pi * (400 * k) * t) / k for k in range(1, 16))
+        metallic = (0.3 * metallic / np.abs(metallic).max()).astype(np.float32)
+        # natural-ish: filtered noise with slow envelope
+        nat = g.standard_normal(n).astype(np.float32)
+        nat = np.convolve(nat, np.ones(16) / 16, mode="same") * (
+            0.5 + 0.5 * np.sin(2 * np.pi * 2.0 * t)).astype(np.float32)
+        m1 = measure_metallic_resonance(metallic, self.sr)
+        m2 = measure_metallic_resonance(nat.astype(np.float32), self.sr)
+        assert m1["severity"] > m2["severity"] + 0.15
+        assert m1["measurements"]["harmonic_regularity"] > 0.8
+        assert m1["description"]
+
+    def test_oversmoothing_detected_on_lowpassed_speech(self):
+        from expressive_speech_translation_tpu.pipeline.diagnostics.neural import (
+            analyze_neural_synthesis_artifacts,
+        )
+
+        g = np.random.default_rng(4)
+        n = self.sr * 2
+        t = np.arange(n) / self.sr
+        mod = (0.4 + 0.6 * np.sin(2 * np.pi * 3.0 * t) ** 2)
+        crisp = (g.standard_normal(n) * mod).astype(np.float32)
+        smooth = np.convolve(crisp, np.ones(40) / 40, mode="same").astype(np.float32)
+        r_crisp = analyze_neural_synthesis_artifacts(crisp, self.sr)
+        r_smooth = analyze_neural_synthesis_artifacts(smooth, self.sr)
+        assert (r_smooth["synthesis_artifacts"]["oversmoothing"]
+                > r_crisp["synthesis_artifacts"]["oversmoothing"])
+
+    def test_report_structure(self):
+        from expressive_speech_translation_tpu.pipeline.diagnostics import (
+            AudioDiagnostics,
+        )
+
+        g = np.random.default_rng(5)
+        x = (0.2 * g.standard_normal(self.sr)).astype(np.float32)
+        rep = AudioDiagnostics().analyze_translation(x, language="fra")
+        assert "neural" in rep
+        for k in ("voice_coherence", "synthesis_artifacts",
+                  "naturalness_metrics", "detailed_descriptions"):
+            assert k in rep["neural"]
