@@ -91,19 +91,21 @@ WHISPER_FRAMES = WHISPER_SAMPLES // WHISPER_HOP       # 3000
 
 
 def whisper_log_mel(
-    audio: jnp.ndarray, *, n_mels: int = 80, pad_to_chunk: bool = True
+    audio: jnp.ndarray, *, n_mels: int = 80, pad_to_chunk: bool = True,
+    chunk_samples: int = WHISPER_SAMPLES,
 ) -> jnp.ndarray:
     """Whisper-compatible log-mel: [..., T] → [..., n_mels, frames].
 
     Matches openai-whisper ``log_mel_spectrogram`` / transformers
     WhisperFeatureExtractor: hann(400), hop 160, reflect-centered, power
     spectrogram with the final frame dropped, slaney mel, log10 clamped at
-    1e-10, floored at (max - 8), then (x + 4) / 4.
+    1e-10, floored at (max - 8), then (x + 4) / 4. ``chunk_samples`` restricts
+    the 30 s window for bucketed serving (see ops/pallas_mel.py).
     """
     if pad_to_chunk:
-        deficit = WHISPER_SAMPLES - audio.shape[-1]
+        deficit = chunk_samples - audio.shape[-1]
         if deficit < 0:
-            audio = audio[..., :WHISPER_SAMPLES]
+            audio = audio[..., :chunk_samples]
         elif deficit > 0:
             audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(0, deficit)])
     power = spectrogram(audio, WHISPER_N_FFT, WHISPER_HOP, center=True, power=2.0)

@@ -77,24 +77,36 @@ def _kernel(a_ref, b_ref, c_ref, wcos_ref, wsin_ref, fb_ref, out_ref):
 
 
 def whisper_log_mel_pallas(
-    audio: jnp.ndarray, *, n_mels: int = 80, interpret: bool | None = None
+    audio: jnp.ndarray, *, n_mels: int = 80, interpret: bool | None = None,
+    chunk_samples: int = WHISPER_SAMPLES,
 ) -> jnp.ndarray:
     """Drop-in fused equivalent of :func:`ops.mel.whisper_log_mel` for a single
-    [T] waveform. Returns [n_mels, 3000]."""
+    [T] waveform. Returns [n_mels, chunk_samples/160] ([n_mels, 3000] at the
+    default 30 s window).
+
+    ``chunk_samples``: context window in samples — bucketed serving restricts
+    whisper's 30 s window to the utterance's length bucket (10/20/30 s), which
+    cuts encoder compute and per-decode-step cross-K/V reads proportionally.
+    Must keep the frame count a multiple of the kernel tile (2 s granularity).
+    """
     assert audio.ndim == 1, "pallas frontend takes a single [T] waveform"
     if interpret is None:
         # Mosaic kernels only compile for TPU; interpret elsewhere (CPU tests)
         interpret = jax.default_backend() != "tpu"
-    # Pad/trim to the 30 s chunk and apply whisper's reflect padding.
-    deficit = WHISPER_SAMPLES - audio.shape[-1]
+    # Pad/trim to the context chunk and apply whisper's reflect padding.
+    deficit = chunk_samples - audio.shape[-1]
     if deficit < 0:
-        audio = audio[:WHISPER_SAMPLES]
+        audio = audio[:chunk_samples]
     elif deficit > 0:
         audio = jnp.pad(audio, (0, deficit))
     pad = WHISPER_N_FFT // 2
     audio = jnp.pad(audio, (pad, pad), mode="reflect")
 
-    n_frames = WHISPER_SAMPLES // WHISPER_HOP  # 3000 (whisper drops the 3001st)
+    n_frames = chunk_samples // WHISPER_HOP  # 3000 at 30 s (whisper drops the last)
+    if n_frames % FRAMES_PER_TILE:
+        raise ValueError(
+            f"chunk_samples must give a multiple of {FRAMES_PER_TILE} frames "
+            f"(got {n_frames}); use an even number of seconds")
     n_tiles = n_frames // FRAMES_PER_TILE
     n_chunks = n_frames + 2
     need = n_chunks * _CHUNK

@@ -60,7 +60,18 @@ class JaxWhisperAsr:
         dtype=jnp.bfloat16,
         max_new_tokens: int = 224,
         quantize: bool = False,
+        context_buckets: tuple = (30,),
     ):
+        """``context_buckets``: encoder context windows in seconds (even
+        values, ascending, max 30). Whisper always encodes a 30 s window;
+        for a 10 s utterance that wastes 3× encoder FLOPs and 3× cross-K/V
+        HBM reads per decode step. Buckets restrict the window to the
+        utterance's length bucket — (10, 20, 30) cuts short-utterance ASR
+        latency ~2-3× at a small accuracy cost on real weights (the
+        faster-whisper-style context trick); the default (30,) is exact
+        whisper semantics. Host-side padding to the bucket also guarantees
+        only len(context_buckets) compiled programs regardless of utterance
+        length (previously every new length recompiled)."""
         self.cfg = cfg or wjm.WhisperConfig.base()
         self.weightless = params is None
         if params is None:
@@ -72,10 +83,17 @@ class JaxWhisperAsr:
         self.tokenizer = tokenizer or ByteTokenizer()
         self.max_new_tokens = max_new_tokens
         self.dtype = dtype
+        buckets = tuple(sorted(int(b) for b in context_buckets))
+        if not buckets or buckets[-1] > 30 or any(b % 2 or b <= 0 for b in buckets):
+            raise ValueError(
+                f"context_buckets must be even seconds in (0, 30], got {context_buckets}")
+        self.context_buckets = buckets
 
         @jax.jit
         def _transcribe(params, audio, prompt):
-            mel = whisper_log_mel_pallas(audio).astype(dtype)
+            # chunk window = the (static) padded length of this bucket
+            mel = whisper_log_mel_pallas(
+                audio, chunk_samples=audio.shape[-1]).astype(dtype)
             return wjm.greedy_decode_with_alignment(
                 params, self.cfg, mel[None], prompt, max_new_tokens=max_new_tokens
             )
@@ -84,12 +102,12 @@ class JaxWhisperAsr:
 
         @jax.jit
         def _transcribe_b(params, audio, prompt):
-            """Batched 30 s chunks [N, samples] (zero-padded) in one dispatch.
-            Uses the XLA mel (batch-native); the fused Pallas mel is per-row
-            and its win (~7 ms/30 s) is noise next to batched decode."""
+            """Batched context chunks [N, samples] (zero-padded) in one
+            dispatch. Uses the XLA mel (batch-native); the fused Pallas mel is
+            per-row and its win (~7 ms/30 s) is noise next to batched decode."""
             from ..ops import whisper_log_mel
 
-            mel = whisper_log_mel(audio).astype(dtype)
+            mel = whisper_log_mel(audio, chunk_samples=audio.shape[-1]).astype(dtype)
             return wjm.greedy_decode_with_alignment(
                 params, self.cfg, mel, prompt, max_new_tokens=max_new_tokens
             )
@@ -98,7 +116,8 @@ class JaxWhisperAsr:
 
         @jax.jit
         def _detect(params, audio):
-            mel = whisper_log_mel_pallas(audio).astype(dtype)
+            mel = whisper_log_mel_pallas(
+                audio, chunk_samples=audio.shape[-1]).astype(dtype)
             ids, probs = wjm.detect_language(params, self.cfg, mel[None])
             return ids[0], probs[0]
 
@@ -124,17 +143,22 @@ class JaxWhisperAsr:
     def _decode_chunk_host(
         self, tokens: np.ndarray, aligns: np.ndarray, p_len: int,
         chunk_offset: float, chunk_seconds: float,
+        window_seconds: Optional[float] = None,
     ) -> tuple:
-        """Host post-pass for one decoded 30 s chunk: DTW token times over the
+        """Host post-pass for one decoded chunk: DTW token times over the
         cross-attention alignment (whisper find_alignment parity) + word
-        splitting. Returns (text, words)."""
+        splitting. ``window_seconds`` is the encoder-context span the
+        alignment's frame axis covers (= the bucket size; the audio may fill
+        only ``chunk_seconds`` of it). Returns (text, words)."""
         gen = tokens[p_len:]
         keep = [(i, int(t)) for i, t in enumerate(gen)
                 if t != self.cfg.eos_token and t < self._special_floor]
         if not keep:
             return "", []
         token_aligns = aligns[p_len:][[i for i, _ in keep]]
-        token_times = wjm.dtw_token_times(token_aligns, len(keep), chunk_seconds)
+        token_times = wjm.dtw_token_times(
+            token_aligns, len(keep), window_seconds or chunk_seconds)
+        token_times = np.minimum(token_times, chunk_seconds)
         chunk_text = self.tokenizer.decode([t for _, t in keep]).strip()
         words: List[Dict[str, Any]] = []
         current: List[int] = []
@@ -169,10 +193,21 @@ class JaxWhisperAsr:
         from .languages import whisper_token_to_app
 
         x = np.asarray(audio_16k, np.float32).reshape(-1)[: 16_000 * 30]
-        tok, _ = self._detect_fn(self.params, x)
+        padded, _ = self._pad_to_bucket(x)
+        tok, _ = self._detect_fn(self.params, jnp.asarray(padded))
         # normalize to the standard 50259-based block before table lookup so
         # non-standard vocab layouts (tiny parity models) resolve correctly
         return whisper_token_to_app(int(tok) - self.cfg.lang_token_start + 50_259)
+
+    def _pad_to_bucket(self, seg: np.ndarray) -> tuple:
+        """Host-pad a chunk to its context bucket → (padded, bucket_seconds).
+        Static per-bucket shapes: the jitted path compiles once per bucket."""
+        bucket_s = next(
+            (b for b in self.context_buckets if len(seg) <= 16_000 * b),
+            self.context_buckets[-1])
+        padded = np.zeros(16_000 * bucket_s, np.float32)
+        padded[: len(seg)] = seg[: 16_000 * bucket_s]
+        return padded, bucket_s
 
     def transcribe(self, audio_16k: np.ndarray, language: Optional[str] = None) -> Dict[str, Any]:
         x = np.asarray(audio_16k, np.float32).reshape(-1)
@@ -181,14 +216,15 @@ class JaxWhisperAsr:
         prompt = jnp.asarray([self._prompt_row(language)], jnp.int32)
         texts: List[str] = []
         words: List[Dict[str, Any]] = []
-        chunk = 16_000 * 30
+        chunk = 16_000 * self.context_buckets[-1]
         p_len = int(prompt.shape[1])
         for start in range(0, max(len(x), 1), chunk):
             seg = x[start:start + chunk]
-            tokens_a, aligns = self._fn(self.params, jnp.asarray(seg), prompt)
+            padded, bucket_s = self._pad_to_bucket(seg)
+            tokens_a, aligns = self._fn(self.params, jnp.asarray(padded), prompt)
             chunk_text, chunk_words = self._decode_chunk_host(
                 np.asarray(tokens_a)[0], np.asarray(aligns)[0], p_len,
-                start / 16_000.0, len(seg) / 16_000.0,
+                start / 16_000.0, len(seg) / 16_000.0, window_seconds=bucket_s,
             )
             if chunk_text:
                 texts.append(chunk_text)
@@ -208,7 +244,7 @@ class JaxWhisperAsr:
             return []
         from ..serve.batching import bucket_batch
 
-        chunk = 16_000 * 30
+        chunk = 16_000 * self.context_buckets[-1]
         specs = []   # (request index, chunk offset seconds, chunk seconds)
         rows: List[np.ndarray] = []
         prompts: List[List[int]] = []
@@ -220,14 +256,18 @@ class JaxWhisperAsr:
             prow = self._prompt_row(langs[i])
             for start in range(0, max(len(x), 1), chunk):
                 seg = x[start:start + chunk]
-                padded = np.zeros(chunk, np.float32)
-                padded[: len(seg)] = seg
-                rows.append(padded)
+                rows.append(seg)
                 prompts.append(prow)
                 specs.append((i, start / 16_000.0, len(seg) / 16_000.0))
+        # one shared context bucket per dispatch (the longest row's bucket)
+        window_s = next(
+            (b for b in self.context_buckets
+             if max(len(r) for r in rows) <= 16_000 * b),
+            self.context_buckets[-1])
         nb = bucket_batch(len(rows), (1, 2, 4, 8, 16, 32))
-        audio = np.zeros((nb, chunk), np.float32)
-        audio[: len(rows)] = np.stack(rows)
+        audio = np.zeros((nb, 16_000 * window_s), np.float32)
+        for j, rrow in enumerate(rows):
+            audio[j, : len(rrow)] = rrow[: 16_000 * window_s]
         prompt = np.tile(np.asarray(prompts[0], np.int32), (nb, 1))
         prompt[: len(prompts)] = np.asarray(prompts, np.int32)
         tokens_a, aligns_a = self._fn_b(self.params, audio, prompt)
@@ -237,7 +277,8 @@ class JaxWhisperAsr:
         results = [{"text": [], "words": []} for _ in requests]
         for row, (ri, offset, seconds) in enumerate(specs):
             t, w = self._decode_chunk_host(
-                tokens_np[row], aligns_np[row], p_len, offset, seconds)
+                tokens_np[row], aligns_np[row], p_len, offset, seconds,
+                window_seconds=window_s)
             if t:
                 results[ri]["text"].append(t)
             results[ri]["words"].extend(w)
@@ -656,7 +697,8 @@ def jax_engines(*, batch_tts: bool = False, batch_asr: bool = False,
     shared_tok = kwargs.get("tokenizer")
     asr: Any = JaxWhisperAsr(
         kwargs.get("asr_cfg"), kwargs.get("asr_params"),
-        kwargs.get("asr_tokenizer", shared_tok), quantize=quantize)
+        kwargs.get("asr_tokenizer", shared_tok), quantize=quantize,
+        context_buckets=kwargs.get("asr_context_buckets", (30,)))
     nmt: Any = JaxNllbNmt(
         kwargs.get("nmt_cfg"), kwargs.get("nmt_params"),
         kwargs.get("nmt_tokenizer", shared_tok),

@@ -241,3 +241,60 @@ def test_quantized_asr_nmt_engines_run():
     nmt = JaxNllbNmt(ncfg, dtype=jnp.float32, max_new_tokens=6, quantize=True)
     assert nmt.params["embed_q"]["q"].dtype == jnp.int8
     assert isinstance(nmt.translate("hello", "eng", "fra"), str)
+
+
+def test_asr_context_buckets():
+    """Bucketed encoder context: identical results whenever the utterance
+    lands in the same bucket, valid output for smaller buckets, and host-side
+    padding so every bucket is one compiled shape (VERDICT r1 #4)."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import whisper as wjm
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxWhisperAsr
+
+    cfg = wjm.WhisperConfig(
+        n_mels=80, d_model=64, encoder_layers=1, decoder_layers=1, heads=4,
+        vocab_size=51865, max_source_positions=1500, max_target_positions=448,
+    )
+    g = np.random.default_rng(1)
+    a3 = (0.2 * g.standard_normal(16000 * 3)).astype(np.float32)
+
+    full = JaxWhisperAsr(cfg, dtype=jnp.float32, max_new_tokens=8,
+                         context_buckets=(4,))
+    bucketed = JaxWhisperAsr(cfg, dtype=jnp.float32, max_new_tokens=8,
+                             context_buckets=(2, 4))
+    # 3 s audio lands in the 4 s bucket either way → identical output
+    assert bucketed.transcribe(a3, language="eng") == full.transcribe(a3, language="eng")
+
+    # 1.5 s audio uses the 2 s context: different window, still valid words
+    a15 = a3[: 16000 * 3 // 2]
+    out = bucketed.transcribe(a15, language="eng")
+    assert all(0.0 <= w["start"] <= w["end"] <= 1.6 for w in out["words"])
+
+    # batch path shares one window bucket per dispatch and matches single
+    single = bucketed.transcribe(a15, language="eng")
+    batch = bucketed.transcribe_batch([{"audio_16k": a15, "language": "eng"}])
+    assert batch[0]["text"] == single["text"]
+    assert batch[0]["words"] == single["words"]
+
+    with pytest.raises(ValueError, match="even seconds"):
+        JaxWhisperAsr(cfg, context_buckets=(3,))
+
+
+def test_pallas_mel_chunk_samples():
+    from expressive_speech_translation_tpu.ops import whisper_log_mel
+    from expressive_speech_translation_tpu.ops.pallas_mel import (
+        whisper_log_mel_pallas,
+    )
+
+    g = np.random.default_rng(2)
+    x = (0.3 * g.standard_normal(16000 * 7)).astype(np.float32)
+    # 10 s context window → 1000 frames; matches the jnp mel on the same window
+    ref = np.asarray(whisper_log_mel(x, chunk_samples=16000 * 10))
+    got = np.asarray(whisper_log_mel_pallas(x, interpret=True,
+                                            chunk_samples=16000 * 10))
+    assert got.shape == ref.shape == (80, 1000)
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+    with pytest.raises(ValueError, match="multiple"):
+        whisper_log_mel_pallas(x, interpret=True, chunk_samples=16000 * 5)
