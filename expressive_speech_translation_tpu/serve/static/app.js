@@ -1,6 +1,16 @@
-// Studio flow state machine (rebuild of Frontend/src/hooks/useTranslation.js:
-// blob-URL lifecycle, AbortController, SSE reader; TranslationFlow.js:95-170
-// manual parsing of `data:` frames from a ReadableStream).
+// Studio flow state machine (rebuild of Frontend/src — SURVEY.md §2.17):
+//   useTranslation.js  — blob-URL lifecycle, AbortController, SSE reader
+//   TranslationFlow.js:95-170 — manual `data:` frame parsing from a ReadableStream
+//   useAudioRecorder.js — MediaRecorder → decode → OfflineAudioContext 16 kHz
+//                         mono render → WAV encode
+//   WaveformPlayer.js  — canvas waveform with click-seek + playhead
+//   VoiceAnalyticsDashboard.js — stat tiles + pitch/level charts; the reference
+//                         renders hard-coded sample data, here the charts are
+//                         MEASURED from the translated audio (autocorrelation
+//                         pitch track + RMS level track, canvas-drawn)
+//   PodcastPage.js     — upload + episode table (episodes kept in localStorage;
+//                         the reference keeps them in component state)
+//   App.js:355-368     — route shell (studio / analytics / podcasts / pricing)
 "use strict";
 
 const LANG_NAMES = {
@@ -10,7 +20,10 @@ const LANG_NAMES = {
   hun: "Hungarian", kor: "Korean", hin: "Hindi", ell: "Greek", ukr: "Ukrainian",
 };
 
-const state = { mode: "audio", busy: false, abort: null, blobUrl: null };
+const state = {
+  mode: "audio", busy: false, abort: null, blobUrl: null,
+  recording: null, recordedFile: null, lastAudioBuffer: null,
+};
 const $ = (id) => document.getElementById(id);
 
 // ---- init: populate languages + backends from the API
@@ -39,22 +52,32 @@ async function init() {
   } catch (e) {
     setError(`Could not reach the API: ${e}`);
   }
+  renderPodcasts();
 }
 
-// ---- tabs
+// ---- top-level views (App.js route shell)
+$("nav").addEventListener("click", (ev) => {
+  const btn = ev.target.closest("button[data-view]");
+  if (!btn) return;
+  for (const b of $("nav").children) b.classList.toggle("active", b === btn);
+  for (const v of ["studio", "analytics", "podcasts", "pricing"]) {
+    $(`view-${v}`).hidden = v !== btn.dataset.view;
+  }
+});
+
+// ---- studio input tabs
 $("tabs").addEventListener("click", (ev) => {
   const btn = ev.target.closest("button[data-mode]");
   if (!btn) return;
   state.mode = btn.dataset.mode;
   for (const b of $("tabs").children) b.classList.toggle("active", b === btn);
   $("input-url").hidden = state.mode !== "url";
-  $("input-file").hidden = state.mode === "url";
+  $("input-rec").hidden = state.mode !== "record";
+  $("input-file").hidden = state.mode === "url" || state.mode === "record";
   $("file-label").textContent = {
     audio: "Audio file (.wav / .mp3 / .ogg / .flac)",
     video: "Video file (.mp4 / .mov, ≤150 MB)",
-    podcast: "Podcast audio (≤60 min)",
   }[state.mode] || "File";
-  $("go").textContent = state.mode === "podcast" ? "Upload" : "Translate";
 });
 
 function setStatus(msg) { $("status").textContent = msg || ""; }
@@ -72,14 +95,124 @@ function b64ToBlob(b64, type) {
   return new Blob([bytes], { type });
 }
 
-function showAudioResult(b64, transcripts) {
+// ====================== recorder (useAudioRecorder.js) ======================
+
+function encodeWav(samples, rate) {
+  const length = samples.length * 2;
+  const buffer = new ArrayBuffer(44 + length);
+  const view = new DataView(buffer);
+  const str = (off, s) => { for (let i = 0; i < s.length; i++) view.setUint8(off + i, s.charCodeAt(i)); };
+  str(0, "RIFF"); view.setUint32(4, 36 + length, true); str(8, "WAVE");
+  str(12, "fmt "); view.setUint32(16, 16, true); view.setUint16(20, 1, true);
+  view.setUint16(22, 1, true); view.setUint32(24, rate, true);
+  view.setUint32(28, rate * 2, true); view.setUint16(32, 2, true);
+  view.setUint16(34, 16, true); str(36, "data"); view.setUint32(40, length, true);
+  let off = 44;
+  for (let i = 0; i < samples.length; i++, off += 2) {
+    const s = Math.max(-1, Math.min(1, samples[i]));
+    view.setInt16(off, s < 0 ? s * 0x8000 : s * 0x7fff, true);
+  }
+  return new Blob([buffer], { type: "audio/wav" });
+}
+
+async function blobToWav16k(blob) {
+  // decode → offline render to 16 kHz mono → PCM16 WAV (useAudioRecorder.js:10-65)
+  const ctx = new (window.AudioContext || window.webkitAudioContext)();
+  const buf = await ctx.decodeAudioData(await blob.arrayBuffer());
+  const off = new OfflineAudioContext(1, Math.ceil(buf.duration * 16000), 16000);
+  const src = off.createBufferSource();
+  src.buffer = buf; src.connect(off.destination); src.start();
+  const rendered = await off.startRendering();
+  ctx.close();
+  return { wav: encodeWav(rendered.getChannelData(0), 16000), buffer: rendered };
+}
+
+async function toggleRecording() {
+  if (state.recording) {  // stop
+    state.recording.recorder.stop();
+    return;
+  }
+  try {
+    const stream = await navigator.mediaDevices.getUserMedia({
+      audio: { channelCount: 1, echoCancellation: true, noiseSuppression: true },
+    });
+    const recorder = new MediaRecorder(stream);
+    const chunks = [];
+    recorder.ondataavailable = (e) => { if (e.data.size) chunks.push(e.data); };
+    recorder.onstop = async () => {
+      stream.getTracks().forEach((t) => t.stop());
+      state.recording = null;
+      $("recbtn").classList.remove("recording");
+      $("recbtn").textContent = "● Record";
+      $("recstate").textContent = "processing…";
+      try {
+        const { wav, buffer } = await blobToWav16k(new Blob(chunks, { type: recorder.mimeType }));
+        state.recordedFile = new File([wav], "recorded-audio.wav", { type: "audio/wav" });
+        $("recstate").textContent =
+          `recorded ${buffer.duration.toFixed(1)}s — ready to translate`;
+        drawWave($("recwave"), buffer.getChannelData(0));
+        $("recwave").hidden = false;
+      } catch (e) {
+        $("recstate").textContent = `recording failed: ${e}`;
+      }
+    };
+    recorder.start(100);
+    state.recording = { recorder, stream };
+    $("recbtn").classList.add("recording");
+    $("recbtn").textContent = "■ Stop";
+    $("recstate").textContent = "recording…";
+  } catch (e) {
+    $("recstate").textContent = `microphone unavailable: ${e}`;
+  }
+}
+$("recbtn").addEventListener("click", toggleRecording);
+
+// =================== waveform player (WaveformPlayer.js) ===================
+
+function drawWave(canvas, data, playedFrac = 0) {
+  const { width, height } = canvas.getBoundingClientRect();
+  canvas.width = width; canvas.height = height;
+  const g = canvas.getContext("2d");
+  g.clearRect(0, 0, width, height);
+  const step = Math.max(1, Math.floor(data.length / width));
+  const playedX = Math.floor(playedFrac * width);
+  for (let x = 0; x < width; x++) {
+    let min = 1, max = -1;
+    for (let i = x * step; i < (x + 1) * step && i < data.length; i++) {
+      min = Math.min(min, data[i]); max = Math.max(max, data[i]);
+    }
+    const y0 = ((1 + min) / 2) * height, y1 = ((1 + max) / 2) * height;
+    g.fillStyle = x <= playedX && playedFrac > 0 ? "#3fb950" : "#58a6ff";
+    g.fillRect(x, y0, 1, Math.max(1, y1 - y0));
+  }
+}
+
+async function showAudioResult(b64, transcripts) {
   freeBlob();
   const blob = b64ToBlob(b64, "audio/wav");
   state.blobUrl = URL.createObjectURL(blob);
-  $("player").innerHTML = `<audio controls src="${state.blobUrl}"></audio>`;
-  drawWaveform(blob);
+  $("player").innerHTML = `<audio controls id="audioel" src="${state.blobUrl}"></audio>`;
   showTranscripts(transcripts);
   $("result").hidden = false;
+  try {
+    const ctx = new (window.AudioContext || window.webkitAudioContext)();
+    const buf = await ctx.decodeAudioData(await blob.arrayBuffer());
+    ctx.close();
+    state.lastAudioBuffer = buf;
+    const data = buf.getChannelData(0);
+    const canvas = $("wave");
+    canvas.hidden = false;
+    drawWave(canvas, data);
+    const audioEl = $("audioel");
+    // playhead + click-seek (WaveformPlayer.js seek semantics)
+    audioEl.addEventListener("timeupdate", () =>
+      drawWave(canvas, data, audioEl.currentTime / (buf.duration || 1)));
+    canvas.onclick = (ev) => {
+      const rect = canvas.getBoundingClientRect();
+      audioEl.currentTime = ((ev.clientX - rect.left) / rect.width) * buf.duration;
+    };
+    renderAnalytics(buf);
+  } catch { $("wave").hidden = true; }
 }
 
 function showVideoResult(b64, transcripts) {
@@ -97,43 +230,129 @@ function showTranscripts(t) {
     : "";
 }
 
-// waveform painter (WaveformPlayer.js equivalent, no wavesurfer dependency)
-async function drawWaveform(blob) {
-  try {
-    const ctx = new (window.AudioContext || window.webkitAudioContext)();
-    const buf = await ctx.decodeAudioData(await blob.arrayBuffer());
-    const data = buf.getChannelData(0);
-    const canvas = $("wave");
-    canvas.hidden = false;
-    const { width, height } = canvas.getBoundingClientRect();
-    canvas.width = width; canvas.height = height;
-    const g = canvas.getContext("2d");
-    g.clearRect(0, 0, width, height);
-    g.fillStyle = "#58a6ff";
-    const step = Math.max(1, Math.floor(data.length / width));
-    for (let x = 0; x < width; x++) {
-      let min = 1, max = -1;
-      for (let i = x * step; i < (x + 1) * step && i < data.length; i++) {
-        min = Math.min(min, data[i]); max = Math.max(max, data[i]);
-      }
-      const y0 = ((1 + min) / 2) * height, y1 = ((1 + max) / 2) * height;
-      g.fillRect(x, y0, 1, Math.max(1, y1 - y0));
+// ============== analytics (VoiceAnalyticsDashboard.js, measured) ============
+
+function pitchTrack(data, rate) {
+  // per-32ms-frame autocorrelation F0 in 70-350 Hz
+  const frame = Math.floor(rate * 0.032), hop = Math.floor(rate * 0.016);
+  const lagLo = Math.floor(rate / 350), lagHi = Math.floor(rate / 70);
+  const out = [];
+  for (let s = 0; s + frame < data.length; s += hop) {
+    let energy = 0;
+    for (let i = 0; i < frame; i++) energy += data[s + i] * data[s + i];
+    if (energy / frame < 1e-5) { out.push(NaN); continue; }
+    let bestLag = 0, bestR = 0;
+    for (let lag = lagLo; lag <= lagHi; lag++) {
+      let r = 0;
+      for (let i = 0; i < frame - lag; i += 2) r += data[s + i] * data[s + i + lag];
+      if (r > bestR) { bestR = r; bestLag = lag; }
     }
-    ctx.close();
-  } catch { $("wave").hidden = true; }
+    out.push(bestR > 0.3 * energy && bestLag ? rate / bestLag : NaN);
+  }
+  return out;
 }
 
-// ---- submission paths
+function levelTrack(data, rate) {
+  const hop = Math.floor(rate * 0.032);
+  const out = [];
+  for (let s = 0; s + hop < data.length; s += hop) {
+    let e = 0;
+    for (let i = 0; i < hop; i++) e += data[s + i] * data[s + i];
+    out.push(20 * Math.log10(Math.sqrt(e / hop) + 1e-9));
+  }
+  return out;
+}
+
+function drawChart(canvas, values, { lo, hi, color = "#58a6ff" }) {
+  const { width, height } = canvas.getBoundingClientRect();
+  canvas.width = width; canvas.height = height;
+  const g = canvas.getContext("2d");
+  g.clearRect(0, 0, width, height);
+  g.strokeStyle = "#30363d";
+  g.strokeRect(0.5, 0.5, width - 1, height - 1);
+  g.strokeStyle = color; g.lineWidth = 1.5; g.beginPath();
+  let pen = false;
+  for (let i = 0; i < values.length; i++) {
+    const v = values[i];
+    if (!isFinite(v)) { pen = false; continue; }
+    const x = (i / Math.max(values.length - 1, 1)) * width;
+    const y = height - ((v - lo) / (hi - lo)) * height;
+    if (pen) g.lineTo(x, y); else { g.moveTo(x, y); pen = true; }
+  }
+  g.stroke();
+}
+
+function renderAnalytics(buf) {
+  const data = buf.getChannelData(0);
+  const pitch = pitchTrack(data, buf.sampleRate);
+  const level = levelTrack(data, buf.sampleRate);
+  const voiced = pitch.filter(isFinite);
+  const active = level.filter((v) => v > -45);
+  const tiles = [
+    ["Duration", `${buf.duration.toFixed(1)} s`],
+    ["Average level", active.length
+      ? `${(active.reduce((a, b) => a + b, 0) / active.length).toFixed(1)} dB` : "—"],
+    ["Median pitch", voiced.length
+      ? `${voiced.sort((a, b) => a - b)[voiced.length >> 1].toFixed(0)} Hz` : "—"],
+    ["Voiced", `${((voiced.length / Math.max(pitch.length, 1)) * 100).toFixed(0)} %`],
+  ];
+  $("an-tiles").innerHTML = tiles.map(
+    ([t, v]) => `<div class="tile"><p>${t}</p><h3>${v}</h3></div>`).join("");
+  $("an-tiles").hidden = false;
+  $("an-charts").hidden = false;
+  $("an-note").textContent = "Measured from the latest translated audio.";
+  drawChart($("an-pitch"), pitch, { lo: 50, hi: 400 });
+  drawChart($("an-level"), level, { lo: -60, hi: 0, color: "#3fb950" });
+}
+
+// ====================== podcasts (PodcastPage.js) ===========================
+
+function podcastLog() {
+  try { return JSON.parse(localStorage.getItem("podcasts") || "[]"); }
+  catch { return []; }
+}
+
+function renderPodcasts() {
+  const items = podcastLog();
+  $("pod-table").hidden = items.length === 0;
+  $("pod-rows").innerHTML = items.map((p) =>
+    `<tr><td>${p.filename}</td><td>${p.duration_seconds}s</td>
+     <td>${p.uploaded}</td><td>${p.podcast_id}</td></tr>`).join("");
+}
+
+$("pod-go").addEventListener("click", async () => {
+  const f = $("pod-file").files[0];
+  if (!f) { $("pod-status").textContent = "Choose a file first"; return; }
+  $("pod-status").textContent = "Uploading…";
+  try {
+    const form = new FormData();
+    form.append("file", f);
+    const resp = await fetch("/upload_podcast", { method: "POST", body: form });
+    const body = await resp.json().catch(() => ({}));
+    if (!resp.ok) throw new Error(body.error || `HTTP ${resp.status}`);
+    const items = podcastLog();
+    items.unshift({ filename: body.filename, duration_seconds: body.duration_seconds,
+                    podcast_id: body.podcast_id,
+                    uploaded: new Date().toISOString().slice(0, 16).replace("T", " ") });
+    localStorage.setItem("podcasts", JSON.stringify(items.slice(0, 50)));
+    $("pod-status").textContent = `Uploaded ${body.filename} (${body.duration_seconds}s)`;
+    renderPodcasts();
+  } catch (e) {
+    $("pod-status").textContent = `Upload failed: ${e.message || e}`;
+  }
+});
+
+// ============================ submission paths ==============================
+
 async function run() {
   if (state.busy) { state.abort?.abort(); return; }
   setError(""); setStatus(""); $("result").hidden = true;
   state.busy = true; $("go").disabled = true;
   state.abort = new AbortController();
   try {
-    if (state.mode === "audio") await runAudio();
+    if (state.mode === "audio" || state.mode === "record") await runAudio();
     else if (state.mode === "video") await runVideo();
-    else if (state.mode === "url") await runUrl();
-    else await runPodcast();
+    else await runUrl();
   } catch (e) {
     if (e.name !== "AbortError") setError(String(e.message || e));
   } finally {
@@ -142,6 +361,10 @@ async function run() {
 }
 
 function requireFile() {
+  if (state.mode === "record") {
+    if (!state.recordedFile) throw new Error("Record something first");
+    return state.recordedFile;
+  }
   const f = $("file").files[0];
   if (!f) throw new Error("Choose a file first");
   return f;
@@ -163,7 +386,7 @@ async function runAudio() {
   setStatus("Translating…");
   const body = await postForm("/translate", form);
   setStatus(`Done (request ${body.request_id})`);
-  showAudioResult(body.audio, body.transcripts);
+  await showAudioResult(body.audio, body.transcripts);
 }
 
 async function runVideo() {
@@ -192,6 +415,7 @@ async function runVideo() {
       if (!frame.startsWith("data: ")) continue;
       const msg = JSON.parse(frame.slice(6));
       setProgress(msg.progress); setStatus(msg.phase || "");
+      if (msg.error) throw new Error(`${msg.error} (${msg.error_id || "?"})`);
       if (msg.result) showVideoResult(msg.result.video, msg.result.transcripts);
     }
   }
@@ -209,15 +433,7 @@ async function runUrl() {
   const body = await resp.json().catch(() => ({}));
   if (!resp.ok) throw new Error(body.error || `HTTP ${resp.status}`);
   setStatus("Done");
-  showAudioResult(body.audio, body.transcripts);
-}
-
-async function runPodcast() {
-  const form = new FormData();
-  form.append("file", requireFile());
-  setStatus("Uploading…");
-  const body = await postForm("/upload_podcast", form);
-  setStatus(`Uploaded ${body.filename}: ${body.duration_seconds}s (id ${body.podcast_id})`);
+  await showAudioResult(body.audio, body.transcripts);
 }
 
 $("go").addEventListener("click", run);
