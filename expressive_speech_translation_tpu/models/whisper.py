@@ -328,13 +328,17 @@ def dtw_token_times(
     acc[0, 0] = 0.0
     for i in range(1, n + 1):
         # monotonic steps: diagonal (next token) or horizontal (same token
-        # spans more frames); acc[i][j] = cost + min(acc[i-1][j-1], acc[i][j-1])
-        row = np.empty(m + 1)
-        row[0] = np.inf
-        best_prev = acc[i - 1]
-        for j in range(1, m + 1):
-            row[j] = cost[i - 1, j - 1] + min(best_prev[j - 1], row[j - 1])
-        acc[i] = row
+        # spans more frames); acc[i][j] = cost + min(acc[i-1][j-1], acc[i][j-1]).
+        # The row recurrence f[j] = c[j] + min(p[j-1], f[j-1]) expands to
+        # f[j] = S[j] + min_{k<=j}(p[k-1] - S[k-1]) with S = cumsum(c), so the
+        # whole row is one cumsum + one running min (O(m) vector ops instead
+        # of a 224x3000 Python loop on the serving word-timestamp path).
+        c = cost[i - 1]
+        prev = acc[i - 1]
+        s = np.concatenate(([0.0], np.cumsum(c)))          # S[0..m]
+        run = np.minimum.accumulate(prev[:m] - s[:m])      # min_k (p[k-1]-S[k-1])
+        acc[i, 0] = np.inf
+        acc[i, 1:] = s[1:] + run
     # backtrack from the full-path corner (every frame consumed): first frame
     # where each token becomes active
     j = m

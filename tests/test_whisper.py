@@ -197,3 +197,33 @@ def test_detect_language_range_and_engine_autodetect():
     out = asr.transcribe(np.asarray(audio[0]))
     assert isinstance(out["language"], str) and len(out["language"]) >= 2
     assert out["language"] == asr.detect_language(np.asarray(audio[0]))
+
+
+def test_dtw_vectorized_matches_bruteforce():
+    """The O(m) vector row recurrence must equal the literal DP."""
+    from expressive_speech_translation_tpu.models.whisper import dtw_token_times
+
+    g = np.random.default_rng(9)
+    align = g.random((12, 40)) ** 3  # peaky attention-like rows
+
+    def brute(alignment, n_tokens, audio_seconds):
+        a = np.asarray(alignment[:n_tokens], np.float64)
+        a = a / np.maximum(a.sum(axis=-1, keepdims=True), 1e-9)
+        cost = -np.log(np.maximum(a, 1e-9))
+        n, m = cost.shape
+        acc = np.full((n + 1, m + 1), np.inf)
+        acc[0, 0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                acc[i, j] = cost[i - 1, j - 1] + min(acc[i - 1, j - 1], acc[i, j - 1])
+        j, i = m, n
+        first = np.full(n, j - 1)
+        while i > 0 and j > 0:
+            first[i - 1] = j - 1
+            if acc[i - 1, j - 1] <= acc[i, j - 1]:
+                i -= 1
+            j -= 1
+        return first / (m / 4.0)
+
+    np.testing.assert_allclose(
+        dtw_token_times(align, 12, 4.0), brute(align, 12, 4.0))
