@@ -116,6 +116,59 @@ def load_nllb(path: str | Path, cfg=None):
     return nj.from_hf_state_dict(load_state_dict(p), cfg), cfg
 
 
+def save_converted(params, cfg, out_dir: str | Path) -> None:
+    """Persist a converted param tree + its config as a native checkpoint
+    (orbax tree + config.json) — the model-baking step the reference performs
+    by downloading into images (Dockerfile.cosyvoice:37-52)."""
+    import dataclasses
+
+    import orbax.checkpoint as ocp
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save((out / "params").resolve(), params, force=True)
+    (out / "config.json").write_text(json.dumps(dataclasses.asdict(cfg), indent=2))
+
+
+def load_converted(out_dir: str | Path, cfg_cls):
+    """Load a tree saved by :func:`save_converted` → (params, cfg)."""
+    import orbax.checkpoint as ocp
+
+    out = Path(out_dir)
+    if not (out / "config.json").exists():
+        raise WeightsNotFoundError(f"no converted checkpoint at {out}")
+    raw = json.loads((out / "config.json").read_text())
+    field_names = {f.name for f in __import__("dataclasses").fields(cfg_cls)}
+    cfg = cfg_cls(**{k: v for k, v in raw.items() if k in field_names})
+    params = ocp.PyTreeCheckpointer().restore((out / "params").resolve())
+    return params, cfg
+
+
+def bake_models(out_root: str | Path, *, asr: Optional[str] = None,
+                nmt: Optional[str] = None, tts: Optional[str] = None) -> None:
+    """Convert HF checkpoints into native trees under ``out_root``
+    ({out}/asr, {out}/nmt, {out}/tts) — the Dockerfile.models build step."""
+    out = Path(out_root)
+    if asr:
+        params, cfg = load_whisper(asr)
+        save_converted(params, cfg, out / "asr")
+        log.info("baked ASR %s -> %s", asr, out / "asr")
+    if nmt:
+        params, cfg = load_nllb(nmt)
+        save_converted(params, cfg, out / "nmt")
+        log.info("baked NMT %s -> %s", nmt, out / "nmt")
+    if tts:
+        # CosyVoice ships as three torch trees (llm/flow/hift); the Qwen2
+        # backbone converter exists (models/qwen2.from_hf_state_dict) but the
+        # flow/vocoder mapping is not built yet — fail with the honest state
+        # rather than baking a partial tree.
+        raise WeightsNotFoundError(
+            "CosyVoice checkpoint conversion is not implemented yet "
+            "(backbone converter exists: models/qwen2.from_hf_state_dict; "
+            "flow/vocoder mapping pending)")
+
+
 def load_qwen2_backbone(path: str | Path, cfg=None):
     from . import qwen2 as q2
 
@@ -133,3 +186,22 @@ def load_qwen2_backbone(path: str | Path, cfg=None):
         )
     cfg = cfg or q2.Qwen2Config.qwen2_05b()
     return q2.from_hf_state_dict(load_state_dict(p), cfg), cfg
+
+
+def main(argv=None) -> int:
+    """Model-baking CLI (deploy/Dockerfile.models):
+    python -m ...models.loaders --asr DIR --nmt DIR --tts DIR --out /models"""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--asr", help="HF Whisper checkpoint dir")
+    ap.add_argument("--nmt", help="HF NLLB checkpoint dir")
+    ap.add_argument("--tts", help="CosyVoice checkpoint dir")
+    ap.add_argument("--out", required=True, help="output root for native trees")
+    args = ap.parse_args(argv)
+    bake_models(args.out, asr=args.asr, nmt=args.nmt, tts=args.tts)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -693,6 +694,25 @@ def jax_engines(*, batch_tts: bool = False, batch_asr: bool = False,
             kwargs.setdefault(k, v)
     elif scale != "toy":
         raise ValueError(f"unknown scale {scale!r} (toy|reference)")
+
+    # baked native checkpoints (deploy/Dockerfile.models → models/loaders.py
+    # bake_models): EST_MODELS_DIR/{asr,nmt}/ override configs AND weights,
+    # so a weights-present deployment serves real models with no extra wiring
+    models_dir = os.environ.get("EST_MODELS_DIR")
+    if models_dir:
+        from pathlib import Path
+
+        from ..models.loaders import load_converted
+
+        root = Path(models_dir)
+        if (root / "asr" / "config.json").exists() and "asr_params" not in kwargs:
+            params, cfg = load_converted(root / "asr", wjm.WhisperConfig)
+            kwargs["asr_params"], kwargs["asr_cfg"] = params, cfg
+            log.info("loaded baked ASR weights from %s", root / "asr")
+        if (root / "nmt" / "config.json").exists() and "nmt_params" not in kwargs:
+            params, cfg = load_converted(root / "nmt", njm.NLLBConfig)
+            kwargs["nmt_params"], kwargs["nmt_cfg"] = params, cfg
+            log.info("loaded baked NMT weights from %s", root / "nmt")
 
     shared_tok = kwargs.get("tokenizer")
     asr: Any = JaxWhisperAsr(

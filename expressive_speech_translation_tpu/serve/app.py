@@ -81,6 +81,12 @@ class App:
                            max_video_mb=self.config.audio.max_video_mb)
             if video_io is not None else None
         )
+        if url_fetcher is None:
+            # yt-dlp when installed / direct-media download otherwise
+            # (audio_link_routes.py:83-180 role; serve/media_fetcher.py)
+            from .media_fetcher import default_fetcher
+
+            url_fetcher = default_fetcher
         self.url_fetcher = url_fetcher
         self.started_at = time.time()
         self.url_map = Map([

@@ -3,9 +3,11 @@
 Parity with services/audio_link_routes.py (277 LoC): allow-list
 (YouTube/TikTok/SoundCloud/...) vs deny-list of DRM platforms
 (Spotify/Netflix/...) (:16-34), 120 s duration cap (:138-139), conversion to
-16 kHz mono. The reference shells out to yt-dlp; this image has no egress, so
-the fetcher is injectable (``fetcher(url) -> (audio, sr)``) and the default
-raises a clear error.
+16 kHz mono. The fetcher is injectable (``fetcher(url) -> (audio, sr)``);
+concrete fetchers live in ``serve/media_fetcher.py`` (yt-dlp shell-out when
+the binary is installed + direct streaming download via the native libav
+shim — the reference's yt-dlp role, audio_link_routes.py:83-180). With no
+fetcher resolvable a clear error is raised.
 """
 
 from __future__ import annotations

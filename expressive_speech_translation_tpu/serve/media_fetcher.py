@@ -1,0 +1,142 @@
+"""Media fetchers for URL ingestion — the yt-dlp role.
+
+The reference shells into yt-dlp with platform-tuned options
+(services/audio_link_routes.py:83-180: bestaudio format ladder, FFmpeg
+wav postprocessor, TikTok extractor args) then loads the wav. This module
+implements the same seam with two concrete fetchers behind
+``default_fetcher``:
+
+- :func:`ytdlp_fetcher` — shells out to a ``yt-dlp`` binary when one is on
+  PATH (production deployments install it next to the server; this CI image
+  has neither the binary nor egress, so tests gate on availability),
+  extracting bestaudio to wav exactly like the reference.
+- :func:`http_media_fetcher` — direct download of a media URL (streaming,
+  size-capped) decoded through the native libav shim — covers direct links
+  to .wav/.mp3/.mp4/... that need no site extractor.
+
+``default_fetcher`` prefers yt-dlp for platform pages and falls back to the
+direct downloader; with neither applicable it raises the same clear
+MediaError the injectable seam always raised.
+"""
+
+from __future__ import annotations
+
+import logging
+import shutil
+import subprocess
+import tempfile
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+from ..core.errors import MediaError
+
+log = logging.getLogger(__name__)
+
+MAX_DOWNLOAD_BYTES = 100 * 1024 * 1024
+DOWNLOAD_TIMEOUT_S = 120.0
+YTDLP_TIMEOUT_S = 300.0
+
+_MEDIA_SUFFIXES = (".wav", ".mp3", ".m4a", ".aac", ".ogg", ".opus", ".flac",
+                   ".mp4", ".mov", ".webm", ".mkv")
+
+
+def ytdlp_available() -> bool:
+    return shutil.which("yt-dlp") is not None
+
+
+def ytdlp_fetcher(url: str) -> Tuple[np.ndarray, int]:
+    """bestaudio → wav via the yt-dlp binary (audio_link_routes.py:88-103
+    option parity: bestaudio format ladder + FFmpegExtractAudio to wav)."""
+    if not ytdlp_available():
+        raise MediaError(
+            "yt-dlp is not installed on this host",
+            user_message="URL ingestion from this platform requires yt-dlp on the server",
+        )
+    with tempfile.TemporaryDirectory(prefix="est_ytdlp_") as tmp:
+        out = Path(tmp) / "audio"
+        cmd = [
+            "yt-dlp", "-f", "bestaudio[ext=m4a]/bestaudio/best",
+            "-x", "--audio-format", "wav", "--audio-quality", "192",
+            "--no-warnings", "--no-playlist", "-o", str(out), url,
+        ]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, timeout=YTDLP_TIMEOUT_S)
+        except subprocess.TimeoutExpired as e:
+            raise MediaError("yt-dlp timed out",
+                             user_message="Media download timed out") from e
+        if proc.returncode != 0:
+            tail = proc.stderr.decode("utf-8", "replace")[-300:]
+            raise MediaError(f"yt-dlp failed: {tail}",
+                             user_message="Could not download media from this URL")
+        wav = out.with_suffix(".wav")
+        if not wav.exists():
+            candidates = list(Path(tmp).glob("audio*"))
+            if not candidates:
+                raise MediaError("yt-dlp produced no output",
+                                 user_message="Could not download media from this URL")
+            wav = candidates[0]
+        from ..media import native
+
+        return native.decode_audio(str(wav), target_rate=16_000, target_channels=1)
+
+
+def http_media_fetcher(
+    url: str, *, max_bytes: int = MAX_DOWNLOAD_BYTES,
+    timeout: float = DOWNLOAD_TIMEOUT_S,
+) -> Tuple[np.ndarray, int]:
+    """Direct streaming download of a media file, decoded via the native
+    libav shim (handles every container the shim does)."""
+    import requests
+
+    try:
+        resp = requests.get(url, stream=True, timeout=timeout)
+    except requests.RequestException as e:
+        raise MediaError(f"download failed: {e}",
+                         user_message="Could not download media from this URL") from e
+    if resp.status_code != 200:
+        raise MediaError(f"download failed: HTTP {resp.status_code}",
+                         user_message="Could not download media from this URL")
+    suffix = Path(url.split("?", 1)[0]).suffix.lower() or ".bin"
+    chunks = []
+    total = 0
+    for chunk in resp.iter_content(chunk_size=1 << 20):
+        total += len(chunk)
+        if total > max_bytes:
+            raise MediaError(
+                f"download exceeds {max_bytes} bytes",
+                user_message="Media file is too large to import from URL")
+        chunks.append(chunk)
+    data = b"".join(chunks)
+    if not data:
+        raise MediaError("empty download",
+                         user_message="The URL returned no media data")
+    with tempfile.NamedTemporaryFile(suffix=suffix) as f:
+        Path(f.name).write_bytes(data)
+        from ..media import native
+
+        try:
+            return native.decode_audio(f.name, target_rate=16_000, target_channels=1)
+        except Exception as e:
+            raise MediaError(
+                f"downloaded data is not decodable media: {e}",
+                user_message="The URL did not return a playable audio/video file",
+            ) from e
+
+
+def default_fetcher(url: str) -> Tuple[np.ndarray, int]:
+    """yt-dlp for platform pages when installed; direct download for plain
+    media links; a clear error otherwise."""
+    path = url.split("?", 1)[0].lower()
+    direct = path.endswith(_MEDIA_SUFFIXES)
+    if ytdlp_available() and not direct:
+        return ytdlp_fetcher(url)
+    if direct:
+        return http_media_fetcher(url)
+    if ytdlp_available():
+        return ytdlp_fetcher(url)
+    raise MediaError(
+        "no fetcher can handle this URL (yt-dlp not installed, not a direct media link)",
+        user_message="URL ingestion from this platform requires yt-dlp on the server",
+    )

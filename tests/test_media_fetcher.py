@@ -1,0 +1,100 @@
+"""URL media fetchers (serve/media_fetcher.py) — the yt-dlp role.
+
+Runs a local HTTP server for the direct-download path; the yt-dlp shell-out
+is gated on binary availability (absent in CI, present in deployments).
+"""
+
+import io
+import threading
+import wave
+
+import numpy as np
+import pytest
+from werkzeug.serving import make_server
+from werkzeug.wrappers import Request, Response
+
+from expressive_speech_translation_tpu.core.errors import MediaError
+from expressive_speech_translation_tpu.serve import media_fetcher as mf
+
+
+def wav_bytes(freq=220.0, seconds=1.0, sr=16000):
+    t = np.arange(int(sr * seconds)) / sr
+    pcm = (0.3 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def media_server():
+    payload = wav_bytes()
+
+    @Request.application
+    def app(request):
+        if request.path == "/clip.wav":
+            return Response(payload, mimetype="audio/wav")
+        if request.path == "/big.wav":
+            return Response(b"\x00" * (2 * 1024 * 1024), mimetype="audio/wav")
+        if request.path == "/nothing.wav":
+            return Response(b"", mimetype="audio/wav")
+        if request.path == "/page.html":
+            return Response(b"<html>not media</html>", mimetype="text/html")
+        return Response("nope", status=404)
+
+    srv = make_server("127.0.0.1", 0, app, threaded=True)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_http_media_fetcher_downloads_and_decodes(media_server):
+    audio, sr = mf.http_media_fetcher(f"{media_server}/clip.wav")
+    assert sr == 16000
+    assert 15000 < len(audio) <= 16500
+    # 220 Hz tone survives the round-trip
+    spec = np.abs(np.fft.rfft(audio * np.hanning(len(audio))))
+    assert abs(np.argmax(spec) * sr / len(audio) - 220.0) < 3.0
+
+
+def test_http_media_fetcher_errors(media_server):
+    with pytest.raises(MediaError, match="HTTP 404"):
+        mf.http_media_fetcher(f"{media_server}/missing.wav")
+    with pytest.raises(MediaError, match="too large|exceeds"):
+        mf.http_media_fetcher(f"{media_server}/big.wav", max_bytes=1024)
+    with pytest.raises(MediaError, match="empty download"):
+        mf.http_media_fetcher(f"{media_server}/nothing.wav")
+
+
+def test_default_fetcher_direct_link(media_server):
+    audio, sr = mf.default_fetcher(f"{media_server}/clip.wav")
+    assert sr == 16000 and len(audio) > 15000
+
+
+def test_default_fetcher_platform_page_without_ytdlp(media_server, monkeypatch):
+    monkeypatch.setattr(mf, "ytdlp_available", lambda: False)
+    with pytest.raises(MediaError, match="yt-dlp"):
+        mf.default_fetcher(f"{media_server}/page.html")
+
+
+def test_ytdlp_fetcher_requires_binary(monkeypatch):
+    monkeypatch.setattr(mf, "ytdlp_available", lambda: False)
+    with pytest.raises(MediaError, match="yt-dlp is not installed"):
+        mf.ytdlp_fetcher("https://youtube.com/watch?v=x")
+
+
+@pytest.mark.skipif(not mf.ytdlp_available(), reason="yt-dlp not installed")
+def test_ytdlp_fetcher_live():  # pragma: no cover — deployment-only
+    audio, sr = mf.ytdlp_fetcher("https://youtu.be/dQw4w9WgXcQ")
+    assert sr == 16000 and len(audio) > 0
+
+
+def test_app_wires_default_fetcher():
+    from expressive_speech_translation_tpu.serve.app import create_app
+
+    app = create_app()
+    assert app.url_fetcher is mf.default_fetcher

@@ -171,13 +171,13 @@ def test_audio_url_policy(client):
             json={"url": url, "target_language": "fra"},
         )
         assert resp.status_code == 400, url
-    # allowed platform but no fetcher configured → clean MediaError (400)
+    # allowed platform but yt-dlp absent on this host → clean MediaError (400)
     resp = client.post(
         "/process-audio-url",
         json={"url": "https://www.youtube.com/watch?v=abc", "target_language": "fra"},
     )
     assert resp.status_code == 400
-    assert "fetcher" in resp.get_json()["error"]
+    assert "yt-dlp" in resp.get_json()["error"]
 
 
 def test_audio_url_with_fetcher():
