@@ -42,13 +42,35 @@ class TemporalMapper:
 
     # ------------------------------------------------------------- analysis
 
+    def _vad_features_np(self, x: np.ndarray):
+        """Host mirrors of ops.energy_envelope / ops.spectral_centroid_rolloff
+        (same framing/window conventions; parity-tested in test_pipeline)."""
+        from ..ops.host_dsp import stft_np
+
+        # energy: frame 512 / hop 256, no centering (ops/dsp.py:240-246)
+        n = max((len(x) - self.frame) // self.hop + 1, 0)
+        if n == 0:
+            return np.zeros(0), np.zeros(0), np.zeros(0)
+        idx = np.arange(n)[:, None] * self.hop + np.arange(self.frame)[None, :]
+        energy = np.sqrt((x[idx] ** 2).mean(axis=-1) + 1e-12)
+
+        spec = stft_np(x, 1024, self.hop)  # centered hann (ops/dsp.py:249-264)
+        mag = np.sqrt(spec.real**2 + spec.imag**2 + 1e-12)
+        freqs = np.linspace(0, self.sr / 2, 1024 // 2 + 1).astype(np.float32)
+        total = mag.sum(axis=-1)
+        centroid = (mag * freqs).sum(axis=-1) / np.maximum(total, 1e-8)
+        cum = np.cumsum(mag, axis=-1)
+        rolloff_idx = np.argmax(cum >= 0.85 * total[..., None], axis=-1)
+        rolloff = freqs[rolloff_idx]
+        return energy, centroid, rolloff
+
     def _vad(self, audio: np.ndarray) -> np.ndarray:
         """Multi-feature VAD: energy 0.5 + centroid 0.3 + rolloff 0.2 ≥ 0.6
-        (temporal_mapper.py:64-126). Returns per-frame speech bool."""
-        x = jnp.asarray(audio)
-        energy = np.asarray(ops.energy_envelope(x, self.frame, self.hop))
-        centroid, rolloff = ops.spectral_centroid_rolloff(x, sr=self.sr, n_fft=1024, hop=self.hop)
-        centroid, rolloff = np.asarray(centroid), np.asarray(rolloff)
+        (temporal_mapper.py:64-126). Returns per-frame speech bool.
+
+        Host numpy (serving glue): the jitted feature ops recompile per audio
+        length and cost ~0.36 s/request in eager relay dispatches."""
+        energy, centroid, rolloff = self._vad_features_np(np.asarray(audio, np.float32))
         n = min(len(energy), len(centroid))
         energy, centroid, rolloff = energy[:n], centroid[:n], rolloff[:n]
 

@@ -269,3 +269,27 @@ def test_translate_speech_streaming_events():
     # deterministic and streaming is a pure chunking of it)
     offline = backend.translate_speech(audio, "eng", "fra")
     assert abs(len(wav) - offline["audio"].shape[1]) / 16_000 < 0.6
+
+
+def test_vad_host_features_match_jax_ops():
+    """TemporalMapper's numpy VAD features must mirror the JAX ops."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu import ops
+    from expressive_speech_translation_tpu.pipeline.temporal_mapper import (
+        TemporalMapper,
+    )
+
+    g = np.random.default_rng(3)
+    t = np.arange(16000 * 2) / 16000
+    x = (0.3 * np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 2 * t) ** 2)
+         + 0.01 * g.standard_normal(len(t))).astype(np.float32)
+
+    tm = TemporalMapper()
+    energy, centroid, rolloff = tm._vad_features_np(x)
+    ref_e = np.asarray(ops.energy_envelope(jnp.asarray(x), tm.frame, tm.hop))
+    ref_c, ref_r = ops.spectral_centroid_rolloff(jnp.asarray(x), sr=16000,
+                                                 n_fft=1024, hop=tm.hop)
+    np.testing.assert_allclose(energy, ref_e, atol=1e-5)
+    np.testing.assert_allclose(centroid, np.asarray(ref_c), rtol=1e-4, atol=0.5)
+    np.testing.assert_allclose(rolloff, np.asarray(ref_r), atol=16.0)
