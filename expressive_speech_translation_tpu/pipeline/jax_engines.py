@@ -214,7 +214,13 @@ class JaxWhisperAsr:
         x = np.asarray(audio_16k, np.float32).reshape(-1)
         if language is None:
             language = self.detect_language(x)
-        prompt = jnp.asarray([self._prompt_row(language)], jnp.int32)
+        if not hasattr(self, "_prompt_cache"):
+            self._prompt_cache = {}
+        prompt = self._prompt_cache.get(language)
+        if prompt is None:  # cache the tiny device array (upload = a full
+            # relay round-trip per request otherwise)
+            prompt = jnp.asarray([self._prompt_row(language)], jnp.int32)
+            self._prompt_cache[language] = prompt
         texts: List[str] = []
         words: List[Dict[str, Any]] = []
         chunk = 16_000 * self.context_buckets[-1]
@@ -223,8 +229,11 @@ class JaxWhisperAsr:
             seg = x[start:start + chunk]
             padded, bucket_s = self._pad_to_bucket(seg)
             tokens_a, aligns = self._fn(self.params, jnp.asarray(padded), prompt)
+            # one fused device→host transfer (each np.asarray is a separate
+            # relay round-trip; latency, not bandwidth, is what costs here)
+            tokens_h, aligns_h = jax.device_get((tokens_a, aligns))
             chunk_text, chunk_words = self._decode_chunk_host(
-                np.asarray(tokens_a)[0], np.asarray(aligns)[0], p_len,
+                tokens_h[0], aligns_h[0], p_len,
                 start / 16_000.0, len(seg) / 16_000.0, window_seconds=bucket_s,
             )
             if chunk_text:
@@ -272,8 +281,7 @@ class JaxWhisperAsr:
         prompt = np.tile(np.asarray(prompts[0], np.int32), (nb, 1))
         prompt[: len(prompts)] = np.asarray(prompts, np.int32)
         tokens_a, aligns_a = self._fn_b(self.params, audio, prompt)
-        tokens_np = np.asarray(tokens_a)
-        aligns_np = np.asarray(aligns_a)
+        tokens_np, aligns_np = jax.device_get((tokens_a, aligns_a))
         p_len = prompt.shape[1]
         results = [{"text": [], "words": []} for _ in requests]
         for row, (ri, offset, seconds) in enumerate(specs):
