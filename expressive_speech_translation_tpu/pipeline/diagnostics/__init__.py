@@ -80,6 +80,15 @@ class AudioDiagnostics:
             out = self.output_dir / ts
             out.mkdir(parents=True, exist_ok=True)
             (out / "diagnostics.json").write_text(json.dumps(report, indent=2, default=float))
+            if source is not None:
+                # diagnostic figure (audio_diagnostics.py:1515 visualization pass)
+                from .visualize import render_report_png
+
+                try:
+                    render_report_png(source, translated, out / "diagnostics.png",
+                                      sr=self.sr, report=report)
+                except Exception:  # noqa: BLE001 — plots must not kill reports
+                    log.exception("diagnostic figure rendering failed")
             log.info("diagnostics saved to %s", out)
         return report
 

@@ -230,3 +230,34 @@ class TestNeuralArtifacts:
         for k in ("voice_coherence", "synthesis_artifacts",
                   "naturalness_metrics", "detailed_descriptions"):
             assert k in rep["neural"]
+
+
+class TestVisualization:
+    def test_visualization_data_shapes(self):
+        from expressive_speech_translation_tpu.pipeline.diagnostics.visualize import (
+            visualization_data,
+        )
+
+        g = np.random.default_rng(7)
+        src = (0.2 * g.standard_normal(16000)).astype(np.float32)
+        tr = (0.2 * g.standard_normal(20000)).astype(np.float32)
+        tr[4000:6000] = 0.0  # dropout → problem area
+        data = visualization_data(src, tr)
+        assert data["spectral_analysis"]["source_db"].shape[0] == 513
+        assert len(data["prosody_visualization"]["pitch_translated"]) > 0
+        assert len(data["waveform_comparison"]["problem_frames"]) > 0
+
+    def test_render_report_png(self, tmp_path):
+        from expressive_speech_translation_tpu.pipeline.diagnostics import (
+            AudioDiagnostics,
+        )
+
+        g = np.random.default_rng(8)
+        src = (0.2 * g.standard_normal(16000)).astype(np.float32)
+        tr = (0.2 * g.standard_normal(16000)).astype(np.float32)
+        diag = AudioDiagnostics(output_dir=tmp_path)
+        diag.analyze_translation(tr, src, language="fra", save=True)
+        pngs = list(tmp_path.rglob("diagnostics.png"))
+        jsons = list(tmp_path.rglob("diagnostics.json"))
+        assert len(pngs) == 1 and len(jsons) == 1
+        assert pngs[0].stat().st_size > 20_000  # a real rendered figure
