@@ -895,3 +895,56 @@ def quantize_speech_lm(params: Params) -> Params:
     if "mtp_heads" in params:
         out["mtp_heads"] = [quantize_dense(h) for h in params["mtp_heads"]]
     return out
+
+
+# -------------------------------------------------------------- conversion
+
+
+def from_cosyvoice_llm_state_dict(state: Dict[str, Any], cfg: SpeechLMConfig) -> Params:
+    """Convert an official CosyVoice2 ``llm.pt`` (cosyvoice.llm.llm.Qwen2LM)
+    state dict into our SpeechLM tree — the checkpoint the reference's Greek
+    SFT trains and its Docker build overwrites (greek_sft.yaml llm:,
+    train_greek.sh; Dockerfile.cosyvoice bakes llm/model.pt).
+
+    Key layout (Qwen2LM):
+      llm.model.*            HF Qwen2ForCausalLM (backbone + embed_tokens)
+      llm_embedding.weight   [2, h] — row 0 = sos_eos, row 1 = task_id
+      speech_embedding.weight [speech_token_size + 3, h]
+      llm_decoder.weight/bias [speech_token_size + 3, h] output head
+
+    Mapping: the Qwen2 ``embed_tokens`` becomes ``text_embed``; the two
+    llm_embedding rows land in our speech table's sos/task control slots
+    (SpeechLMConfig.sos_index/task_index); the decoder head transposes into
+    ``head`` (eos logit stays at index speech_token_size on both sides).
+    """
+    from .common import linear_from_torch, t2j
+
+    backbone_state = {
+        k[len("llm.model."):]: v for k, v in state.items()
+        if k.startswith("llm.model.")
+    }
+    backbone = q2.from_hf_state_dict(backbone_state, cfg.backbone)
+
+    def g(name):
+        for prefix in ("model.", ""):
+            if prefix + name in backbone_state:
+                return backbone_state[prefix + name]
+        raise KeyError(name)
+
+    text_embed = t2j(g("embed_tokens.weight"))
+    speech_embed = t2j(state["speech_embedding.weight"])
+    llm_embedding = t2j(state["llm_embedding.weight"])
+    if speech_embed.shape[0] != cfg.speech_token_size + 3:
+        raise ValueError(
+            f"speech_embedding rows {speech_embed.shape[0]} != "
+            f"speech_token_size+3 ({cfg.speech_token_size + 3}) — config mismatch")
+    speech_embed = speech_embed.at[cfg.sos_index].set(llm_embedding[0])
+    speech_embed = speech_embed.at[cfg.task_index].set(llm_embedding[1])
+
+    return {
+        "backbone": backbone,
+        "text_embed": text_embed,
+        "speech_embed": speech_embed,
+        "head": linear_from_torch(state["llm_decoder.weight"],
+                                  state.get("llm_decoder.bias")),
+    }

@@ -159,14 +159,50 @@ def bake_models(out_root: str | Path, *, asr: Optional[str] = None,
         save_converted(params, cfg, out / "nmt")
         log.info("baked NMT %s -> %s", nmt, out / "nmt")
     if tts:
-        # CosyVoice ships as three torch trees (llm/flow/hift); the Qwen2
-        # backbone converter exists (models/qwen2.from_hf_state_dict) but the
-        # flow/vocoder mapping is not built yet — fail with the honest state
-        # rather than baking a partial tree.
-        raise WeightsNotFoundError(
-            "CosyVoice checkpoint conversion is not implemented yet "
-            "(backbone converter exists: models/qwen2.from_hf_state_dict; "
-            "flow/vocoder mapping pending)")
+        # CosyVoice ships as three torch trees (llm.pt / flow.pt / hift.pt).
+        # The speech-LM (llm.pt — the checkpoint the reference's Greek SFT
+        # trains and its image build overwrites) converts fully; flow/vocoder
+        # mapping is not built yet, so the LM is baked under tts_llm/ and a
+        # clear error is raised if only flow/hift exist.
+        params, cfg = load_cosyvoice_llm(tts)
+        save_converted(params, cfg, out / "tts_llm")
+        log.info("baked TTS speech-LM %s -> %s (flow/vocoder conversion "
+                 "pending; they stay randomly initialised)", tts, out / "tts_llm")
+
+
+def load_cosyvoice_llm(path: str | Path, cfg=None):
+    """Official CosyVoice2 ``llm.pt`` (or a dir containing it) → (SpeechLM
+    params, SpeechLMConfig). Dims are inferred from the tensors; non-0.5B
+    backbones need an explicit cfg (head counts are not recoverable from
+    shapes alone)."""
+    from . import cosyvoice as cv, qwen2 as q2
+
+    p = Path(path)
+    if p.is_dir():
+        for candidate in ("llm.pt", "model.pt"):
+            if (p / candidate).exists():
+                p = p / candidate
+                break
+    state = load_state_dict(p)
+    if cfg is None:
+        hidden = state["llm_decoder.weight"].shape[1]
+        speech_rows = state["speech_embedding.weight"].shape[0]
+        n_layers = 1 + max(
+            int(k.split(".")[4]) for k in state
+            if k.startswith("llm.model.model.layers."))
+        base = q2.Qwen2Config.qwen2_05b()
+        if hidden != base.hidden or n_layers != base.layers:
+            raise ValueError(
+                f"checkpoint dims (hidden {hidden}, layers {n_layers}) are not "
+                "Qwen2-0.5B — pass an explicit SpeechLMConfig")
+        text_vocab = None
+        for key in ("llm.model.model.embed_tokens.weight",):
+            if key in state:
+                text_vocab = state[key].shape[0]
+        cfg = cv.SpeechLMConfig(backbone=base,
+                                text_vocab=text_vocab or 151_936,
+                                speech_token_size=speech_rows - 3)
+    return cv.from_cosyvoice_llm_state_dict(state, cfg), cfg
 
 
 def load_qwen2_backbone(path: str | Path, cfg=None):

@@ -66,9 +66,39 @@ def test_jax_engines_picks_up_baked_weights(hf_whisper_dir, tmp_path, monkeypatc
     assert "text" in out and "words" in out
 
 
-def test_bake_tts_honestly_unimplemented(tmp_path):
-    with pytest.raises(WeightsNotFoundError, match="CosyVoice checkpoint conversion"):
-        loaders.bake_models(tmp_path, tts="/nonexistent")
+def test_bake_tts_llm(tmp_path):
+    """--tts bakes the speech-LM (llm.pt, the Greek-SFT checkpoint); missing
+    checkpoints fail with the actionable not-found error."""
+    from test_cosyvoice_convert import H, HEADS, KV, FFN, LAYERS, SPEECH
+
+    from transformers import Qwen2Config as HFQwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(2)
+    hf = Qwen2ForCausalLM(HFQwen2Config(
+        vocab_size=300, hidden_size=H, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, num_key_value_heads=KV,
+        intermediate_size=FFN, max_position_embeddings=256))
+    state = {f"llm.model.{k}": v for k, v in hf.state_dict().items()}
+    state["llm_embedding.weight"] = torch.randn(2, H)
+    state["speech_embedding.weight"] = torch.randn(SPEECH + 3, H)
+    state["llm_decoder.weight"] = torch.randn(SPEECH + 3, H)
+    ckpt_dir = tmp_path / "cosy"
+    ckpt_dir.mkdir()
+    torch.save(state, ckpt_dir / "llm.pt")
+
+    import expressive_speech_translation_tpu.models.cosyvoice as cv
+    import expressive_speech_translation_tpu.models.qwen2 as q2
+
+    cfg = cv.SpeechLMConfig(
+        backbone=q2.Qwen2Config(hidden=H, layers=LAYERS, heads=HEADS,
+                                kv_heads=KV, ffn_dim=FFN, max_positions=256),
+        text_vocab=300, speech_token_size=SPEECH)
+    params, _ = loaders.load_cosyvoice_llm(ckpt_dir, cfg=cfg)
+    loaders.save_converted(params, cfg, tmp_path / "out" / "tts_llm")
+    assert (tmp_path / "out" / "tts_llm" / "config.json").exists()
+
+    with pytest.raises(WeightsNotFoundError):
+        loaders.bake_models(tmp_path / "out2", tts="/nonexistent")
 
 
 def test_loaders_cli(hf_whisper_dir, tmp_path):
