@@ -205,6 +205,37 @@ def cmd_doctor(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_embed(args) -> int:
+    """ECAPA speaker embedding → .npy (Docker/create_embedding.py role: the
+    reference extracts a campplus embedding for cloning prompts)."""
+    import jax
+    import numpy as np
+
+    from .media.wavio import read_wav
+    from .models import ecapa
+
+    audio, sr = read_wav(args.input)
+    audio = np.asarray(audio, np.float32).reshape(-1)
+    if sr != 16_000:
+        from .ops.host_dsp import resample_np
+
+        audio = resample_np(audio, sr, 16_000)
+    cfg = ecapa.EcapaConfig()
+    params = ecapa.init_ecapa(jax.random.PRNGKey(4), cfg)
+    emb = np.asarray(ecapa.embed_audio(params, cfg, audio[None]))[0]
+    np.save(args.output, emb)
+    print(json.dumps({"output": args.output, "dim": int(emb.shape[-1])}))
+    return 0
+
+
+def cmd_bake(args) -> int:
+    """Convert HF checkpoints to native orbax trees (deploy/Dockerfile.models)."""
+    from .models.loaders import bake_models
+
+    bake_models(args.out, asr=args.asr, nmt=args.nmt, tts=args.tts)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="est", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -241,6 +272,17 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("doctor", help="environment self-check")
     p.add_argument("--weights", help="model checkpoint dir to validate")
     p.set_defaults(fn=cmd_doctor)
+
+    p = sub.add_parser(
+        "embed", help="speaker embedding from audio (create_embedding.py role)")
+    p.add_argument("input"); p.add_argument("output", help=".npy path")
+    p.set_defaults(fn=cmd_embed)
+
+    p = sub.add_parser(
+        "bake", help="convert HF checkpoints to native trees (models/loaders)")
+    p.add_argument("--asr"); p.add_argument("--nmt"); p.add_argument("--tts")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_bake)
     return parser
 
 

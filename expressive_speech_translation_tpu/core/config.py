@@ -107,6 +107,23 @@ class ServeConfig:
 
 
 @dataclass(frozen=True)
+class EngineConfig:
+    """Stage-engine construction for the server (pipeline/jax_engines.py).
+
+    ``mode``: "jax" (compiled models; random weights unless EST_MODELS_DIR or
+    explicit params supply real ones — surfaced via /health/model) or "fake"
+    (deterministic test doubles). Empty = caller's default: the production
+    entrypoint (serve.app main) defaults to jax, embedded/test create_app()
+    to fake.
+    """
+
+    mode: str = ""                       # "" (auto) | "jax" | "fake"
+    scale: str = "reference"             # toy | reference (jax mode)
+    quantize: bool = False               # weight-only int8 decode paths
+    asr_context_buckets: Tuple[int, ...] = (10, 20, 30)
+
+
+@dataclass(frozen=True)
 class MeshConfig:
     """Device mesh layout for pjit sharding.
 
@@ -148,6 +165,7 @@ class AppConfig:
     audio: AudioConfig = field(default_factory=AudioConfig)
     endpoints: ServiceEndpoints = field(default_factory=ServiceEndpoints)
     serve: ServeConfig = field(default_factory=ServeConfig)
+    engines: EngineConfig = field(default_factory=EngineConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     default_backend: str = "cascaded"

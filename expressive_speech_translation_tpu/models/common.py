@@ -260,3 +260,23 @@ def cast_floats(tree, dtype):
         return x
 
     return jax.tree_util.tree_map(_cast, tree)
+
+
+def host_init(init_fn, seed: int, *args):
+    """Run ``init_fn(PRNGKey(seed), *args)`` on the host CPU backend and
+    transfer the tree to the default device in one batch.
+
+    Eager per-tensor inits dispatch hundreds of tiny programs; over a remote
+    TPU relay each is a round-trip, making reference-scale engine construction
+    take minutes/model. The PRNG key MUST be created inside the CPU context
+    (it takes an integer seed, not a key): ops follow their operands' device,
+    so a device-resident key would drag the whole init back onto the relay —
+    and even device_put of one key off the relay measures ~80 s.
+    """
+    cpus = jax.devices("cpu")
+    with jax.default_device(cpus[0]):
+        tree = init_fn(jax.random.PRNGKey(seed), *args)
+    default = jax.devices()[0]
+    if default.platform == "cpu":
+        return tree
+    return jax.device_put(tree, default)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..models import cosyvoice as cvm
 from ..models import nllb as njm
 from ..models import whisper as wjm
-from ..models.common import cast_floats
+from ..models.common import cast_floats, host_init
 from ..ops.pallas_mel import whisper_log_mel_pallas
 from .languages import whisper_lang_token
 from .tokenizer import ByteTokenizer, Tokenizer
@@ -77,7 +77,7 @@ class JaxWhisperAsr:
         self.weightless = params is None
         if params is None:
             log.warning("JaxWhisperAsr: random weights (no checkpoint supplied)")
-            params = wjm.init_whisper(jax.random.PRNGKey(0), self.cfg)
+            params = host_init(wjm.init_whisper, 0, self.cfg)
         self.params = cast_floats(params, dtype)
         if quantize:
             self.params = wjm.quantize_whisper_decoder(self.params)
@@ -323,7 +323,7 @@ class JaxNllbNmt:
         self.weightless = params is None
         if params is None:
             log.warning("JaxNllbNmt: random weights (no checkpoint supplied)")
-            params = njm.init_nllb(jax.random.PRNGKey(1), self.cfg)
+            params = host_init(njm.init_nllb, 1, self.cfg)
         self.params = cast_floats(params, dtype)
         if quantize:
             self.params = njm.quantize_nllb_decoder(self.params)
@@ -459,7 +459,7 @@ class JaxCosyVoiceTts:
         self.weightless = params is None
         if params is None:
             log.warning("JaxCosyVoiceTts: random weights (no checkpoint supplied)")
-            params = cvm.init_cosyvoice(jax.random.PRNGKey(2), self.cfg)
+            params = host_init(cvm.init_cosyvoice, 2, self.cfg)
         self.params = cast_floats(params, dtype)
         if quantize:
             self.params = dict(self.params)

@@ -354,14 +354,34 @@ def create_app(
     **kwargs: Any,
 ) -> App:
     """Build the WSGI app; with no manager, wires the default cascaded backend
-    with fake engines (smoke-test mode)."""
+    from ``config.engines`` (mode "" = ``default_engine_mode``, which is
+    "fake" here so embedded/test construction stays hermetic; the server
+    entrypoint passes "jax")."""
     config = config or AppConfig()
+    default_engine_mode = kwargs.pop("default_engine_mode", "fake")
     if manager is None:
         from ..pipeline.cascaded import CascadedBackend
-        from ..pipeline.engines import fake_engines
 
+        mode = config.engines.mode or default_engine_mode
+        if mode == "jax":
+            from ..pipeline.jax_engines import jax_engines
+
+            engines = jax_engines(
+                scale=config.engines.scale,
+                quantize=config.engines.quantize,
+                asr_context_buckets=tuple(config.engines.asr_context_buckets),
+                batch_tts=config.serve.tts_batching,
+                max_batch=config.serve.tts_max_batch,
+                batch_wait_ms=config.serve.tts_batch_wait_ms,
+            )
+        elif mode == "fake":
+            from ..pipeline.engines import fake_engines
+
+            engines = fake_engines()
+        else:
+            raise ValueError(f"unknown engine mode {mode!r} (jax|fake)")
         manager = TranslationManager()
-        manager.register_backend("cascaded", CascadedBackend(fake_engines()), is_default=True)
+        manager.register_backend("cascaded", CascadedBackend(engines), is_default=True)
     return App(manager, config, **kwargs)
 
 
@@ -369,9 +389,15 @@ def main() -> None:
     """python -m expressive_speech_translation_tpu.serve.app"""
     from werkzeug.serving import run_simple
 
-    config = AppConfig()
+    from ..core import enable_persistent_compilation_cache
+    from ..core.config import load_config
+
+    enable_persistent_compilation_cache()
+    config = load_config()
     setup_logging(config.log_dir)
-    app = create_app(config=config)
+    # the server defaults to real compiled engines (mode jax; EST_ENGINES__MODE
+    # overrides); weightless state is surfaced via /health/model + responses
+    app = create_app(config=config, default_engine_mode="jax")
     # startup hard-fail parity (app.py:507-514)
     try:
         app.manager.get_backend()

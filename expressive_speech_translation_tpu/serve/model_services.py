@@ -309,6 +309,10 @@ def run_service(name: str, port: Optional[int] = None) -> None:
     """Launch one model service: cosyvoice | musetalk | similarity | openvoice."""
     from werkzeug.serving import run_simple
 
+    from ..core import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     services = {
         "cosyvoice": (CosyVoiceService, 8002),
         "musetalk": (MuseTalkService, 8003),

@@ -130,3 +130,13 @@ def test_train_run_tiny_end_to_end(tmp_path, caplog):
     assert rc == 0
     m = re.search(r"starting at step (\d+)", caplog.text)
     assert m and int(m.group(1)) > 0, caplog.text
+
+
+def test_cli_embed(tmp_path, wav_file, capsys):
+    from expressive_speech_translation_tpu.cli import main
+
+    out = tmp_path / "emb.npy"
+    assert main(["embed", str(wav_file), str(out)]) == 0
+    emb = np.load(out)
+    assert emb.ndim == 1 and emb.shape[0] > 10
+    assert np.isfinite(emb).all()

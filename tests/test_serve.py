@@ -265,3 +265,38 @@ def test_translate_streaming_sse():
     pcm = b64.b64decode(chunks[0]["audio_chunk"])
     assert len(pcm) % 2 == 0 and len(pcm) > 0
     assert frames[-1].get("done") is True
+
+
+def test_engine_config_wiring(monkeypatch):
+    """create_app builds engines per config.engines; the server entrypoint
+    default is jax, embedded default stays fake (hermetic tests)."""
+    from expressive_speech_translation_tpu.core.config import AppConfig, EngineConfig
+    from expressive_speech_translation_tpu.serve.app import create_app
+
+    app = create_app()  # embedded default: fake engines
+    b = app.manager.get_backend()
+    assert b.engines.weights_info() == "fake"
+
+    import dataclasses
+
+    cfg = AppConfig(engines=EngineConfig(mode="jax", scale="toy",
+                                         asr_context_buckets=(2, 4)))
+    app2 = create_app(config=cfg)
+    b2 = app2.manager.get_backend()
+    assert b2.engines.weights_info() == "random"  # jax engines, random weights
+    assert b2.engines.asr.context_buckets == (2, 4)
+
+    with pytest.raises(ValueError, match="unknown engine mode"):
+        create_app(config=AppConfig(engines=EngineConfig(mode="bogus")))
+
+
+def test_engine_config_env_overrides(monkeypatch):
+    from expressive_speech_translation_tpu.core.config import load_config
+
+    monkeypatch.setenv("EST_ENGINES__MODE", "fake")
+    monkeypatch.setenv("EST_ENGINES__SCALE", "toy")
+    monkeypatch.setenv("EST_ENGINES__ASR_CONTEXT_BUCKETS", "4,10")
+    cfg = load_config()
+    assert cfg.engines.mode == "fake"
+    assert cfg.engines.scale == "toy"
+    assert cfg.engines.asr_context_buckets == (4, 10)
