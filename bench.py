@@ -171,6 +171,51 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 
+def _bench_train() -> dict:
+    """SFT step rate at the reference's training envelope — the reference's
+    ONLY measured perf numbers are its Greek SFT logs (BASELINE.md: ≈1.8 it/s
+    at ≤2000 dynamic frames/batch, accum 4, AdamW, AMP, one GPU). Same
+    config here: 0.5B speech LM, accum 4, micro-batches of 8×(125 speech +
+    25 text) tokens (≈2000 mel frames at token_mel_ratio 2), bf16, one chip.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from expressive_speech_translation_tpu.models import cosyvoice as cv
+    from expressive_speech_translation_tpu.models.common import host_init
+    from expressive_speech_translation_tpu.train.sft import (
+        SFTBatch, TrainState, make_train_step,
+    )
+
+    cfg = cv.SpeechLMConfig()
+    optimizer = optax.chain(optax.clip_by_global_norm(5.0),
+                            optax.adamw(1e-5))  # greek_sft.yaml:94-103
+    params = host_init(cv.init_speech_lm, 11, cfg)
+    state = TrainState(jnp.zeros((), jnp.int32), params, optimizer.init(params))
+    step = make_train_step(cfg, optimizer, accum_grad=4)
+
+    g = np.random.default_rng(0)
+    accum, b, tt, ts = 4, 8, 25, 125
+    batch = SFTBatch(
+        text_tokens=jnp.asarray(g.integers(0, cfg.text_vocab, (accum, b, tt)), jnp.int32),
+        text_mask=jnp.ones((accum, b, tt), bool),
+        speech_tokens=jnp.asarray(g.integers(0, cfg.speech_token_size, (accum, b, ts)), jnp.int32),
+        speech_mask=jnp.ones((accum, b, ts), bool),
+    )
+    state, metrics = step(state, batch)
+    _sync(metrics)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch)
+        _sync(metrics)
+        times.append(time.perf_counter() - t0)
+    it_s = 1.0 / min(times)
+    return {"sft_it_per_s_1chip": round(it_s, 3),
+            "sft_vs_reference_gpu": round(it_s / 1.8, 2)}
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -305,6 +350,8 @@ def main() -> int:
     detail = dict(serve_out)
     detail["stage_sum_rtf"] = round(stage_rtf, 5)
     detail["stage_xrt"] = xrt
+    if os.environ.get("EST_BENCH_TRAIN", "1") != "0":
+        detail.update(_bench_train())
     result = {
         "metric": "audio_s2st_e2e_serve_rtf_1chip",
         "value": rtf,

@@ -481,16 +481,20 @@ class JaxCosyVoiceTts:
         self.seconds_per_char = seconds_per_char
         self.dtype = dtype
         self._ecapa_cfg = ecapa.EcapaConfig(channels=128, bottleneck=64, attn_channels=64)
-        self._ecapa = ecapa.init_ecapa(jax.random.PRNGKey(3), self._ecapa_cfg)
+        self._ecapa = host_init(ecapa.init_ecapa, 3, self._ecapa_cfg)
         # the S3-style FSQ speech tokenizer produces prompt speech tokens
         from ..models import speech_tokenizer as st
 
         self._st_cfg = st.SpeechTokenizerConfig(dim=128, layers=2, heads=4)
-        self._st = st.init_speech_tokenizer(jax.random.PRNGKey(4), self._st_cfg)
-        self._key = jax.random.PRNGKey(42)
+        self._st = host_init(st.init_speech_tokenizer, 4, self._st_cfg)
+        # sampling keys: a host counter folded into a base key INSIDE the
+        # jitted program (an eager per-request jax.random.split is one extra
+        # relay round-trip per call)
+        self._call_count = 0
 
         @functools.partial(jax.jit, static_argnums=(8,))
-        def _synth(params, key, text, tmask, spk, pmel, pmm, psp, max_new):
+        def _synth(params, seed, text, tmask, spk, pmel, pmm, psp, max_new):
+            key = jax.random.fold_in(jax.random.PRNGKey(42), seed)
             return cvm.synthesize(
                 params, self.cfg, key, text, tmask,
                 psp, jnp.ones_like(psp, bool), spk, pmel, pmm,
@@ -500,7 +504,8 @@ class JaxCosyVoiceTts:
         self._fn = _synth
 
         @functools.partial(jax.jit, static_argnums=(9,))
-        def _synth_b(params, key, text, tmask, spk, pmel, pmm, psp, psm, max_new):
+        def _synth_b(params, seed, text, tmask, spk, pmel, pmm, psp, psm, max_new):
+            key = jax.random.fold_in(jax.random.PRNGKey(42), seed)
             out = cvm.synthesize(
                 params, self.cfg, key, text, tmask, psp, psm, spk, pmel, pmm,
                 max_new_tokens=max_new,
@@ -597,8 +602,9 @@ class JaxCosyVoiceTts:
     ) -> np.ndarray:
         toks, tmask, spk, pmel, pmm, psp, max_new = self._prepare_conditioning(
             text, reference_audio_16k)
-        self._key, k = jax.random.split(self._key)
-        audio = self._fn(self.params, k, toks, tmask, spk, pmel, pmm, psp, max_new)
+        self._call_count += 1
+        audio = self._fn(self.params, jnp.uint32(self._call_count),
+                         toks, tmask, spk, pmel, pmm, psp, max_new)
         return np.asarray(audio, np.float32)[0]
 
     def synthesize_batch(self, requests: List[Dict[str, Any]]) -> List[np.ndarray]:
@@ -642,9 +648,10 @@ class JaxCosyVoiceTts:
             for r in requests
         )
         max_new = _bucket(int(seconds * 25), (64, 128, 256, 512, 768))
-        self._key, k = jax.random.split(self._key)
+        self._call_count += 1
         audio, lengths = self._fn_b(
-            self.params, k, toks, tmask, spk, pmel, pmm, psp, psm, max_new,
+            self.params, jnp.uint32(self._call_count),
+            toks, tmask, spk, pmel, pmm, psp, psm, max_new,
         )
         audio = np.asarray(audio, np.float32)
         lengths = np.asarray(lengths)
@@ -662,7 +669,8 @@ class JaxCosyVoiceTts:
         away (first generator chunk only, Docker/cosyvoice_api.py:129)."""
         toks, tmask, spk, pmel, pmm, psp, max_new = self._prepare_conditioning(
             text, reference_audio_16k)
-        self._key, k = jax.random.split(self._key)
+        self._call_count += 1
+        k = jax.random.fold_in(jax.random.PRNGKey(42), self._call_count)
         yield from cvm.synthesize_streaming(
             self.params, self.cfg, k, toks, tmask,
             psp, jnp.ones_like(psp, bool), spk, pmel, pmm,
