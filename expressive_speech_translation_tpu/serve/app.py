@@ -374,12 +374,29 @@ def create_app(
                 max_batch=config.serve.tts_max_batch,
                 batch_wait_ms=config.serve.tts_batch_wait_ms,
             )
+        elif mode == "remote":
+            # the reference's split deployment: ASR/NMT in-process, TTS via
+            # the CosyVoice container contract (cascaded_backend.py:455-475)
+            from ..pipeline.jax_engines import jax_engines
+            from .clients import HttpTransport, remote_engines
+
+            local = jax_engines(
+                scale=config.engines.scale,
+                quantize=config.engines.quantize,
+                asr_context_buckets=tuple(config.engines.asr_context_buckets),
+            )
+            engines = remote_engines(
+                HttpTransport(config.endpoints.cosyvoice_url),
+                asr=local.asr, nmt=local.nmt,
+                retries=config.endpoints.health_retries,
+                retry_delay_s=config.endpoints.health_backoff_seconds,
+            )
         elif mode == "fake":
             from ..pipeline.engines import fake_engines
 
             engines = fake_engines()
         else:
-            raise ValueError(f"unknown engine mode {mode!r} (jax|fake)")
+            raise ValueError(f"unknown engine mode {mode!r} (jax|remote|fake)")
         manager = TranslationManager()
         manager.register_backend("cascaded", CascadedBackend(engines), is_default=True)
     return App(manager, config, **kwargs)

@@ -327,6 +327,14 @@ def run_service(name: str, port: Optional[int] = None) -> None:
         app = cls(batching=sc.tts_batching, max_batch=sc.tts_max_batch,
                   batch_wait_ms=sc.tts_batch_wait_ms)
         app.warm_up()
+    elif name == "musetalk":
+        # the container entrypoint serves the REAL full-frame pipeline
+        # (detection → crop → render → blend); random weights unless
+        # checkpoints are wired — surfaced by the engine's own warning
+        from ..media.native import NativeVideoIO
+        from ..pipeline.musetalk_pipeline import musetalk_lipsync_fn
+
+        app = cls(video_io=NativeVideoIO(lipsync_fn=musetalk_lipsync_fn()))
     else:
         app = cls()
     run_simple("0.0.0.0", port or default_port, app, threaded=True)

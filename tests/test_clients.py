@@ -156,3 +156,27 @@ def test_client_error_surface(cosy_transport):
     client = CosyVoiceClient(cosy_transport, retries=1, retry_delay_s=0)
     with pytest.raises(RemoteServiceError, match="CosyVoice API failed: 4"):
         client.synthesize("")  # service rejects empty text
+
+
+def test_create_app_remote_mode(cosy_transport, monkeypatch):
+    """engines.mode=remote wires the reference split (local ASR/NMT + remote
+    TTS) from config alone; health retries come from endpoints config."""
+    import expressive_speech_translation_tpu.serve.clients as clients_mod
+    from expressive_speech_translation_tpu.core.config import load_config
+    from expressive_speech_translation_tpu.serve.app import create_app
+
+    # point the HTTP transport at the in-process WSGI service
+    monkeypatch.setattr(
+        clients_mod, "HttpTransport", lambda url: cosy_transport)
+    import expressive_speech_translation_tpu.serve.app as app_mod
+
+    cfg = load_config(env={}, **{
+        "engines.mode": "remote", "engines.scale": "toy",
+        "endpoints.health_backoff_seconds": 0.0,
+    })
+    app = create_app(config=cfg)
+    b = app.manager.get_backend()  # warm-up posts Hello world. over the wire
+    assert type(b.engines.tts).__name__ == "CosyVoiceClient"
+    assert type(b.engines.asr).__name__ == "JaxWhisperAsr"
+    wave = b.engines.tts.synthesize("bonjour", reference_audio_16k=tone())
+    assert wave.size > 1000
