@@ -45,12 +45,9 @@ def _bucket(n: int, buckets) -> int:
 
 
 class JaxWhisperAsr:
-    """ASR engine: fused Pallas mel → Whisper greedy decode, 30 s chunking.
-
-    Word timestamps: uniform within the decoded text per 30 s chunk (the
-    reference uses whisper's DTW alignment; a cross-attention aligner is a
-    planned refinement — pauses still resolve via the VAD path when absent).
-    """
+    """ASR engine: fused Pallas mel → Whisper greedy decode, bucketed context
+    chunking, cross-attention DTW word timestamps (whisper find_alignment
+    parity — models/whisper.greedy_decode_with_alignment + dtw_token_times)."""
 
     def __init__(
         self,
