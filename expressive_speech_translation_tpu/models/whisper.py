@@ -183,8 +183,13 @@ def precompute_cross_kv(params: Params, cfg: WhisperConfig, enc_out: jnp.ndarray
     ]
 
 
-def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32):
-    shape = (batch, cfg.max_target_positions, cfg.heads, cfg.d_model // cfg.heads)
+def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
+                  max_len: int | None = None):
+    """Cache sized to the decode budget (prompt + max_new), not the model's
+    448-position ceiling: every step reads the whole (masked) cache, so a 68-
+    row cache cuts that read 6.6x for typical serving budgets."""
+    shape = (batch, max_len or cfg.max_target_positions,
+             cfg.heads, cfg.d_model // cfg.heads)
     return [
         {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
         for _ in range(cfg.decoder_layers)
@@ -272,10 +277,10 @@ def greedy_decode_with_alignment(
     b, p_len = prompt.shape
     enc_out = encode(params, cfg, mel)
     cross_kv = precompute_cross_kv(params, cfg, enc_out)
-    kv_cache = init_kv_cache(cfg, b, dtype=enc_out.dtype)
     t_enc = enc_out.shape[1]
 
     total = p_len + max_new_tokens
+    kv_cache = init_kv_cache(cfg, b, dtype=enc_out.dtype, max_len=total)
     tokens0 = jnp.full((b, total), cfg.eos_token, jnp.int32)
     tokens0 = jax.lax.dynamic_update_slice(tokens0, prompt.astype(jnp.int32), (0, 0))
     align0 = jnp.zeros((b, total, t_enc), jnp.float32)
@@ -430,9 +435,9 @@ def greedy_decode(
     b, p_len = prompt.shape
     enc_out = encode(params, cfg, mel)
     cross_kv = precompute_cross_kv(params, cfg, enc_out)
-    kv_cache = init_kv_cache(cfg, b, dtype=enc_out.dtype)
 
     total = p_len + max_new_tokens
+    kv_cache = init_kv_cache(cfg, b, dtype=enc_out.dtype, max_len=total)
     tokens0 = jnp.full((b, total), cfg.eos_token, jnp.int32)
     tokens0 = jax.lax.dynamic_update_slice(tokens0, prompt.astype(jnp.int32), (0, 0))
 
