@@ -191,7 +191,8 @@ async function showAudioResult(b64, transcripts) {
   freeBlob();
   const blob = b64ToBlob(b64, "audio/wav");
   state.blobUrl = URL.createObjectURL(blob);
-  $("player").innerHTML = `<audio controls id="audioel" src="${state.blobUrl}"></audio>`;
+  $("compare").hidden = true;
+  $("player-solo").innerHTML = `<audio controls id="audioel" src="${state.blobUrl}"></audio>`;
   showTranscripts(transcripts);
   $("result").hidden = false;
   try {
@@ -216,13 +217,41 @@ async function showAudioResult(b64, transcripts) {
 }
 
 function showVideoResult(b64, transcripts) {
+  // side-by-side original / translated (VideoSyncInterface.js layout)
   freeBlob();
   state.blobUrl = URL.createObjectURL(b64ToBlob(b64, "video/mp4"));
-  $("player").innerHTML = `<video controls src="${state.blobUrl}"></video>`;
+  $("player-solo").innerHTML = "";
+  const orig = $("file").files[0];
+  if (orig) {
+    $("compare").hidden = false;
+    $("original").innerHTML = `<video controls src="${URL.createObjectURL(orig)}"></video>`;
+    $("player").innerHTML = `<video controls src="${state.blobUrl}"></video>`;
+  } else {
+    $("compare").hidden = true;
+    $("player-solo").innerHTML = `<video controls src="${state.blobUrl}"></video>`;
+  }
   $("wave").hidden = true;
   showTranscripts(transcripts);
   $("result").hidden = false;
 }
+
+// per-phase checklist for the video flow (TranslationFlow.js phase labels)
+const VIDEO_PHASES = ["Extracting audio", "Preprocessing audio", "Translating speech",
+                      "Adding watermark", "Applying lip sync", "Encoding result"];
+
+function updatePhases(label) {
+  if (!label) return;
+  const ul = $("phases");
+  ul.hidden = false;
+  const reached = VIDEO_PHASES.findIndex((p) => label.startsWith(p.split(" ")[0]));
+  ul.innerHTML = VIDEO_PHASES.map((p, i) => {
+    const mark = i < reached ? "✓" : i === reached ? "●" : "○";
+    const color = i <= reached ? "var(--ok)" : "var(--dim)";
+    return `<li style="color:${color}">${mark} ${p}</li>`;
+  }).join("");
+}
+
+function clearPhases() { $("phases").hidden = true; $("phases").innerHTML = ""; }
 
 function showTranscripts(t) {
   $("transcripts").innerHTML = t
@@ -346,7 +375,7 @@ $("pod-go").addEventListener("click", async () => {
 
 async function run() {
   if (state.busy) { state.abort?.abort(); return; }
-  setError(""); setStatus(""); $("result").hidden = true;
+  setError(""); setStatus(""); $("result").hidden = true; clearPhases();
   state.busy = true; $("go").disabled = true;
   state.abort = new AbortController();
   try {
@@ -415,6 +444,7 @@ async function runVideo() {
       if (!frame.startsWith("data: ")) continue;
       const msg = JSON.parse(frame.slice(6));
       setProgress(msg.progress); setStatus(msg.phase || "");
+      updatePhases(msg.phase);
       if (msg.error) throw new Error(`${msg.error} (${msg.error_id || "?"})`);
       if (msg.result) showVideoResult(msg.result.video, msg.result.transcripts);
     }
