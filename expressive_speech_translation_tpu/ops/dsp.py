@@ -98,6 +98,7 @@ def spectral_noise_gate(
     oversubtract: float = 1.2,
     speech_boost: float = 1.2,
     gate_floor: float = 0.1,
+    valid_frames: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """STFT-domain noise gate with speech-band boost.
 
@@ -105,12 +106,19 @@ def spectral_noise_gate(
     noise profile from the quietest frames, soft-gate magnitudes below
     ``oversubtract × noise``, boost 300–3400 Hz, and reconstruct with the
     original phase.
+
+    ``valid_frames``: optional (traced) frame count for bucket-padded inputs —
+    padded all-zero frames would otherwise win the quietest-frame selection
+    and null the noise profile (disabling the gate).
     """
     length = x.shape[-1]
     real, imag = stft(x, n_fft, hop)
     mag = jnp.sqrt(real * real + imag * imag + 1e-12)
 
     frame_energy = jnp.sum(mag, axis=-1)
+    if valid_frames is not None:
+        frame_idx = jnp.arange(mag.shape[-2])
+        frame_energy = jnp.where(frame_idx < valid_frames, frame_energy, jnp.inf)
     k = min(noise_percentile_frames, mag.shape[-2])
     _, idx = jax.lax.top_k(-frame_energy, k)  # quietest frames
     noise_profile = jnp.mean(

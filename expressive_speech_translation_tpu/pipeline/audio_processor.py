@@ -11,9 +11,11 @@ and the per-language enhancement parameter table (:26-72).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -149,36 +151,91 @@ class AudioProcessor:
 
     # ------------------------------------------------------------- main paths
 
+    # request audio-length buckets (seconds at 16 kHz) for the jitted denoise
+    # program: arbitrary upload lengths hit a handful of compiled graphs
+    DENOISE_BUCKETS_S = (5, 10, 30, 60, 150, 300)
+
+    @functools.lru_cache(maxsize=32)
+    def _resample_fn(self, bucket_samples: int, orig_sr: int):
+        """Jitted Kaiser resample per (input-length bucket, source rate) —
+        one conv dispatch; zero-padding is exact for a linear FIR (the
+        unpadded op right-pads with zeros anyway), so trimming the output at
+        ceil(valid·new/orig) reproduces the unpadded result bit-for-bit."""
+        cfg = self.config
+
+        @jax.jit
+        def fn(x):
+            return ops.resample(
+                x, orig_sr, self.SAMPLE_RATE,
+                lowpass_filter_width=cfg.resample_lowpass_filter_width,
+                rolloff=cfg.resample_rolloff,
+                beta=cfg.resample_kaiser_beta,
+            )
+
+        return fn
+
+    @functools.lru_cache(maxsize=16)
+    def _gate_fn(self, bucket_samples: int):
+        n_fft, hop = self.config.denoise_n_fft, self.config.denoise_hop
+
+        @jax.jit
+        def fn(x, valid_samples):
+            valid_frames = 1 + valid_samples // hop  # centered framing count
+            return ops.spectral_noise_gate(
+                x, sr=self.SAMPLE_RATE, n_fft=n_fft, hop=hop,
+                speech_boost=1.2, valid_frames=valid_frames)
+
+        return fn
+
     def process_audio(
         self, audio: np.ndarray, orig_sr: int = 16_000, *, denoise: bool = True
     ) -> np.ndarray:
-        """Resample → downmix → spectral noise gate (audio_processor.py:278-360).
+        """Downmix → resample → spectral noise gate (audio_processor.py:278-360).
 
         Accepts [T] or [C, T]; returns mono [T'] at 16 kHz, float32.
-        """
+
+        Host/device split: downmix + Kaiser resample run on host (numpy
+        mirrors, parity-tested — per-request lengths vary, so device versions
+        either recompile per length or dispatch eagerly over the relay); the
+        STFT denoise is real compute and runs as ONE jitted device program per
+        length bucket, with the padded tail masked out of the noise-profile
+        estimate."""
         x = np.asarray(audio, np.float32)
-        if x.ndim == 2:
-            x = np.asarray(ops.stereo_to_mono(jnp.asarray(x)))
+        if x.ndim == 2 and x.shape[0] > 1:
+            # correlation-aware downmix (ops.stereo_to_mono math, host-side)
+            l, r = x[0], x[1]
+            corr = float(np.sum(l * r) /
+                         max(np.sqrt(np.sum(l * l) * np.sum(r * r)), 1e-8))
+            mid = 0.5 * (l + r)
+            x = mid if corr > 0.5 else mid + 0.25 * np.abs(l - r) * np.sign(mid)
         x = x.reshape(-1)
 
         if orig_sr != self.SAMPLE_RATE:
-            x = np.asarray(ops.resample(
-                jnp.asarray(x), orig_sr, self.SAMPLE_RATE,
-                lowpass_filter_width=self.config.resample_lowpass_filter_width,
-                rolloff=self.config.resample_rolloff,
-                beta=self.config.resample_kaiser_beta,
-            ))
+            n_in = len(x)
+            bucket = next(
+                (b * orig_sr for b in self.DENOISE_BUCKETS_S if n_in <= b * orig_sr),
+                self.DENOISE_BUCKETS_S[-1] * orig_sr)
+            if n_in > bucket:
+                bucket = n_in
+            padded = np.zeros(bucket, np.float32)
+            padded[:n_in] = x
+            target_len = -(-n_in * self.SAMPLE_RATE // orig_sr)
+            x = np.asarray(self._resample_fn(bucket, orig_sr)(jnp.asarray(padded)))[:target_len]
         ok, reason = self.is_valid_audio(x)
         if not ok:
             raise ValidationError(f"Invalid audio: {reason}")
         if denoise:
-            x = np.asarray(ops.spectral_noise_gate(
-                jnp.asarray(x),
-                sr=self.SAMPLE_RATE,
-                n_fft=self.config.denoise_n_fft,
-                hop=self.config.denoise_hop,
-                speech_boost=1.2,
-            ))
+            n = len(x)
+            bucket = next(
+                (b * self.SAMPLE_RATE for b in self.DENOISE_BUCKETS_S
+                 if n <= b * self.SAMPLE_RATE),
+                self.DENOISE_BUCKETS_S[-1] * self.SAMPLE_RATE)
+            if n > bucket:  # beyond the top bucket: cap-length inputs only
+                bucket = n
+            padded = np.zeros(bucket, np.float32)
+            padded[:n] = x
+            y = self._gate_fn(bucket)(jnp.asarray(padded), jnp.int32(n))
+            x = np.asarray(y)[:n]
         return x.astype(np.float32)
 
     def apply_spectral_enhancement(self, audio: np.ndarray, language: str) -> np.ndarray:

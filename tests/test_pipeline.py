@@ -293,3 +293,35 @@ def test_vad_host_features_match_jax_ops():
     np.testing.assert_allclose(energy, ref_e, atol=1e-5)
     np.testing.assert_allclose(centroid, np.asarray(ref_c), rtol=1e-4, atol=0.5)
     np.testing.assert_allclose(rolloff, np.asarray(ref_r), atol=16.0)
+
+
+def test_process_audio_bucketed_denoise_matches_unpadded():
+    """The bucket-padded jitted denoise must match an unpadded gate (the
+    padded tail is masked out of the noise-profile estimate)."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu import ops
+    from expressive_speech_translation_tpu.pipeline.audio_processor import (
+        AudioProcessor,
+    )
+
+    g = np.random.default_rng(6)
+    t = np.arange(int(16000 * 3.7)) / 16000  # off-bucket length
+    x = (0.4 * np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 2 * t) ** 2)
+         + 0.02 * g.standard_normal(len(t))).astype(np.float32)
+
+    ap = AudioProcessor()
+    out = ap.process_audio(x, orig_sr=16000)
+    ref = np.asarray(ops.spectral_noise_gate(
+        jnp.asarray(x), sr=16000, n_fft=ap.config.denoise_n_fft,
+        hop=ap.config.denoise_hop, speech_boost=1.2))
+    assert out.shape == ref.shape
+    # identical away from the final STFT window (the unpadded gate's last
+    # frames sit on the COLA boundary; the padded one's are mid-stream)
+    n_edge = ap.config.denoise_n_fft
+    np.testing.assert_allclose(out[:-n_edge], ref[:-n_edge], atol=2e-4)
+
+    # stereo + resample path still works end to end
+    sx = np.stack([x, 0.8 * x])
+    out2 = ap.process_audio(sx, orig_sr=16000)
+    assert out2.ndim == 1 and len(out2) == len(x)
