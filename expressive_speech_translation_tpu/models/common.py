@@ -280,3 +280,29 @@ def host_init(init_fn, seed: int, *args):
     if default.platform == "cpu":
         return tree
     return jax.device_put(tree, default)
+
+
+def transformer_partition_rules(tp_axis: str = "tp"):
+    """Megatron-style TP layout for the shared pre-LN transformer blocks
+    (whisper + NLLB use these exact param paths — init_attention/init_mlp):
+    column-parallel q/k/v + fc1, row-parallel o + fc2 (one all-reduce per
+    block, inserted by XLA's sharding propagation), hidden-sharded tied
+    embedding so the vocab logit matmul contracts locally and psums.
+    int8 (kernel_q + per-channel scale) layouts shard with their columns;
+    row-parallel scales replicate (full output dim per shard)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.partition import PartitionRules
+
+    return PartitionRules(rules=(
+        (r"/(self_attn|cross_attn)/(q|k|v)/kernel(_q)?$", P(None, tp_axis)),
+        (r"/(self_attn|cross_attn)/(q|k|v)/scale$", P(None, tp_axis)),
+        (r"/(self_attn|cross_attn)/(q|k|v)/bias$", P(tp_axis)),
+        (r"/(self_attn|cross_attn)/o/kernel(_q)?$", P(tp_axis, None)),
+        (r"/mlp/fc1/kernel(_q)?$", P(None, tp_axis)),
+        (r"/mlp/fc1/scale$", P(None, tp_axis)),
+        (r"/mlp/fc1/bias$", P(tp_axis)),
+        (r"/mlp/fc2/kernel(_q)?$", P(tp_axis, None)),
+        (r"embed_q/q$", P(None, tp_axis)),
+        (r"(^|/)embed$", P(None, tp_axis)),
+    ))

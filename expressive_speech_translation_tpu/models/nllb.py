@@ -337,3 +337,12 @@ def from_hf_state_dict(state: Dict[str, Any], cfg: NLLBConfig) -> Params:
             "ln": ln_params("decoder.layer_norm"),
         },
     }
+
+
+def nllb_partition_rules(tp_axis: str = "tp"):
+    """TP rules for NLLB/M2M100 — same shared-block Megatron layout
+    (models/common.py transformer_partition_rules); sinusoid positions and
+    norms replicate. Requires heads % tp == 0."""
+    from .common import transformer_partition_rules
+
+    return transformer_partition_rules(tp_axis)

@@ -537,3 +537,13 @@ def from_hf_state_dict(state: Dict[str, Any], cfg: WhisperConfig) -> Params:
         },
     }
     return params
+
+
+def whisper_partition_rules(tp_axis: str = "tp"):
+    """TP rules for whisper (SURVEY.md §2.19 'design pjit sharding rules
+    anyway'): the shared-block Megatron layout (models/common.py
+    transformer_partition_rules); conv stem, positions, and norms replicate.
+    Requires heads % tp == 0."""
+    from .common import transformer_partition_rules
+
+    return transformer_partition_rules(tp_axis)

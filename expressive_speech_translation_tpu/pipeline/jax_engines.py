@@ -59,6 +59,7 @@ class JaxWhisperAsr:
         max_new_tokens: int = 224,
         quantize: bool = False,
         context_buckets: tuple = (30,),
+        mesh=None,
     ):
         """``context_buckets``: encoder context windows in seconds (even
         values, ascending, max 30). Whisper always encodes a 30 s window;
@@ -78,6 +79,15 @@ class JaxWhisperAsr:
         self.params = cast_floats(params, dtype)
         if quantize:
             self.params = wjm.quantize_whisper_decoder(self.params)
+        if mesh is not None:
+            # tensor-parallel serving: params placed by the Megatron-style
+            # rules; inference programs inherit layouts from the committed
+            # arrays and XLA inserts one all-reduce per block
+            from ..parallel.mesh import TP_AXIS
+            from ..parallel.partition import logical_to_sharding
+
+            self.params = logical_to_sharding(
+                self.params, mesh, wjm.whisper_partition_rules(TP_AXIS))
         self.tokenizer = tokenizer or ByteTokenizer()
         self.max_new_tokens = max_new_tokens
         self.dtype = dtype
@@ -312,6 +322,7 @@ class JaxNllbNmt:
         num_beams: int = 1,
         max_new_tokens: int = 200,
         quantize: bool = False,
+        mesh=None,
     ):
         self.cfg = cfg or njm.NLLBConfig(
             d_model=512, encoder_layers=6, decoder_layers=6, heads=8,
@@ -324,6 +335,12 @@ class JaxNllbNmt:
         self.params = cast_floats(params, dtype)
         if quantize:
             self.params = njm.quantize_nllb_decoder(self.params)
+        if mesh is not None:
+            from ..parallel.mesh import TP_AXIS
+            from ..parallel.partition import logical_to_sharding
+
+            self.params = logical_to_sharding(
+                self.params, mesh, njm.nllb_partition_rules(TP_AXIS))
         self.tokenizer = tokenizer or ByteTokenizer()
         if lang_code_to_id is None and hasattr(self.tokenizer, "token_to_id"):
             # real tokenizer: language tokens resolve through the vocab, the
@@ -731,11 +748,13 @@ def jax_engines(*, batch_tts: bool = False, batch_asr: bool = False,
     asr: Any = JaxWhisperAsr(
         kwargs.get("asr_cfg"), kwargs.get("asr_params"),
         kwargs.get("asr_tokenizer", shared_tok), quantize=quantize,
-        context_buckets=kwargs.get("asr_context_buckets", (30,)))
+        context_buckets=kwargs.get("asr_context_buckets", (30,)),
+        mesh=kwargs.get("mesh"))
     nmt: Any = JaxNllbNmt(
         kwargs.get("nmt_cfg"), kwargs.get("nmt_params"),
         kwargs.get("nmt_tokenizer", shared_tok),
-        lang_code_to_id=kwargs.get("lang_code_to_id"), quantize=quantize)
+        lang_code_to_id=kwargs.get("lang_code_to_id"), quantize=quantize,
+        mesh=kwargs.get("mesh"))
     tts: Any = JaxCosyVoiceTts(
         kwargs.get("tts_cfg"), kwargs.get("tts_params"),
         kwargs.get("tts_tokenizer", shared_tok), quantize=quantize,

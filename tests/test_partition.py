@@ -127,3 +127,66 @@ def test_tp_rules_cover_quantized_params():
         batch.speech_tokens[:2], batch.speech_mask[:2], max_new_tokens=8))(
         placed, jax.random.PRNGKey(1))
     assert np.asarray(toks).shape == (2, 8)
+
+
+# ------------------------- whisper / NLLB TP serving (shared-block rules)
+
+
+def test_whisper_nllb_tp_rules_layout():
+    from expressive_speech_translation_tpu.models import nllb as nj, whisper as wj
+
+    mesh = make_mesh(MeshSpec(dp=-1, tp=2))
+    wcfg = wj.WhisperConfig(n_mels=80, d_model=64, encoder_layers=1,
+                            decoder_layers=1, heads=4, ffn_dim=128,
+                            vocab_size=96)
+    wp = wj.init_whisper(jax.random.PRNGKey(0), wcfg)
+    sh = sharding_tree(wp, mesh, wj.whisper_partition_rules(TP_AXIS))
+    blk = sh["decoder"]["layers"][0]
+    assert blk["self_attn"]["q"]["kernel"].spec == P(None, TP_AXIS)
+    assert blk["cross_attn"]["o"]["kernel"].spec == P(TP_AXIS, None)
+    assert blk["mlp"]["fc1"]["kernel"].spec == P(None, TP_AXIS)
+    assert blk["mlp"]["fc2"]["kernel"].spec == P(TP_AXIS, None)
+    assert sh["decoder"]["embed"].spec == P(None, TP_AXIS)    # hidden-sharded
+    assert sh["encoder"]["conv1"]["kernel"].spec == P()       # stem replicated
+
+    ncfg = nj.NLLBConfig(d_model=64, encoder_layers=1, decoder_layers=1,
+                         heads=4, ffn_dim=128, vocab_size=96)
+    np_ = nj.init_nllb(jax.random.PRNGKey(1), ncfg)
+    shn = sharding_tree(np_, mesh, nj.nllb_partition_rules(TP_AXIS))
+    assert shn["embed"].spec == P(None, TP_AXIS)
+    assert shn["decoder"]["layers"][0]["self_attn"]["v"]["kernel"].spec == P(None, TP_AXIS)
+
+
+def test_asr_nmt_engines_tp_inference_matches_single():
+    """JaxWhisperAsr / JaxNllbNmt under a tp mesh must produce identical
+    transcripts/translations to the unsharded engines (TP is numerically
+    transparent; XLA inserts the collectives)."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import nllb as nj, whisper as wj
+    from expressive_speech_translation_tpu.pipeline.jax_engines import (
+        JaxNllbNmt, JaxWhisperAsr,
+    )
+
+    mesh = make_mesh(MeshSpec(dp=-1, tp=2))
+    wcfg = wj.WhisperConfig(n_mels=80, d_model=64, encoder_layers=1,
+                            decoder_layers=1, heads=4, ffn_dim=128,
+                            vocab_size=51865)
+    g = np.random.default_rng(2)
+    audio = (0.2 * g.standard_normal(16000 * 2)).astype(np.float32)
+
+    asr1 = JaxWhisperAsr(wcfg, dtype=jnp.float32, max_new_tokens=8,
+                         context_buckets=(4,))
+    asr2 = JaxWhisperAsr(wcfg, dtype=jnp.float32, max_new_tokens=8,
+                         context_buckets=(4,), mesh=mesh)
+    o1 = asr1.transcribe(audio, language="eng")
+    o2 = asr2.transcribe(audio, language="eng")
+    assert o1["text"] == o2["text"] and o1["words"] == o2["words"]
+
+    ncfg = nj.NLLBConfig(d_model=64, encoder_layers=1, decoder_layers=1,
+                         heads=4, ffn_dim=128, vocab_size=384)
+    nmt1 = JaxNllbNmt(ncfg, dtype=jnp.float32, max_new_tokens=8)
+    nmt2 = JaxNllbNmt(ncfg, dtype=jnp.float32, max_new_tokens=8, mesh=mesh)
+    t1 = nmt1.translate("bonjour tout le monde", "eng_Latn", "fra_Latn")
+    t2 = nmt2.translate("bonjour tout le monde", "eng_Latn", "fra_Latn")
+    assert t1 == t2
