@@ -290,3 +290,61 @@ def frames_face_detector(frames: Sequence[np.ndarray]) -> BBox:
     s = min(h, w)
     y0, x0 = (h - s) // 2, (w - s) // 2
     return (y0, x0, y0 + s, x0 + s)
+
+
+def track_face_windows(
+    frames: Sequence[np.ndarray], fps: float = 25.0, *, window_s: float = 2.0,
+) -> List[Optional[FaceTrack]]:
+    """Windowed tracking: one FaceTrack per ~window_s slice of the clip
+    (multi-shot videos and moving heads need more than a single per-clip box;
+    the reference re-detects with FaceMesh every analysed frame). Windows
+    with no detection inherit the nearest detected neighbour."""
+    n = len(frames)
+    if n == 0:
+        return []
+    win = max(int(window_s * fps), 4)
+    tracks: List[Optional[FaceTrack]] = []
+    for s in range(0, n, win):
+        chunk = frames[s: s + win]
+        face = detect_face_bbox(chunk)
+        if face is None:
+            tracks.append(None)
+            continue
+        tracks.append(FaceTrack(face=face, mouth=detect_mouth_bbox(chunk, face)))
+    # fill gaps from the nearest detected window
+    detected = [i for i, t in enumerate(tracks) if t is not None]
+    for i, t in enumerate(tracks):
+        if t is None and detected:
+            tracks[i] = tracks[min(detected, key=lambda j: abs(j - i))]
+    return tracks
+
+
+def per_frame_face_boxes(
+    frames: Sequence[np.ndarray], fps: float = 25.0, *, window_s: float = 2.0,
+) -> List[BBox]:
+    """Per-frame face boxes: windowed detections linearly interpolated between
+    window centres (the reference's per-frame S3FD boxes get the same 5-frame
+    smoothing downstream — diff2lip smooth_boxes)."""
+    n = len(frames)
+    tracks = track_face_windows(frames, fps, window_s=window_s)
+    if not tracks or all(t is None for t in tracks):
+        h, w = np.asarray(frames[0]).shape[:2]
+        s = min(h, w)
+        y0, x0 = (h - s) // 2, (w - s) // 2
+        return [(y0, x0, y0 + s, x0 + s)] * n
+    win = max(int(window_s * fps), 4)
+    centers = [min(i * win + win // 2, n - 1) for i in range(len(tracks))]
+    boxes_at = np.asarray([t.face for t in tracks], np.float32)
+    out: List[BBox] = []
+    for f in range(n):
+        j = int(np.searchsorted(centers, f))
+        if j == 0:
+            box = boxes_at[0]
+        elif j >= len(centers):
+            box = boxes_at[-1]
+        else:
+            c0, c1 = centers[j - 1], centers[j]
+            a = (f - c0) / max(c1 - c0, 1)
+            box = (1 - a) * boxes_at[j - 1] + a * boxes_at[j]
+        out.append(tuple(int(round(v)) for v in box))
+    return out

@@ -204,3 +204,38 @@ def test_diff2lip_default_detector_uses_face():
                         batch_size=4)
     assert out.shape == frames.shape
     np.testing.assert_array_equal(out[:, :8, :8], frames[:, :8, :8])
+
+
+# ----------------------------------------------------- windowed tracking
+
+
+def test_track_face_windows_real_fixture(fixture_frames):
+    frames, fps = fixture_frames
+    tracks = F.track_face_windows(frames, fps, window_s=2.0)
+    assert len(tracks) == -(-len(frames) // max(int(2.0 * fps), 4))
+    # every window localizes the same speaker (head around x 560-840)
+    for t in tracks:
+        assert t is not None
+        y0, x0, y1, x1 = t.face
+        assert x0 < 780 < x1 and y0 < 250
+
+
+def test_per_frame_face_boxes_interpolate(fixture_frames):
+    frames, fps = fixture_frames
+    boxes = F.per_frame_face_boxes(frames, fps)
+    assert len(boxes) == len(frames)
+    # boxes vary smoothly: consecutive-frame center drift < 20 px
+    centers = np.asarray([((b[0] + b[2]) / 2, (b[1] + b[3]) / 2) for b in boxes])
+    drift = np.abs(np.diff(centers, axis=0)).max()
+    assert drift < 20
+    # and every box covers the mouth region
+    assert all(b[1] < 770 < b[3] for b in boxes)
+
+
+def test_track_windows_no_face_falls_back():
+    g = np.random.default_rng(4)
+    frames = g.integers(0, 40, (30, 64, 64, 3), dtype=np.uint8)
+    tracks = F.track_face_windows(frames, 15.0)
+    assert all(t is None for t in tracks)
+    boxes = F.per_frame_face_boxes(frames, 15.0)
+    assert len(boxes) == 30 and boxes[0] == (0, 0, 64, 64)  # centre fallback
