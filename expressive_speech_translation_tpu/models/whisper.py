@@ -263,7 +263,7 @@ def decode_step_with_attn(
     return logits, new_cache, alignment
 
 
-def greedy_decode_with_alignment(
+def decode_with_alignment(
     params: Params,
     cfg: WhisperConfig,
     mel: jnp.ndarray,
@@ -271,13 +271,27 @@ def greedy_decode_with_alignment(
     *,
     max_new_tokens: int = 224,
     min_new_tokens: int = 0,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy decode that additionally returns per-token cross-attention
-    alignments [B, P+max_new, T_enc] for DTW word-timestamping."""
+    temperature: Optional[jnp.ndarray] = None,
+    key: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode with per-token cross-attention alignments and log-probs.
+
+    ``temperature`` is a TRACED scalar (0.0 = greedy; > 0 samples via the
+    Gumbel trick), so one compiled program serves every rung of whisper's
+    temperature-fallback ladder (openai-whisper transcribe retries at
+    (0, .2, .4, .6, .8, 1) when compression-ratio/logprob gates fail —
+    the decoding behavior the reference gets from whisper.transcribe,
+    cascaded_backend.py:158).
+
+    Returns (tokens [B, P+max_new], alignments [B, P+max_new, T_enc],
+    sum_logprob [B] over generated tokens incl. EOS, n_generated [B]).
+    """
     b, p_len = prompt.shape
     enc_out = encode(params, cfg, mel)
     cross_kv = precompute_cross_kv(params, cfg, enc_out)
     t_enc = enc_out.shape[1]
+    temp = jnp.asarray(0.0 if temperature is None else temperature, jnp.float32)
+    key = key if key is not None else jax.random.PRNGKey(0)
 
     total = p_len + max_new_tokens
     kv_cache = init_kv_cache(cfg, b, dtype=enc_out.dtype, max_len=total)
@@ -286,11 +300,11 @@ def greedy_decode_with_alignment(
     align0 = jnp.zeros((b, total, t_enc), jnp.float32)
 
     def cond(state):
-        pos, tokens, aligns, cache, done = state
+        pos, tokens, aligns, cache, done, slp, ngen, key = state
         return (pos < total - 1) & ~jnp.all(done)
 
     def body(state):
-        pos, tokens, aligns, cache, done = state
+        pos, tokens, aligns, cache, done, slp, ngen, key = state
         tok = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))[:, 0]
         logits, cache, alignment = decode_step_with_attn(params, cfg, tok, pos, cache, cross_kv)
         aligns = jax.lax.dynamic_update_slice(aligns, alignment[:, None, :], (0, pos, 0))
@@ -300,16 +314,48 @@ def greedy_decode_with_alignment(
                 logits.at[:, cfg.eos_token].set(jnp.finfo(logits.dtype).min),
                 logits,
             )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits32 = logits.astype(jnp.float32)
+        key, sub = jax.random.split(key)
+        gumbel = -jnp.log(-jnp.log(
+            jax.random.uniform(sub, logits32.shape, minval=1e-9, maxval=1.0)))
+        sampled = jnp.argmax(logits32 / jnp.maximum(temp, 1e-6) + gumbel, axis=-1)
+        greedy = jnp.argmax(logits32, axis=-1)
+        nxt = jnp.where(temp > 0.0, sampled, greedy).astype(jnp.int32)
+
+        logprobs = jax.nn.log_softmax(logits32, axis=-1)
+        step_lp = jnp.take_along_axis(logprobs, nxt[:, None], axis=-1)[:, 0]
+
         in_prompt = pos + 1 < p_len
         cur = jax.lax.dynamic_slice(tokens, (0, jnp.minimum(pos + 1, total - 1)), (b, 1))[:, 0]
         nxt = jnp.where(in_prompt, cur, jnp.where(done, cfg.eos_token, nxt))
+        counts = (~in_prompt) & ~done
+        slp = slp + jnp.where(counts, step_lp, 0.0)
+        ngen = ngen + counts.astype(jnp.int32)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
         done = done | (~in_prompt & (nxt == cfg.eos_token))
-        return pos + 1, tokens, aligns, cache, done
+        return pos + 1, tokens, aligns, cache, done, slp, ngen, key
 
-    state = (jnp.asarray(0, jnp.int32), tokens0, align0, kv_cache, jnp.zeros((b,), bool))
-    _, tokens, aligns, _, _ = jax.lax.while_loop(cond, body, state)
+    state = (jnp.asarray(0, jnp.int32), tokens0, align0, kv_cache,
+             jnp.zeros((b,), bool), jnp.zeros((b,), jnp.float32),
+             jnp.zeros((b,), jnp.int32), key)
+    _, tokens, aligns, _, _, slp, ngen, _ = jax.lax.while_loop(cond, body, state)
+    return tokens, aligns, slp, ngen
+
+
+def greedy_decode_with_alignment(
+    params: Params,
+    cfg: WhisperConfig,
+    mel: jnp.ndarray,
+    prompt: jnp.ndarray,
+    *,
+    max_new_tokens: int = 224,
+    min_new_tokens: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy decode returning (tokens, alignments) — thin wrapper over
+    :func:`decode_with_alignment` at temperature 0."""
+    tokens, aligns, _, _ = decode_with_alignment(
+        params, cfg, mel, prompt,
+        max_new_tokens=max_new_tokens, min_new_tokens=min_new_tokens)
     return tokens, aligns
 
 

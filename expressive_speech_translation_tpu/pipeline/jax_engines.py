@@ -60,6 +60,9 @@ class JaxWhisperAsr:
         quantize: bool = False,
         context_buckets: tuple = (30,),
         mesh=None,
+        temperatures: Optional[tuple] = None,
+        compression_ratio_threshold: float = 2.4,
+        logprob_threshold: float = -1.0,
     ):
         """``context_buckets``: encoder context windows in seconds (even
         values, ascending, max 30). Whisper always encodes a 30 s window;
@@ -96,14 +99,26 @@ class JaxWhisperAsr:
             raise ValueError(
                 f"context_buckets must be even seconds in (0, 30], got {context_buckets}")
         self.context_buckets = buckets
+        # whisper.transcribe fallback gates (openai-whisper defaults);
+        # temperatures=(0.0,) disables fallback. Random weights always fail
+        # the logprob gate (avg ~ -log vocab), which would run every rung on
+        # every request — weightless mode therefore defaults to greedy-only
+        if temperatures is None:
+            temperatures = (0.0,) if self.weightless else (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+        self.temperatures = tuple(temperatures) or (0.0,)
+        self.compression_ratio_threshold = compression_ratio_threshold
+        self.logprob_threshold = logprob_threshold
 
         @jax.jit
-        def _transcribe(params, audio, prompt):
-            # chunk window = the (static) padded length of this bucket
+        def _transcribe(params, audio, prompt, temperature, seed):
+            # chunk window = the (static) padded length of this bucket;
+            # temperature is TRACED so every fallback rung reuses this program
             mel = whisper_log_mel_pallas(
                 audio, chunk_samples=audio.shape[-1]).astype(dtype)
-            return wjm.greedy_decode_with_alignment(
-                params, self.cfg, mel[None], prompt, max_new_tokens=max_new_tokens
+            return wjm.decode_with_alignment(
+                params, self.cfg, mel[None], prompt,
+                max_new_tokens=max_new_tokens, temperature=temperature,
+                key=jax.random.fold_in(jax.random.PRNGKey(7), seed),
             )
 
         self._fn = _transcribe
@@ -217,6 +232,37 @@ class JaxWhisperAsr:
         padded[: len(seg)] = seg[: 16_000 * bucket_s]
         return padded, bucket_s
 
+    def _decode_chunk_fallback(self, padded, prompt, p_len,
+                               offset_s, chunk_s, bucket_s):
+        """whisper.transcribe's temperature-fallback ladder (the decoding
+        behavior the reference gets from openai-whisper,
+        cascaded_backend.py:158): decode at each temperature in
+        ``self.temperatures`` until the compression-ratio and avg-logprob
+        gates pass; the last rung is accepted unconditionally."""
+        import zlib
+
+        for i, temp in enumerate(self.temperatures):
+            self._seed = getattr(self, "_seed", 0) + 1
+            tokens_a, aligns, slp, ngen = self._fn(
+                self.params, jnp.asarray(padded), prompt,
+                jnp.float32(temp), jnp.uint32(self._seed))
+            tokens_h, aligns_h, slp_h, ngen_h = jax.device_get(
+                (tokens_a, aligns, slp, ngen))
+            text, words = self._decode_chunk_host(
+                tokens_h[0], aligns_h[0], p_len, offset_s, chunk_s,
+                window_seconds=bucket_s)
+            if i == len(self.temperatures) - 1:
+                return text, words
+            raw = text.encode("utf-8")
+            compression_ratio = (len(raw) / len(zlib.compress(raw))) if raw else 0.0
+            avg_logprob = float(slp_h[0]) / (int(ngen_h[0]) + 1)
+            if (compression_ratio <= self.compression_ratio_threshold
+                    and avg_logprob >= self.logprob_threshold):
+                return text, words
+            log.info("temperature fallback: t=%.1f rejected (compression %.2f, "
+                     "avg_logprob %.2f)", temp, compression_ratio, avg_logprob)
+        return text, words
+
     def transcribe(self, audio_16k: np.ndarray, language: Optional[str] = None) -> Dict[str, Any]:
         x = np.asarray(audio_16k, np.float32).reshape(-1)
         if language is None:
@@ -235,14 +281,9 @@ class JaxWhisperAsr:
         for start in range(0, max(len(x), 1), chunk):
             seg = x[start:start + chunk]
             padded, bucket_s = self._pad_to_bucket(seg)
-            tokens_a, aligns = self._fn(self.params, jnp.asarray(padded), prompt)
-            # one fused device→host transfer (each np.asarray is a separate
-            # relay round-trip; latency, not bandwidth, is what costs here)
-            tokens_h, aligns_h = jax.device_get((tokens_a, aligns))
-            chunk_text, chunk_words = self._decode_chunk_host(
-                tokens_h[0], aligns_h[0], p_len,
-                start / 16_000.0, len(seg) / 16_000.0, window_seconds=bucket_s,
-            )
+            chunk_text, chunk_words = self._decode_chunk_fallback(
+                padded, prompt, p_len,
+                start / 16_000.0, len(seg) / 16_000.0, bucket_s)
             if chunk_text:
                 texts.append(chunk_text)
             words.extend(chunk_words)

@@ -298,3 +298,83 @@ def test_pallas_mel_chunk_samples():
 
     with pytest.raises(ValueError, match="multiple"):
         whisper_log_mel_pallas(x, interpret=True, chunk_samples=16000 * 5)
+
+
+def test_whisper_temperature_fallback_ladder():
+    """whisper.transcribe parity: rejected rungs escalate temperature; the
+    last rung is accepted unconditionally; passing gates stop the ladder."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import whisper as wjm
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxWhisperAsr
+
+    cfg = wjm.WhisperConfig(
+        n_mels=80, d_model=64, encoder_layers=1, decoder_layers=1, heads=4,
+        vocab_size=51865, max_source_positions=1500, max_target_positions=448,
+    )
+    g = np.random.default_rng(5)
+    audio = (0.2 * g.standard_normal(16000 * 2)).astype(np.float32)
+
+    # impossible gate → every rung runs; call counter proves the ladder
+    asr = JaxWhisperAsr(cfg, dtype=jnp.float32, max_new_tokens=6,
+                        context_buckets=(2,), temperatures=(0.0, 0.5, 1.0),
+                        logprob_threshold=1.0)  # avg_logprob can never reach +1
+    calls = []
+    inner = asr._fn
+    asr._fn = lambda *a: (calls.append(float(a[3])) or inner(*a))
+    asr.transcribe(audio, language="eng")
+    assert calls == [0.0, 0.5, 1.0]
+
+    # permissive gates → greedy accepted immediately
+    asr2 = JaxWhisperAsr(cfg, dtype=jnp.float32, max_new_tokens=6,
+                         context_buckets=(2,), temperatures=(0.0, 0.5, 1.0),
+                         logprob_threshold=-1e9,
+                         compression_ratio_threshold=1e9)
+    calls2 = []
+    inner2 = asr2._fn
+    asr2._fn = lambda *a: (calls2.append(float(a[3])) or inner2(*a))
+    out_fallback_off = asr2.transcribe(audio, language="eng")
+    assert calls2 == [0.0]
+
+    # weightless default: greedy-only (no 6x cost on random weights)
+    asr3 = JaxWhisperAsr(cfg, dtype=jnp.float32, max_new_tokens=6,
+                         context_buckets=(2,))
+    assert asr3.temperatures == (0.0,)
+    # and greedy ladder output equals the plain greedy decode
+    assert asr3.transcribe(audio, language="eng")["text"] == out_fallback_off["text"]
+
+
+def test_decode_with_alignment_temperature_semantics():
+    """temperature=0 equals greedy; >0 is deterministic per key and returns
+    finite logprobs with a correct generated-token count."""
+    import jax
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import whisper as wjm
+
+    cfg = wjm.WhisperConfig(
+        n_mels=80, d_model=32, encoder_layers=1, decoder_layers=1, heads=4,
+        vocab_size=1024, bos_token=998, eos_token=999, task_transcribe=1000,
+        no_timestamps=1001, lang_token_start=1002, n_langs=4,
+    )
+    params = wjm.init_whisper(jax.random.PRNGKey(0), cfg)
+    g = np.random.default_rng(0)
+    mel = jnp.asarray(g.standard_normal((1, 80, 200)), jnp.float32)
+    prompt = jnp.asarray([[998]], jnp.int32)
+
+    t0, a0 = wjm.greedy_decode_with_alignment(params, cfg, mel, prompt,
+                                              max_new_tokens=8)
+    t1, a1, slp, ngen = wjm.decode_with_alignment(
+        params, cfg, mel, prompt, max_new_tokens=8,
+        temperature=jnp.float32(0.0), key=jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    assert np.isfinite(float(slp[0]))
+    assert 1 <= int(ngen[0]) <= 8
+
+    s1, _, _, _ = wjm.decode_with_alignment(
+        params, cfg, mel, prompt, max_new_tokens=8,
+        temperature=jnp.float32(2.0), key=jax.random.PRNGKey(3))
+    s2, _, _, _ = wjm.decode_with_alignment(
+        params, cfg, mel, prompt, max_new_tokens=8,
+        temperature=jnp.float32(2.0), key=jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))  # per-key det.

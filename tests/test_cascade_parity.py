@@ -174,8 +174,11 @@ def torch_nllb_translate(model, cfg, tok, lang_ids, text, src_lang, tgt_lang):
 def jax_backend(tok, whisper_pair, nllb_pair):
     _, wcfg, wparams = whisper_pair
     _, ncfg, nparams = nllb_pair
+    # temperatures=(0.0,): the torch side of this harness decodes pure greedy,
+    # so whisper's temperature-fallback ladder must not trigger (random-ish
+    # tiny weights emit repetitive text that trips the compression gate)
     asr = JaxWhisperAsr(wcfg, wparams, tok, dtype=jnp.float32,
-                        max_new_tokens=MAX_ASR_TOKENS)
+                        max_new_tokens=MAX_ASR_TOKENS, temperatures=(0.0,))
     nmt = JaxNllbNmt(ncfg, nparams, tok, dtype=jnp.float32,
                      max_new_tokens=MAX_NMT_TOKENS)
     backend = CascadedBackend(Engines(asr=asr, nmt=nmt, tts=FakeTts()))
