@@ -67,6 +67,7 @@ class WhisperConfig:
     task_transcribe: int = 50359
     task_translate: int = 50358
     no_timestamps: int = 50363
+    no_speech_token: int = 50362     # <|nospeech|>
     lang_token_start: int = 50259    # <|en|>; 99 consecutive language tokens
     n_langs: int = 99
 
@@ -284,7 +285,9 @@ def decode_with_alignment(
     cascaded_backend.py:158).
 
     Returns (tokens [B, P+max_new], alignments [B, P+max_new, T_enc],
-    sum_logprob [B] over generated tokens incl. EOS, n_generated [B]).
+    sum_logprob [B] over generated tokens incl. EOS, n_generated [B],
+    no_speech_prob [B] — P(<|nospeech|>) at the <|startoftranscript|> step,
+    whisper's silence signal).
     """
     b, p_len = prompt.shape
     enc_out = encode(params, cfg, mel)
@@ -300,11 +303,11 @@ def decode_with_alignment(
     align0 = jnp.zeros((b, total, t_enc), jnp.float32)
 
     def cond(state):
-        pos, tokens, aligns, cache, done, slp, ngen, key = state
+        pos, tokens, aligns, cache, done, slp, ngen, nsp, key = state
         return (pos < total - 1) & ~jnp.all(done)
 
     def body(state):
-        pos, tokens, aligns, cache, done, slp, ngen, key = state
+        pos, tokens, aligns, cache, done, slp, ngen, nsp, key = state
         tok = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))[:, 0]
         logits, cache, alignment = decode_step_with_attn(params, cfg, tok, pos, cache, cross_kv)
         aligns = jax.lax.dynamic_update_slice(aligns, alignment[:, None, :], (0, pos, 0))
@@ -315,6 +318,9 @@ def decode_with_alignment(
                 logits,
             )
         logits32 = logits.astype(jnp.float32)
+        nsp_tok = min(cfg.no_speech_token, cfg.vocab_size - 1)
+        step_nsp = jax.nn.softmax(logits32, axis=-1)[:, nsp_tok]
+        nsp = jnp.where(pos == 0, step_nsp, nsp)
         key, sub = jax.random.split(key)
         gumbel = -jnp.log(-jnp.log(
             jax.random.uniform(sub, logits32.shape, minval=1e-9, maxval=1.0)))
@@ -333,13 +339,13 @@ def decode_with_alignment(
         ngen = ngen + counts.astype(jnp.int32)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
         done = done | (~in_prompt & (nxt == cfg.eos_token))
-        return pos + 1, tokens, aligns, cache, done, slp, ngen, key
+        return pos + 1, tokens, aligns, cache, done, slp, ngen, nsp, key
 
     state = (jnp.asarray(0, jnp.int32), tokens0, align0, kv_cache,
              jnp.zeros((b,), bool), jnp.zeros((b,), jnp.float32),
-             jnp.zeros((b,), jnp.int32), key)
-    _, tokens, aligns, _, _, slp, ngen, _ = jax.lax.while_loop(cond, body, state)
-    return tokens, aligns, slp, ngen
+             jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.float32), key)
+    _, tokens, aligns, _, _, slp, ngen, nsp, _ = jax.lax.while_loop(cond, body, state)
+    return tokens, aligns, slp, ngen, nsp
 
 
 def greedy_decode_with_alignment(
@@ -353,7 +359,7 @@ def greedy_decode_with_alignment(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy decode returning (tokens, alignments) — thin wrapper over
     :func:`decode_with_alignment` at temperature 0."""
-    tokens, aligns, _, _ = decode_with_alignment(
+    tokens, aligns, _, _, _ = decode_with_alignment(
         params, cfg, mel, prompt,
         max_new_tokens=max_new_tokens, min_new_tokens=min_new_tokens)
     return tokens, aligns

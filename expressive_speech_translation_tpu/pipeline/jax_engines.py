@@ -63,6 +63,7 @@ class JaxWhisperAsr:
         temperatures: Optional[tuple] = None,
         compression_ratio_threshold: float = 2.4,
         logprob_threshold: float = -1.0,
+        no_speech_threshold: float = 0.6,
     ):
         """``context_buckets``: encoder context windows in seconds (even
         values, ascending, max 30). Whisper always encodes a 30 s window;
@@ -108,6 +109,7 @@ class JaxWhisperAsr:
         self.temperatures = tuple(temperatures) or (0.0,)
         self.compression_ratio_threshold = compression_ratio_threshold
         self.logprob_threshold = logprob_threshold
+        self.no_speech_threshold = no_speech_threshold
 
         @jax.jit
         def _transcribe(params, audio, prompt, temperature, seed):
@@ -243,19 +245,28 @@ class JaxWhisperAsr:
 
         for i, temp in enumerate(self.temperatures):
             self._seed = getattr(self, "_seed", 0) + 1
-            tokens_a, aligns, slp, ngen = self._fn(
+            tokens_a, aligns, slp, ngen, nsp = self._fn(
                 self.params, jnp.asarray(padded), prompt,
                 jnp.float32(temp), jnp.uint32(self._seed))
-            tokens_h, aligns_h, slp_h, ngen_h = jax.device_get(
-                (tokens_a, aligns, slp, ngen))
+            tokens_h, aligns_h, slp_h, ngen_h, nsp_h = jax.device_get(
+                (tokens_a, aligns, slp, ngen, nsp))
             text, words = self._decode_chunk_host(
                 tokens_h[0], aligns_h[0], p_len, offset_s, chunk_s,
                 window_seconds=bucket_s)
+            avg_logprob = float(slp_h[0]) / (int(ngen_h[0]) + 1)
+            # whisper no-speech gate: silent chunks yield no text instead of
+            # hallucinations (transcribe no_speech_threshold=0.6 semantics:
+            # suppress when P(<|nospeech|>) is high AND confidence is low)
+            if (float(nsp_h[0]) > self.no_speech_threshold
+                    and avg_logprob < self.logprob_threshold):
+                log.info("no-speech gate: chunk at %.1fs suppressed "
+                         "(p=%.2f, avg_logprob=%.2f)", offset_s,
+                         float(nsp_h[0]), avg_logprob)
+                return "", []
             if i == len(self.temperatures) - 1:
                 return text, words
             raw = text.encode("utf-8")
             compression_ratio = (len(raw) / len(zlib.compress(raw))) if raw else 0.0
-            avg_logprob = float(slp_h[0]) / (int(ngen_h[0]) + 1)
             if (compression_ratio <= self.compression_ratio_threshold
                     and avg_logprob >= self.logprob_threshold):
                 return text, words

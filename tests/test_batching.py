@@ -364,17 +364,49 @@ def test_decode_with_alignment_temperature_semantics():
 
     t0, a0 = wjm.greedy_decode_with_alignment(params, cfg, mel, prompt,
                                               max_new_tokens=8)
-    t1, a1, slp, ngen = wjm.decode_with_alignment(
+    t1, a1, slp, ngen, nsp = wjm.decode_with_alignment(
         params, cfg, mel, prompt, max_new_tokens=8,
         temperature=jnp.float32(0.0), key=jax.random.PRNGKey(3))
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
     assert np.isfinite(float(slp[0]))
     assert 1 <= int(ngen[0]) <= 8
+    assert 0.0 <= float(nsp[0]) <= 1.0
 
-    s1, _, _, _ = wjm.decode_with_alignment(
+    s1, _, _, _, _ = wjm.decode_with_alignment(
         params, cfg, mel, prompt, max_new_tokens=8,
         temperature=jnp.float32(2.0), key=jax.random.PRNGKey(3))
-    s2, _, _, _ = wjm.decode_with_alignment(
+    s2, _, _, _, _ = wjm.decode_with_alignment(
         params, cfg, mel, prompt, max_new_tokens=8,
         temperature=jnp.float32(2.0), key=jax.random.PRNGKey(3))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))  # per-key det.
+
+
+def test_whisper_no_speech_gate():
+    """Silent-chunk suppression (whisper no_speech_threshold semantics):
+    gate fires only when P(nospeech) is high AND confidence is low."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import whisper as wjm
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxWhisperAsr
+
+    cfg = wjm.WhisperConfig(
+        n_mels=80, d_model=64, encoder_layers=1, decoder_layers=1, heads=4,
+        vocab_size=51865, max_source_positions=1500, max_target_positions=448,
+    )
+    g = np.random.default_rng(6)
+    audio = (0.2 * g.standard_normal(16000 * 2)).astype(np.float32)
+
+    # force the gate: any nospeech prob passes, any logprob counts as low
+    gated = JaxWhisperAsr(cfg, dtype=jnp.float32, max_new_tokens=6,
+                          context_buckets=(2,), no_speech_threshold=-1.0,
+                          logprob_threshold=1e9)
+    assert gated.transcribe(audio, language="eng")["text"] == ""
+    assert gated.transcribe(audio, language="eng")["words"] == []
+
+    # gate off: output unchanged vs a plain engine
+    open_ = JaxWhisperAsr(cfg, dtype=jnp.float32, max_new_tokens=6,
+                          context_buckets=(2,), no_speech_threshold=1.1)
+    plain = JaxWhisperAsr(cfg, dtype=jnp.float32, max_new_tokens=6,
+                          context_buckets=(2,))
+    assert open_.transcribe(audio, language="eng")["text"] == \
+        plain.transcribe(audio, language="eng")["text"]
