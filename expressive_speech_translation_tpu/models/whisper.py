@@ -274,6 +274,8 @@ def decode_with_alignment(
     min_new_tokens: int = 0,
     temperature: Optional[jnp.ndarray] = None,
     key: Optional[jnp.ndarray] = None,
+    suppress_tokens: Tuple[int, ...] = (),
+    suppress_first_tokens: Tuple[int, ...] = (),
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode with per-token cross-attention alignments and log-probs.
 
@@ -288,6 +290,12 @@ def decode_with_alignment(
     sum_logprob [B] over generated tokens incl. EOS, n_generated [B],
     no_speech_prob [B] — P(<|nospeech|>) at the <|startoftranscript|> step,
     whisper's silence signal).
+
+    ``suppress_tokens``: ids never emitted (whisper's SuppressTokens filter —
+    the non-speech symbol list in real deployments); ``suppress_first_tokens``:
+    ids additionally suppressed on the FIRST generated token (whisper's
+    SuppressBlank: space + EOT). Both are static tuples baked into the
+    compiled program as constant masks.
     """
     b, p_len = prompt.shape
     enc_out = encode(params, cfg, mel)
@@ -318,6 +326,16 @@ def decode_with_alignment(
                 logits,
             )
         logits32 = logits.astype(jnp.float32)
+        neg = jnp.float32(-1e9)
+        if suppress_tokens:
+            mask = np.zeros((cfg.vocab_size,), bool)
+            mask[np.asarray(suppress_tokens) % cfg.vocab_size] = True
+            logits32 = jnp.where(jnp.asarray(mask), neg, logits32)
+        if suppress_first_tokens:
+            fmask = np.zeros((cfg.vocab_size,), bool)
+            fmask[np.asarray(suppress_first_tokens) % cfg.vocab_size] = True
+            first = pos + 1 == p_len
+            logits32 = jnp.where(first & jnp.asarray(fmask), neg, logits32)
         nsp_tok = min(cfg.no_speech_token, cfg.vocab_size - 1)
         step_nsp = jax.nn.softmax(logits32, axis=-1)[:, nsp_tok]
         nsp = jnp.where(pos == 0, step_nsp, nsp)

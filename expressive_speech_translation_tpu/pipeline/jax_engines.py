@@ -64,6 +64,8 @@ class JaxWhisperAsr:
         compression_ratio_threshold: float = 2.4,
         logprob_threshold: float = -1.0,
         no_speech_threshold: float = 0.6,
+        suppress_tokens: tuple = (),
+        suppress_blank: bool = True,
     ):
         """``context_buckets``: encoder context windows in seconds (even
         values, ascending, max 30). Whisper always encodes a 30 s window;
@@ -110,6 +112,14 @@ class JaxWhisperAsr:
         self.compression_ratio_threshold = compression_ratio_threshold
         self.logprob_threshold = logprob_threshold
         self.no_speech_threshold = no_speech_threshold
+        # whisper SuppressBlank: space + EOT suppressed on the first
+        # generated token (prevents empty-leading transcripts); SuppressTokens
+        # takes the deployment's non-speech id list
+        suppress_first: tuple = ()
+        if suppress_blank:
+            space_ids = tuple(self.tokenizer.encode(" ") if tokenizer else ())
+            suppress_first = tuple(space_ids) + (self.cfg.eos_token,)
+        self._suppress = (tuple(suppress_tokens), suppress_first)
 
         @jax.jit
         def _transcribe(params, audio, prompt, temperature, seed):
@@ -121,6 +131,8 @@ class JaxWhisperAsr:
                 params, self.cfg, mel[None], prompt,
                 max_new_tokens=max_new_tokens, temperature=temperature,
                 key=jax.random.fold_in(jax.random.PRNGKey(7), seed),
+                suppress_tokens=self._suppress[0],
+                suppress_first_tokens=self._suppress[1],
             )
 
         self._fn = _transcribe

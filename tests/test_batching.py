@@ -410,3 +410,41 @@ def test_whisper_no_speech_gate():
                           context_buckets=(2,))
     assert open_.transcribe(audio, language="eng")["text"] == \
         plain.transcribe(audio, language="eng")["text"]
+
+
+def test_whisper_token_suppression():
+    """SuppressTokens/SuppressBlank mechanisms: suppressed ids never appear;
+    first-token-only suppression applies only at the first generated step."""
+    import jax
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import whisper as wjm
+
+    cfg = wjm.WhisperConfig(
+        n_mels=80, d_model=32, encoder_layers=1, decoder_layers=1, heads=4,
+        vocab_size=64, bos_token=60, eos_token=61, task_transcribe=62,
+        no_timestamps=63, lang_token_start=50, n_langs=4, no_speech_token=59,
+    )
+    params = wjm.init_whisper(jax.random.PRNGKey(1), cfg)
+    g = np.random.default_rng(1)
+    mel = jnp.asarray(g.standard_normal((1, 80, 200)), jnp.float32)
+    prompt = jnp.asarray([[60]], jnp.int32)
+
+    base, _, _, _, _ = wjm.decode_with_alignment(
+        params, cfg, mel, prompt, max_new_tokens=10, min_new_tokens=10)
+    gen = np.asarray(base)[0, 1:]
+    banned = tuple(int(t) for t in np.unique(gen) if t != 61)[:2]
+    assert banned  # the tiny model emitted something suppressible
+
+    sup, _, _, _, _ = wjm.decode_with_alignment(
+        params, cfg, mel, prompt, max_new_tokens=10, min_new_tokens=10,
+        suppress_tokens=banned)
+    assert not set(banned) & set(np.asarray(sup)[0, 1:].tolist())
+
+    # first-token suppression: the first generated id changes, later steps may
+    # still use it
+    first_id = int(np.asarray(base)[0, 1])
+    sup1, _, _, _, _ = wjm.decode_with_alignment(
+        params, cfg, mel, prompt, max_new_tokens=10, min_new_tokens=10,
+        suppress_first_tokens=(first_id,))
+    assert int(np.asarray(sup1)[0, 1]) != first_id

@@ -178,7 +178,8 @@ def jax_backend(tok, whisper_pair, nllb_pair):
     # so whisper's temperature-fallback ladder must not trigger (random-ish
     # tiny weights emit repetitive text that trips the compression gate)
     asr = JaxWhisperAsr(wcfg, wparams, tok, dtype=jnp.float32,
-                        max_new_tokens=MAX_ASR_TOKENS, temperatures=(0.0,))
+                        max_new_tokens=MAX_ASR_TOKENS, temperatures=(0.0,),
+                        suppress_blank=False)  # torch side is unsuppressed greedy
     nmt = JaxNllbNmt(ncfg, nparams, tok, dtype=jnp.float32,
                      max_new_tokens=MAX_NMT_TOKENS)
     backend = CascadedBackend(Engines(asr=asr, nmt=nmt, tts=FakeTts()))
