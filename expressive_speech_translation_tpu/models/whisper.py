@@ -68,6 +68,7 @@ class WhisperConfig:
     task_translate: int = 50358
     no_timestamps: int = 50363
     no_speech_token: int = 50362     # <|nospeech|>
+    sop_token: int = 50361           # <|startofprev|> (previous-text context)
     lang_token_start: int = 50259    # <|en|>; 99 consecutive language tokens
     n_langs: int = 99
 

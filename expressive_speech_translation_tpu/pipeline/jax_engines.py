@@ -66,6 +66,7 @@ class JaxWhisperAsr:
         no_speech_threshold: float = 0.6,
         suppress_tokens: tuple = (),
         suppress_blank: bool = True,
+        condition_on_previous_text: bool = True,
     ):
         """``context_buckets``: encoder context windows in seconds (even
         values, ascending, max 30). Whisper always encodes a 30 s window;
@@ -120,6 +121,12 @@ class JaxWhisperAsr:
             space_ids = tuple(self.tokenizer.encode(" ") if tokenizer else ())
             suppress_first = tuple(space_ids) + (self.cfg.eos_token,)
         self._suppress = (tuple(suppress_tokens), suppress_first)
+        # whisper condition_on_previous_text: each chunk's prompt carries
+        # [<|startofprev|>] + previous tokens. Static shapes via TRUNCATE-to-
+        # bucket (no padding): context lengths in PREV_CTX_BUCKETS, so at most
+        # len(buckets) x len(ctx_buckets) compiled programs
+        self.condition_on_previous_text = condition_on_previous_text
+        self.PREV_CTX_BUCKETS = (8, 16, 32)
 
         @jax.jit
         def _transcribe(params, audio, prompt, temperature, seed):
@@ -191,7 +198,7 @@ class JaxWhisperAsr:
         keep = [(i, int(t)) for i, t in enumerate(gen)
                 if t != self.cfg.eos_token and t < self._special_floor]
         if not keep:
-            return "", []
+            return "", [], []
         token_aligns = aligns[p_len:][[i for i, _ in keep]]
         token_times = wjm.dtw_token_times(
             token_aligns, len(keep), window_seconds or chunk_seconds)
@@ -221,7 +228,7 @@ class JaxWhisperAsr:
                 "start": round(chunk_offset + word_start, 3),
                 "end": round(chunk_offset + chunk_seconds, 3),
             })
-        return chunk_text, [w for w in words if w["word"]]
+        return chunk_text, [w for w in words if w["word"]], [t for _, t in keep]
 
     def detect_language(self, audio_16k: np.ndarray) -> str:
         """Identify the spoken language from the first 30 s (whisper
@@ -247,7 +254,8 @@ class JaxWhisperAsr:
         return padded, bucket_s
 
     def _decode_chunk_fallback(self, padded, prompt, p_len,
-                               offset_s, chunk_s, bucket_s):
+                               offset_s, chunk_s, bucket_s,
+                               prompt_bare=None, p_len_bare=None):
         """whisper.transcribe's temperature-fallback ladder (the decoding
         behavior the reference gets from openai-whisper,
         cascaded_backend.py:158): decode at each temperature in
@@ -256,14 +264,19 @@ class JaxWhisperAsr:
         import zlib
 
         for i, temp in enumerate(self.temperatures):
+            # whisper drops previous-text conditioning for rungs above 0.5
+            # (transcribe: prompt reset when temperature > 0.5)
+            use_prompt, use_plen = (
+                (prompt_bare, p_len_bare)
+                if temp > 0.5 and prompt_bare is not None else (prompt, p_len))
             self._seed = getattr(self, "_seed", 0) + 1
             tokens_a, aligns, slp, ngen, nsp = self._fn(
-                self.params, jnp.asarray(padded), prompt,
+                self.params, jnp.asarray(padded), use_prompt,
                 jnp.float32(temp), jnp.uint32(self._seed))
             tokens_h, aligns_h, slp_h, ngen_h, nsp_h = jax.device_get(
                 (tokens_a, aligns, slp, ngen, nsp))
-            text, words = self._decode_chunk_host(
-                tokens_h[0], aligns_h[0], p_len, offset_s, chunk_s,
+            text, words, kept_ids = self._decode_chunk_host(
+                tokens_h[0], aligns_h[0], use_plen, offset_s, chunk_s,
                 window_seconds=bucket_s)
             avg_logprob = float(slp_h[0]) / (int(ngen_h[0]) + 1)
             # whisper no-speech gate: silent chunks yield no text instead of
@@ -274,17 +287,17 @@ class JaxWhisperAsr:
                 log.info("no-speech gate: chunk at %.1fs suppressed "
                          "(p=%.2f, avg_logprob=%.2f)", offset_s,
                          float(nsp_h[0]), avg_logprob)
-                return "", []
+                return "", [], [], temp
             if i == len(self.temperatures) - 1:
-                return text, words
+                return text, words, kept_ids, temp
             raw = text.encode("utf-8")
             compression_ratio = (len(raw) / len(zlib.compress(raw))) if raw else 0.0
             if (compression_ratio <= self.compression_ratio_threshold
                     and avg_logprob >= self.logprob_threshold):
-                return text, words
+                return text, words, kept_ids, temp
             log.info("temperature fallback: t=%.1f rejected (compression %.2f, "
                      "avg_logprob %.2f)", temp, compression_ratio, avg_logprob)
-        return text, words
+        return text, words, kept_ids, temp
 
     def transcribe(self, audio_16k: np.ndarray, language: Optional[str] = None) -> Dict[str, Any]:
         x = np.asarray(audio_16k, np.float32).reshape(-1)
@@ -301,12 +314,30 @@ class JaxWhisperAsr:
         words: List[Dict[str, Any]] = []
         chunk = 16_000 * self.context_buckets[-1]
         p_len = int(prompt.shape[1])
+        base_row = self._prompt_row(language)
+        prev_ids: List[int] = []
         for start in range(0, max(len(x), 1), chunk):
             seg = x[start:start + chunk]
             padded, bucket_s = self._pad_to_bucket(seg)
-            chunk_text, chunk_words = self._decode_chunk_fallback(
-                padded, prompt, p_len,
-                start / 16_000.0, len(seg) / 16_000.0, bucket_s)
+            # whisper condition_on_previous_text: [<|startofprev|>] + previous
+            # tokens (truncated to a fixed bucket — static shapes) + base row
+            ctx_bucket = 0
+            if self.condition_on_previous_text and prev_ids:
+                ctx_bucket = max((b for b in self.PREV_CTX_BUCKETS
+                                  if b <= len(prev_ids)), default=0)
+            if ctx_bucket:
+                row = ([self.cfg.sop_token] + prev_ids[-ctx_bucket:] + base_row)
+                prompt_c = jnp.asarray([row], jnp.int32)
+                chunk_text, chunk_words, kept, used_t = self._decode_chunk_fallback(
+                    padded, prompt_c, len(row),
+                    start / 16_000.0, len(seg) / 16_000.0, bucket_s,
+                    prompt_bare=prompt, p_len_bare=p_len)
+            else:
+                chunk_text, chunk_words, kept, used_t = self._decode_chunk_fallback(
+                    padded, prompt, p_len,
+                    start / 16_000.0, len(seg) / 16_000.0, bucket_s)
+            # whisper resets the context after a high-temperature fallback
+            prev_ids = [] if used_t > 0.5 else prev_ids + kept
             if chunk_text:
                 texts.append(chunk_text)
             words.extend(chunk_words)
@@ -356,7 +387,7 @@ class JaxWhisperAsr:
         p_len = prompt.shape[1]
         results = [{"text": [], "words": []} for _ in requests]
         for row, (ri, offset, seconds) in enumerate(specs):
-            t, w = self._decode_chunk_host(
+            t, w, _ = self._decode_chunk_host(
                 tokens_np[row], aligns_np[row], p_len, offset, seconds,
                 window_seconds=window_s)
             if t:

@@ -63,9 +63,10 @@ def whisper_pair(tok):
     v = tok.vocab_size
     cfg = wj.WhisperConfig(
         d_model=64, encoder_layers=2, decoder_layers=2, heads=4, ffn_dim=128,
-        vocab_size=v + 104, max_source_positions=1500, max_target_positions=64,
+        vocab_size=v + 105, max_source_positions=1500, max_target_positions=64,
         eos_token=v, bos_token=v + 1, lang_token_start=v + 2,
         task_translate=v + 101, task_transcribe=v + 102, no_timestamps=v + 103,
+        sop_token=v + 104,
     )
     hf_cfg = HFConfig(
         vocab_size=cfg.vocab_size, num_mel_bins=80,
@@ -245,3 +246,67 @@ def test_cascade_parity_second_utterance(whisper_pair, nllb_pair, tok, jax_backe
     result = jax_backend.translate_speech(audio2, "eng", "deu")
     assert result["transcripts"]["source"] == ref_source
     assert result["transcripts"]["target"] == ref_target
+
+
+def torch_whisper_transcribe_conditioned(model, cfg, tok, audio, asr,
+                                         language="eng"):
+    """Torch mirror of the engine's condition_on_previous_text chunk loop
+    (whisper.transcribe semantics: [<|startofprev|>] + previous tokens +
+    standard prompt, context truncated to the engine's static buckets)."""
+    from transformers import WhisperFeatureExtractor
+
+    fe = WhisperFeatureExtractor()
+    chunk = 16_000 * 30
+    prev: list = []
+    out_tokens = []
+    for start in range(0, len(audio), chunk):
+        seg = audio[start:start + chunk]
+        mel = fe(seg, sampling_rate=16_000, return_tensors="np")["input_features"]
+        base = [cfg.bos_token, cfg.lang_token_start + whisper_lang_index(language),
+                cfg.task_transcribe, cfg.no_timestamps]
+        ctx_bucket = max((b for b in asr.PREV_CTX_BUCKETS if b <= len(prev)),
+                         default=0)
+        prompt = ([cfg.sop_token] + prev[-ctx_bucket:] + base) if ctx_bucket else base
+        ids = torch.tensor([prompt])
+        mel_t = torch.from_numpy(mel)
+        with torch.no_grad():
+            for _ in range(MAX_ASR_TOKENS):
+                logits = model(input_features=mel_t, decoder_input_ids=ids).logits
+                nxt = int(logits[0, -1].argmax())
+                ids = torch.cat([ids, torch.tensor([[nxt]])], dim=1)
+                if nxt == cfg.eos_token:
+                    break
+        floor = min(cfg.eos_token, cfg.bos_token, cfg.lang_token_start)
+        gen = [int(t) for t in ids[0, len(prompt):]
+               if t != cfg.eos_token and t < floor]
+        prev = prev + gen
+        out_tokens.append(gen)
+    return out_tokens
+
+
+def test_conditioned_multichunk_parity(whisper_pair, tok):
+    """condition_on_previous_text across chunks must be token-exact vs the
+    torch mirror — chunk 2's prompt carries chunk 1's tokens through
+    <|startofprev|> with the same context-bucket truncation."""
+    model, cfg, params = whisper_pair
+    g = np.random.default_rng(11)
+    audio35 = (0.1 * g.standard_normal(16_000 * 35)).astype(np.float32)
+
+    asr = JaxWhisperAsr(cfg, params, tok, dtype=jnp.float32,
+                        max_new_tokens=MAX_ASR_TOKENS, temperatures=(0.0,),
+                        suppress_blank=False)
+    ref_chunks = torch_whisper_transcribe_conditioned(model, cfg, tok, audio35, asr)
+    assert sum(len(c) for c in ref_chunks) > 0  # non-vacuous
+    assert len(ref_chunks) == 2
+
+    got = asr.transcribe(audio35, language="eng")
+    ref_text = " ".join(t for t in (tok.decode(c).strip() for c in ref_chunks) if t)
+    assert got["text"] == ref_text
+
+    # and with conditioning off, chunk 2 decodes differently (the context
+    # genuinely flows into the prompt) — unless the model ignores it, which
+    # the tiny random weights here do not
+    bare = JaxWhisperAsr(cfg, params, tok, dtype=jnp.float32,
+                         max_new_tokens=MAX_ASR_TOKENS, temperatures=(0.0,),
+                         suppress_blank=False, condition_on_previous_text=False)
+    assert bare.transcribe(audio35, language="eng")["text"] != got["text"]
