@@ -129,6 +129,12 @@ class CascadedBackend(TranslationBackend):
                 source_text, NLLB_LANGUAGES.get(source_lang, source_lang),
                 NLLB_LANGUAGES.get(target_lang, target_lang),
             )
+        if not target_text.strip() and getattr(self.engines.nmt, "weightless", False) is False:
+            # reference parity: empty translations are a hard failure
+            # (cascaded_backend.py:445-446); weightless structure mode keeps
+            # running — its garbage-in state is already surfaced via
+            # weights_info in /health and responses
+            raise RuntimeError("Translation result was empty.")
 
         reference = self.reference_audio_for_cloning(x)
         with timer.stage("tts"):

@@ -325,3 +325,31 @@ def test_process_audio_bucketed_denoise_matches_unpadded():
     sx = np.stack([x, 0.8 * x])
     out2 = ap.process_audio(sx, orig_sr=16000)
     assert out2.ndim == 1 and len(out2) == len(x)
+
+
+def test_empty_translation_raises_for_loaded_weights():
+    """Reference parity (cascaded_backend.py:445): an empty translation is a
+    hard failure when real weights serve; weightless mode keeps running."""
+    from expressive_speech_translation_tpu.pipeline.cascaded import CascadedBackend
+    from expressive_speech_translation_tpu.pipeline.engines import (
+        Engines, FakeAsr, FakeTts,
+    )
+
+    class EmptyNmt:
+        weightless = False  # "loaded" weights producing empty output
+
+        def translate(self, text, s, t):
+            return "   "
+
+    class EmptyNmtWeightless(EmptyNmt):
+        weightless = True
+
+    audio = np.zeros(16000, np.float32)
+    loaded = CascadedBackend(Engines(asr=FakeAsr(), nmt=EmptyNmt(), tts=FakeTts()))
+    with pytest.raises(RuntimeError, match="Translation result was empty"):
+        loaded.translate_speech(audio, "eng", "fra")
+
+    weightless = CascadedBackend(
+        Engines(asr=FakeAsr(), nmt=EmptyNmtWeightless(), tts=FakeTts()))
+    out = weightless.translate_speech(audio, "eng", "fra")  # must not raise
+    assert "audio" in out
