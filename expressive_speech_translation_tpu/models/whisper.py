@@ -12,12 +12,14 @@ learned decoder positions, cross-attention with precomputed encoder K/V, tied
 embedding/output projection, k-projection without bias. Verified against a
 random-weight torch model in tests/test_whisper.py.
 
-Decoding: greedy with per-step temperature support, fixed-shape KV caches, one
-``lax.while_loop`` whose body is a single fused decode step (prompt tokens are
-teacher-forced through the same step — simplest single-compile design), early
-exit when every sequence has emitted EOT. Word timestamps for the pause
-analysis (cascaded_backend.py:146-191) come from cross-attention alignment in
-``pipeline/asr`` once wired.
+Decoding: a single ``lax.while_loop`` whose body is one fused decode step
+(prompt tokens teacher-forced through the same step — one compiled program),
+early exit at EOT, budget-sized KV caches, traced temperature (greedy /
+Gumbel sampling share the program), token suppression, no-speech probability,
+and per-sequence log-probs — the full whisper.transcribe decode feature set
+the reference inherits (cascaded_backend.py:158); pipeline/jax_engines wires
+the fallback ladder, silence gate, and cross-chunk conditioning on top, and
+word timestamps come from the cross-attention DTW (dtw_token_times).
 """
 
 from __future__ import annotations
@@ -277,7 +279,7 @@ def decode_with_alignment(
     key: Optional[jnp.ndarray] = None,
     suppress_tokens: Tuple[int, ...] = (),
     suppress_first_tokens: Tuple[int, ...] = (),
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode with per-token cross-attention alignments and log-probs.
 
     ``temperature`` is a TRACED scalar (0.0 = greedy; > 0 samples via the
