@@ -120,7 +120,11 @@ class EngineConfig:
     mode: str = ""                       # "" (auto) | "jax" | "fake"
     scale: str = "reference"             # toy | reference (jax mode)
     quantize: bool = False               # weight-only int8 decode paths
-    asr_context_buckets: Tuple[int, ...] = (10, 20, 30)
+    # (30,) = exact whisper semantics (every chunk encodes the padded 30 s
+    # window). Restricted-context buckets like (10, 20, 30) are a latency
+    # trick with a documented accuracy cost (positional-embedding
+    # distribution shift) — deployments opt in explicitly (ADVICE r2).
+    asr_context_buckets: Tuple[int, ...] = (30,)
 
 
 @dataclass(frozen=True)

@@ -279,6 +279,7 @@ def decode_with_alignment(
     key: Optional[jnp.ndarray] = None,
     suppress_tokens: Tuple[int, ...] = (),
     suppress_first_tokens: Tuple[int, ...] = (),
+    sot_index=0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode with per-token cross-attention alignments and log-probs.
 
@@ -299,6 +300,14 @@ def decode_with_alignment(
     ids additionally suppressed on the FIRST generated token (whisper's
     SuppressBlank: space + EOT). Both are static tuples baked into the
     compiled program as constant masks.
+
+    ``sot_index``: position of <|startoftranscript|> in the prompt (traced
+    scalar or int). With condition_on_previous_text the prompt is
+    [<|startofprev|>] + prev + [sot, lang, task, notimestamps], so the
+    no-speech probability must be read at the SOT step, not position 0
+    (openai-whisper reads it at tokenizer.sot index). It is computed from the
+    PRE-suppression logits so a standard whisper suppress list (which contains
+    the no-speech id) cannot zero the signal.
     """
     b, p_len = prompt.shape
     enc_out = encode(params, cfg, mel)
@@ -322,14 +331,18 @@ def decode_with_alignment(
         tok = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))[:, 0]
         logits, cache, alignment = decode_step_with_attn(params, cfg, tok, pos, cache, cross_kv)
         aligns = jax.lax.dynamic_update_slice(aligns, alignment[:, None, :], (0, pos, 0))
-        if min_new_tokens:
-            logits = jnp.where(
-                pos + 1 < p_len + min_new_tokens,
-                logits.at[:, cfg.eos_token].set(jnp.finfo(logits.dtype).min),
-                logits,
-            )
         logits32 = logits.astype(jnp.float32)
+        # no-speech signal: pre-suppression softmax at the SOT step
+        nsp_tok = min(cfg.no_speech_token, cfg.vocab_size - 1)
+        step_nsp = jax.nn.softmax(logits32, axis=-1)[:, nsp_tok]
+        nsp = jnp.where(pos == jnp.asarray(sot_index, jnp.int32), step_nsp, nsp)
         neg = jnp.float32(-1e9)
+        if min_new_tokens:
+            logits32 = jnp.where(
+                pos + 1 < p_len + min_new_tokens,
+                logits32.at[:, cfg.eos_token].set(neg),
+                logits32,
+            )
         if suppress_tokens:
             mask = np.zeros((cfg.vocab_size,), bool)
             mask[np.asarray(suppress_tokens) % cfg.vocab_size] = True
@@ -339,9 +352,6 @@ def decode_with_alignment(
             fmask[np.asarray(suppress_first_tokens) % cfg.vocab_size] = True
             first = pos + 1 == p_len
             logits32 = jnp.where(first & jnp.asarray(fmask), neg, logits32)
-        nsp_tok = min(cfg.no_speech_token, cfg.vocab_size - 1)
-        step_nsp = jax.nn.softmax(logits32, axis=-1)[:, nsp_tok]
-        nsp = jnp.where(pos == 0, step_nsp, nsp)
         key, sub = jax.random.split(key)
         gumbel = -jnp.log(-jnp.log(
             jax.random.uniform(sub, logits32.shape, minval=1e-9, maxval=1.0)))

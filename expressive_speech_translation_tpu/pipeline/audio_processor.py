@@ -53,6 +53,36 @@ LANGUAGE_PARAMS: Dict[str, LanguageParams] = {
 }
 
 
+@functools.lru_cache(maxsize=32)
+def _cached_resample_fn(orig_sr: int, target_sr: int,
+                        lowpass_filter_width: int, rolloff: float, beta: float):
+    """Module-level jit cache keyed on the config VALUES that shape the
+    program (shape specialization itself is jax.jit's job) — shared across
+    all AudioProcessor instances, including per-request ones."""
+
+    @jax.jit
+    def fn(x):
+        return ops.resample(
+            x, orig_sr, target_sr,
+            lowpass_filter_width=lowpass_filter_width,
+            rolloff=rolloff, beta=beta,
+        )
+
+    return fn
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_gate_fn(sr: int, n_fft: int, hop: int):
+    @jax.jit
+    def fn(x, valid_samples):
+        valid_frames = 1 + valid_samples // hop  # centered framing count
+        return ops.spectral_noise_gate(
+            x, sr=sr, n_fft=n_fft, hop=hop,
+            speech_boost=1.2, valid_frames=valid_frames)
+
+    return fn
+
+
 class AudioProcessor:
     SUPPORTED_FORMATS = (".wav", ".mp3", ".ogg", ".flac")  # audio_processor.py:21
     SAMPLE_RATE = 16_000
@@ -155,37 +185,23 @@ class AudioProcessor:
     # program: arbitrary upload lengths hit a handful of compiled graphs
     DENOISE_BUCKETS_S = (5, 10, 30, 60, 150, 300)
 
-    @functools.lru_cache(maxsize=32)
     def _resample_fn(self, bucket_samples: int, orig_sr: int):
         """Jitted Kaiser resample per (input-length bucket, source rate) —
         one conv dispatch; zero-padding is exact for a linear FIR (the
         unpadded op right-pads with zeros anyway), so trimming the output at
-        ceil(valid·new/orig) reproduces the unpadded result bit-for-bit."""
+        ceil(valid·new/orig) reproduces the unpadded result bit-for-bit.
+
+        Cached at module level on CONFIG VALUES, not on ``self`` (ADVICE r2:
+        per-request ``AudioProcessor()`` construction made instance-keyed
+        caches miss every request and pinned dead instances + executables)."""
         cfg = self.config
+        return _cached_resample_fn(
+            orig_sr, self.SAMPLE_RATE, cfg.resample_lowpass_filter_width,
+            cfg.resample_rolloff, cfg.resample_kaiser_beta)
 
-        @jax.jit
-        def fn(x):
-            return ops.resample(
-                x, orig_sr, self.SAMPLE_RATE,
-                lowpass_filter_width=cfg.resample_lowpass_filter_width,
-                rolloff=cfg.resample_rolloff,
-                beta=cfg.resample_kaiser_beta,
-            )
-
-        return fn
-
-    @functools.lru_cache(maxsize=16)
     def _gate_fn(self, bucket_samples: int):
-        n_fft, hop = self.config.denoise_n_fft, self.config.denoise_hop
-
-        @jax.jit
-        def fn(x, valid_samples):
-            valid_frames = 1 + valid_samples // hop  # centered framing count
-            return ops.spectral_noise_gate(
-                x, sr=self.SAMPLE_RATE, n_fft=n_fft, hop=hop,
-                speech_boost=1.2, valid_frames=valid_frames)
-
-        return fn
+        return _cached_gate_fn(self.SAMPLE_RATE, self.config.denoise_n_fft,
+                               self.config.denoise_hop)
 
     def process_audio(
         self, audio: np.ndarray, orig_sr: int = 16_000, *, denoise: bool = True

@@ -129,11 +129,16 @@ class CascadedBackend(TranslationBackend):
                 source_text, NLLB_LANGUAGES.get(source_lang, source_lang),
                 NLLB_LANGUAGES.get(target_lang, target_lang),
             )
-        if not target_text.strip() and getattr(self.engines.nmt, "weightless", False) is False:
-            # reference parity: empty translations are a hard failure
-            # (cascaded_backend.py:445-446); weightless structure mode keeps
-            # running — its garbage-in state is already surfaced via
-            # weights_info in /health and responses
+        # reference parity: empty translations are a hard failure
+        # (cascaded_backend.py:445-446) — but only when real weights are
+        # loaded. Weightless structure mode keeps running (its garbage-in
+        # state is already surfaced via weights_info in /health and
+        # responses). Unwrap serving micro-batchers the same way
+        # engines.weights_info does, and default to "don't hard-fail" for
+        # unknown engines (fakes, wrappers) so the check can only fire when
+        # an engine positively declares weightless=False.
+        nmt_inner = getattr(self.engines.nmt, "engine", self.engines.nmt)
+        if not target_text.strip() and getattr(nmt_inner, "weightless", True) is False:
             raise RuntimeError("Translation result was empty.")
 
         reference = self.reference_audio_for_cloning(x)

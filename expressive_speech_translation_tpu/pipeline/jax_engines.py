@@ -129,9 +129,12 @@ class JaxWhisperAsr:
         self.PREV_CTX_BUCKETS = (8, 16, 32)
 
         @jax.jit
-        def _transcribe(params, audio, prompt, temperature, seed):
+        def _transcribe(params, audio, prompt, temperature, seed, sot_index):
             # chunk window = the (static) padded length of this bucket;
-            # temperature is TRACED so every fallback rung reuses this program
+            # temperature is TRACED so every fallback rung reuses this
+            # program; sot_index (traced) marks where <|startoftranscript|>
+            # sits in conditioned prompts so the no-speech gate reads the
+            # right step (openai-whisper sot_index semantics)
             mel = whisper_log_mel_pallas(
                 audio, chunk_samples=audio.shape[-1]).astype(dtype)
             return wjm.decode_with_alignment(
@@ -140,6 +143,7 @@ class JaxWhisperAsr:
                 key=jax.random.fold_in(jax.random.PRNGKey(7), seed),
                 suppress_tokens=self._suppress[0],
                 suppress_first_tokens=self._suppress[1],
+                sot_index=sot_index,
             )
 
         self._fn = _transcribe
@@ -270,15 +274,21 @@ class JaxWhisperAsr:
                 (prompt_bare, p_len_bare)
                 if temp > 0.5 and prompt_bare is not None else (prompt, p_len))
             self._seed = getattr(self, "_seed", 0) + 1
+            # the prompt row always ends [sot, lang, task, no_timestamps]
+            # (_prompt_row), so SOT sits 4 back from the prompt end
             tokens_a, aligns, slp, ngen, nsp = self._fn(
                 self.params, jnp.asarray(padded), use_prompt,
-                jnp.float32(temp), jnp.uint32(self._seed))
+                jnp.float32(temp), jnp.uint32(self._seed),
+                jnp.int32(use_plen - 4))
             tokens_h, aligns_h, slp_h, ngen_h, nsp_h = jax.device_get(
                 (tokens_a, aligns, slp, ngen, nsp))
             text, words, kept_ids = self._decode_chunk_host(
                 tokens_h[0], aligns_h[0], use_plen, offset_s, chunk_s,
                 window_seconds=bucket_s)
-            avg_logprob = float(slp_h[0]) / (int(ngen_h[0]) + 1)
+            # whisper divides by len(tokens)+1 where tokens EXCLUDES the EOT
+            # step; ngen already counts the EOT-emitting step, so it is the
+            # correct divisor on its own (ADVICE r2)
+            avg_logprob = float(slp_h[0]) / max(int(ngen_h[0]), 1)
             # whisper no-speech gate: silent chunks yield no text instead of
             # hallucinations (transcribe no_speech_threshold=0.6 semantics:
             # suppress when P(<|nospeech|>) is high AND confidence is low)

@@ -159,6 +159,13 @@ class BatchedTts:
         return self.engine.synthesize_streaming(*args, **kwargs)
 
     @property
+    def weightless(self):
+        """Forward the inner engine's weights state so weights-gated checks
+        (cascaded.py empty-translation hard-fail, engines.weights_info) see
+        through the batching facade."""
+        return getattr(self.engine, "weightless", None)
+
+    @property
     def stats(self) -> dict:
         return {"items": self._mb.n_items, "batches": self._mb.n_batches}
 
@@ -183,6 +190,10 @@ class BatchedAsr:
         return self._mb({"audio_16k": audio_16k, "language": language})
 
     @property
+    def weightless(self):
+        return getattr(self.engine, "weightless", None)
+
+    @property
     def stats(self) -> dict:
         return {"items": self._mb.n_items, "batches": self._mb.n_batches}
 
@@ -205,6 +216,10 @@ class BatchedNmt:
     def translate(self, text: str, source_lang: str, target_lang: str) -> str:
         return self._mb({"text": text, "source_lang": source_lang,
                          "target_lang": target_lang})
+
+    @property
+    def weightless(self):
+        return getattr(self.engine, "weightless", None)
 
     @property
     def stats(self) -> dict:

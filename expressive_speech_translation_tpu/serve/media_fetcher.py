@@ -82,21 +82,69 @@ def ytdlp_fetcher(url: str) -> Tuple[np.ndarray, int]:
         return native.decode_audio(str(wav), target_rate=16_000, target_channels=1)
 
 
+def _assert_public_host(url: str) -> None:
+    """SSRF guard: refuse URLs whose host resolves to private, loopback, or
+    link-local address space. Applied to the initial URL and EVERY redirect
+    hop — an open redirect on an allow-listed platform must not let the
+    server GET internal endpoints (metadata service, intranet)."""
+    import ipaddress
+    import socket
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(url)
+    if parts.scheme not in ("http", "https"):
+        raise MediaError(f"refusing non-http(s) URL: {url[:80]}",
+                         user_message="Only http/https media URLs are supported")
+    host = parts.hostname or ""
+    try:
+        infos = socket.getaddrinfo(host, None)
+    except socket.gaierror as e:
+        raise MediaError(f"cannot resolve host {host!r}",
+                         user_message="Could not download media from this URL") from e
+    for info in infos:
+        ip = ipaddress.ip_address(info[4][0])
+        if (ip.is_private or ip.is_loopback or ip.is_link_local
+                or ip.is_reserved or ip.is_multicast or ip.is_unspecified):
+            raise MediaError(
+                f"host {host!r} resolves to non-public address {ip}",
+                user_message="Could not download media from this URL")
+
+
 def http_media_fetcher(
     url: str, *, max_bytes: int = MAX_DOWNLOAD_BYTES,
-    timeout: float = DOWNLOAD_TIMEOUT_S,
+    timeout: float = DOWNLOAD_TIMEOUT_S, max_redirects: int = 5,
+    allow_private_hosts: bool = False,
 ) -> Tuple[np.ndarray, int]:
     """Direct streaming download of a media file, decoded via the native
-    libav shim (handles every container the shim does)."""
+    libav shim (handles every container the shim does). Redirects are
+    followed manually with a per-hop public-address check (ADVICE r2: the
+    requests default follows redirects blindly, a residual SSRF vector
+    behind the platform allow-list)."""
     import requests
 
+    resp = None
     try:
-        resp = requests.get(url, stream=True, timeout=timeout)
+        for _ in range(max_redirects + 1):
+            if not allow_private_hosts:  # test servers bind loopback
+                _assert_public_host(url)
+            resp = requests.get(url, stream=True, timeout=timeout,
+                                allow_redirects=False)
+            if resp.is_redirect or resp.is_permanent_redirect:
+                nxt = resp.headers.get("Location")
+                if not nxt:
+                    break
+                url = requests.compat.urljoin(url, nxt)
+                continue
+            break
+        else:
+            raise MediaError("too many redirects",
+                             user_message="Could not download media from this URL")
     except requests.RequestException as e:
         raise MediaError(f"download failed: {e}",
                          user_message="Could not download media from this URL") from e
-    if resp.status_code != 200:
-        raise MediaError(f"download failed: HTTP {resp.status_code}",
+    if resp is None or resp.status_code != 200:
+        code = "no response" if resp is None else f"HTTP {resp.status_code}"
+        raise MediaError(f"download failed: {code}",
                          user_message="Could not download media from this URL")
     suffix = Path(url.split("?", 1)[0]).suffix.lower() or ".bin"
     chunks = []

@@ -448,3 +448,124 @@ def test_whisper_token_suppression():
         params, cfg, mel, prompt, max_new_tokens=10, min_new_tokens=10,
         suppress_first_tokens=(first_id,))
     assert int(np.asarray(sup1)[0, 1]) != first_id
+
+
+# --------------------------------------------------------------------------
+# Composed serving configuration: CascadedBackend + all three Batched*
+# wrappers — the exact shape EST_SERVE__TTS_BATCHING=1 production (and
+# bench.py's 8-way burst) runs. Round-2 regression: the empty-translation
+# hard-fail (cascaded.py) mis-classified batched engines as weights-loaded
+# because the wrappers didn't forward `weightless`.
+
+
+class _BatchableFakeAsr:
+    def __init__(self, weightless):
+        self.weightless = weightless
+
+    def _one(self, audio, language):
+        dur = len(np.asarray(audio).reshape(-1)) / 16_000.0
+        return {"text": "hello world", "language": language or "eng",
+                "words": [{"word": "hello", "start": 0.0, "end": dur / 2},
+                          {"word": "world", "start": dur / 2, "end": dur}]}
+
+    def transcribe_batch(self, requests):
+        return [self._one(r["audio_16k"], r["language"]) for r in requests]
+
+
+class _BatchableFakeNmt:
+    def __init__(self, weightless, empty=False):
+        self.weightless = weightless
+        self.empty = empty
+
+    def translate_batch(self, requests):
+        return ["" if self.empty else f"[{r['target_lang']}] {r['text']}"
+                for r in requests]
+
+
+class _BatchableFakeTts:
+    sample_rate = 24_000
+
+    def __init__(self, weightless):
+        self.weightless = weightless
+
+    def synthesize_batch(self, requests):
+        return [np.zeros(12_000, np.float32) + 0.1 for _ in requests]
+
+
+def _batched_cascade(*, weightless, empty_nmt=False):
+    from expressive_speech_translation_tpu.pipeline.cascaded import CascadedBackend
+    from expressive_speech_translation_tpu.pipeline.engines import Engines
+    from expressive_speech_translation_tpu.serve.batching import (
+        BatchedAsr, BatchedNmt, BatchedTts,
+    )
+
+    return CascadedBackend(Engines(
+        asr=BatchedAsr(_BatchableFakeAsr(weightless)),
+        nmt=BatchedNmt(_BatchableFakeNmt(weightless, empty=empty_nmt)),
+        tts=BatchedTts(_BatchableFakeTts(weightless)),
+    ))
+
+
+@pytest.mark.parametrize("weightless", [True, False])
+def test_cascade_with_all_batched_wrappers_concurrent(weightless):
+    """8 concurrent requests through the fully-batched cascade must all
+    succeed in both weightless and weights-loaded modes (round-2 bench
+    killer: weightless runs raised 'Translation result was empty')."""
+    backend = _batched_cascade(weightless=weightless)
+    audio = np.sin(np.arange(16_000) * 0.05).astype(np.float32) * 0.3
+
+    results, errors = [None] * 8, []
+
+    def worker(i):
+        try:
+            results[i] = backend.translate_speech(audio, "eng", "fra")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, f"concurrent batched cascade failed: {errors[:1]}"
+    assert all(r is not None and "audio" in r for r in results)
+    assert all(r["transcripts"]["target"].startswith("[fra") for r in results)
+
+
+def test_cascade_batched_empty_translation_gate():
+    """The hard-fail gate must see through Batched* wrappers: loaded weights +
+    empty translation raises; weightless + empty translation keeps running."""
+    audio = np.zeros(16_000, np.float32)
+
+    loaded = _batched_cascade(weightless=False, empty_nmt=True)
+    with pytest.raises(RuntimeError, match="Translation result was empty"):
+        loaded.translate_speech(audio, "eng", "fra")
+
+    structural = _batched_cascade(weightless=True, empty_nmt=True)
+    out = structural.translate_speech(audio, "eng", "fra")
+    assert "audio" in out
+
+
+def test_batched_wrappers_forward_weightless_and_weights_info():
+    from expressive_speech_translation_tpu.pipeline.engines import Engines
+    from expressive_speech_translation_tpu.serve.batching import (
+        BatchedAsr, BatchedNmt, BatchedTts,
+    )
+
+    eng = Engines(
+        asr=BatchedAsr(_BatchableFakeAsr(False)),
+        nmt=BatchedNmt(_BatchableFakeNmt(False)),
+        tts=BatchedTts(_BatchableFakeTts(False)),
+    )
+    assert eng.asr.weightless is False
+    assert eng.nmt.weightless is False
+    assert eng.tts.weightless is False
+    assert eng.weights_info() == "loaded"
+
+    eng_wl = Engines(
+        asr=BatchedAsr(_BatchableFakeAsr(True)),
+        nmt=BatchedNmt(_BatchableFakeNmt(True)),
+        tts=BatchedTts(_BatchableFakeTts(True)),
+    )
+    assert eng_wl.nmt.weightless is True
+    assert eng_wl.weights_info() == "random"

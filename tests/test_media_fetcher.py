@@ -53,7 +53,8 @@ def media_server():
 
 
 def test_http_media_fetcher_downloads_and_decodes(media_server):
-    audio, sr = mf.http_media_fetcher(f"{media_server}/clip.wav")
+    audio, sr = mf.http_media_fetcher(f"{media_server}/clip.wav",
+                                      allow_private_hosts=True)
     assert sr == 16000
     assert 15000 < len(audio) <= 16500
     # 220 Hz tone survives the round-trip
@@ -63,14 +64,32 @@ def test_http_media_fetcher_downloads_and_decodes(media_server):
 
 def test_http_media_fetcher_errors(media_server):
     with pytest.raises(MediaError, match="HTTP 404"):
-        mf.http_media_fetcher(f"{media_server}/missing.wav")
+        mf.http_media_fetcher(f"{media_server}/missing.wav",
+                              allow_private_hosts=True)
     with pytest.raises(MediaError, match="too large|exceeds"):
-        mf.http_media_fetcher(f"{media_server}/big.wav", max_bytes=1024)
+        mf.http_media_fetcher(f"{media_server}/big.wav", max_bytes=1024,
+                              allow_private_hosts=True)
     with pytest.raises(MediaError, match="empty download"):
-        mf.http_media_fetcher(f"{media_server}/nothing.wav")
+        mf.http_media_fetcher(f"{media_server}/nothing.wav",
+                              allow_private_hosts=True)
 
 
-def test_default_fetcher_direct_link(media_server):
+def test_ssrf_guard_blocks_private_hosts(media_server):
+    """ADVICE r2: loopback/private/link-local destinations are refused by
+    default — including when reached via a redirect hop."""
+    with pytest.raises(MediaError, match="non-public address"):
+        mf.http_media_fetcher(f"{media_server}/clip.wav")
+    for url in ("http://127.0.0.1/x.wav", "http://10.0.0.1/x.wav",
+                "http://169.254.169.254/latest/meta-data",
+                "http://[::1]/x.wav"):
+        with pytest.raises(MediaError, match="non-public address"):
+            mf._assert_public_host(url)
+    with pytest.raises(MediaError, match="non-http"):
+        mf._assert_public_host("file:///etc/passwd")
+
+
+def test_default_fetcher_direct_link(media_server, monkeypatch):
+    monkeypatch.setattr(mf, "_assert_public_host", lambda url: None)
     audio, sr = mf.default_fetcher(f"{media_server}/clip.wav")
     assert sr == 16000 and len(audio) > 15000
 
