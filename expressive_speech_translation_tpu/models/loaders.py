@@ -131,6 +131,30 @@ def save_converted(params, cfg, out_dir: str | Path) -> None:
     (out / "config.json").write_text(json.dumps(dataclasses.asdict(cfg), indent=2))
 
 
+def _cfg_from_dict(cfg_cls, raw: Dict[str, Any]):
+    """Rebuild a (possibly nested) frozen-dataclass config from asdict()
+    output; lists deserialize back to the tuples the dataclasses declare."""
+    import dataclasses
+    import typing
+
+    try:  # resolve PEP-563 string annotations to real classes
+        hints = typing.get_type_hints(cfg_cls)
+    except Exception:  # noqa: BLE001
+        hints = {}
+    kwargs = {}
+    for f in dataclasses.fields(cfg_cls):
+        if f.name not in raw:
+            continue
+        v = raw[f.name]
+        ftype = hints.get(f.name, f.type)
+        if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+            v = _cfg_from_dict(ftype, v)
+        elif isinstance(v, list):
+            v = tuple(tuple(e) if isinstance(e, list) else e for e in v)
+        kwargs[f.name] = v
+    return cfg_cls(**kwargs)
+
+
 def load_converted(out_dir: str | Path, cfg_cls):
     """Load a tree saved by :func:`save_converted` → (params, cfg)."""
     import orbax.checkpoint as ocp
@@ -139,14 +163,14 @@ def load_converted(out_dir: str | Path, cfg_cls):
     if not (out / "config.json").exists():
         raise WeightsNotFoundError(f"no converted checkpoint at {out}")
     raw = json.loads((out / "config.json").read_text())
-    field_names = {f.name for f in __import__("dataclasses").fields(cfg_cls)}
-    cfg = cfg_cls(**{k: v for k, v in raw.items() if k in field_names})
+    cfg = _cfg_from_dict(cfg_cls, raw)
     params = ocp.PyTreeCheckpointer().restore((out / "params").resolve())
     return params, cfg
 
 
 def bake_models(out_root: str | Path, *, asr: Optional[str] = None,
-                nmt: Optional[str] = None, tts: Optional[str] = None) -> None:
+                nmt: Optional[str] = None, tts: Optional[str] = None,
+                tts_llm_cfg=None, tts_flow_cfg=None, tts_hift_cfg=None) -> None:
     """Convert HF checkpoints into native trees under ``out_root``
     ({out}/asr, {out}/nmt, {out}/tts) — the Dockerfile.models build step."""
     out = Path(out_root)
@@ -159,15 +183,30 @@ def bake_models(out_root: str | Path, *, asr: Optional[str] = None,
         save_converted(params, cfg, out / "nmt")
         log.info("baked NMT %s -> %s", nmt, out / "nmt")
     if tts:
-        # CosyVoice ships as three torch trees (llm.pt / flow.pt / hift.pt).
-        # The speech-LM (llm.pt — the checkpoint the reference's Greek SFT
-        # trains and its image build overwrites) converts fully; flow/vocoder
-        # mapping is not built yet, so the LM is baked under tts_llm/ and a
-        # clear error is raised if only flow/hift exist.
-        params, cfg = load_cosyvoice_llm(tts)
-        save_converted(params, cfg, out / "tts_llm")
-        log.info("baked TTS speech-LM %s -> %s (flow/vocoder conversion "
-                 "pending; they stay randomly initialised)", tts, out / "tts_llm")
+        # CosyVoice ships as three torch trees (llm.pt / flow.pt / hift.pt —
+        # the deployment layout Dockerfile.cosyvoice:37-52 bakes). All three
+        # convert natively: llm via cosyvoice.from_cosyvoice_llm_state_dict,
+        # flow via flow_matcha.from_flow_state_dict, hift via
+        # hift.from_hift_state_dict.
+        p = Path(tts)
+        baked = []
+        if p.is_file() or (p / "llm.pt").exists() or (p / "model.pt").exists():
+            params, cfg = load_cosyvoice_llm(tts, cfg=tts_llm_cfg)
+            save_converted(params, cfg, out / "tts_llm")
+            baked.append("llm")
+        if p.is_dir() and (p / "flow.pt").exists():
+            params, cfg = load_cosyvoice_flow(p / "flow.pt", cfg=tts_flow_cfg)
+            save_converted(params, cfg, out / "tts_flow")
+            baked.append("flow")
+        if p.is_dir() and (p / "hift.pt").exists():
+            params, cfg = load_cosyvoice_hift(p / "hift.pt", cfg=tts_hift_cfg)
+            save_converted(params, cfg, out / "tts_hift")
+            baked.append("hift")
+        if not baked:
+            raise WeightsNotFoundError(
+                f"no CosyVoice checkpoints under {p} (looked for llm.pt/"
+                "model.pt, flow.pt, hift.pt)")
+        log.info("baked TTS submodels %s from %s -> %s", baked, tts, out)
 
 
 def load_cosyvoice_llm(path: str | Path, cfg=None):
@@ -203,6 +242,72 @@ def load_cosyvoice_llm(path: str | Path, cfg=None):
                                 text_vocab=text_vocab or 151_936,
                                 speech_token_size=speech_rows - 3)
     return cv.from_cosyvoice_llm_state_dict(state, cfg), cfg
+
+
+def load_cosyvoice_flow(path: str | Path, cfg=None):
+    """Official CosyVoice2 ``flow.pt`` (CausalMaskedDiffWithXvec) →
+    (params, OfficialFlowConfig). Embedding/width dims are inferred from the
+    tensors; head counts follow the official cosyvoice2.yaml (8 heads, not
+    recoverable from shapes alone)."""
+    import dataclasses
+
+    from . import flow_matcha as fm
+
+    state = load_state_dict(path)
+    if cfg is None:
+        vocab, input_size = state["input_embedding.weight"].shape
+        n_mels, spk_dim = state["spk_embed_affine_layer.weight"].shape
+        n_blocks = 1 + max(int(k.split(".")[2]) for k in state
+                           if k.startswith("encoder.encoders."))
+        n_up = 1 + max(int(k.split(".")[2]) for k in state
+                       if k.startswith("encoder.up_encoders."))
+        n_mid = 1 + max(int(k.split(".")[2]) for k in state
+                        if k.startswith("decoder.estimator.mid_blocks."))
+        n_tb = 1 + max(int(k.split(".")[4]) for k in state
+                       if k.startswith("decoder.estimator.mid_blocks.0.1."))
+        base = fm.OfficialFlowConfig()
+        cfg = dataclasses.replace(
+            base,
+            vocab_size=int(vocab), input_size=int(input_size),
+            output_size=int(n_mels), spk_embed_dim=int(spk_dim),
+            encoder=dataclasses.replace(
+                base.encoder, size=int(input_size), blocks=int(n_blocks),
+                up_blocks=int(n_up),
+                # pos_bias_u is stored [heads, head_dim] — exact head count
+                heads=int(state["encoder.encoders.0.self_attn.pos_bias_u"].shape[0]),
+                linear_units=int(state["encoder.encoders.0.feed_forward.w_1.weight"].shape[0])),
+            estimator=dataclasses.replace(
+                base.estimator,
+                in_channels=int(state["decoder.estimator.time_mlp.linear_1.weight"].shape[1]),
+                out_channels=int(n_mels),
+                channels=int(state["decoder.estimator.final_proj.weight"].shape[1]),
+                num_mid_blocks=int(n_mid), n_blocks=int(n_tb)),
+        )
+    return fm.from_flow_state_dict(state, cfg), cfg
+
+
+def load_cosyvoice_hift(path: str | Path, cfg=None):
+    """Official CosyVoice2 ``hift.pt`` (HiFTGenerator) → (params, HiFTConfig)."""
+    from . import hift as hm
+
+    state = load_state_dict(path)
+    cfg = cfg or hm.HiFTConfig()
+    return hm.from_hift_state_dict(state, cfg), cfg
+
+
+def load_official_tts(models_root: str | Path):
+    """Baked tts_llm/tts_flow/tts_hift dirs → ({"lm","flow","hift"} params,
+    OfficialTtsConfig). Raises WeightsNotFoundError unless all three exist —
+    the official synthesis chain needs the full triple."""
+    from . import cosyvoice as cv, cosyvoice_official as co, flow_matcha as fm
+    from . import hift as hm
+
+    root = Path(models_root)
+    lm_params, lm_cfg = load_converted(root / "tts_llm", cv.SpeechLMConfig)
+    flow_params, flow_cfg = load_converted(root / "tts_flow", fm.OfficialFlowConfig)
+    hift_params, hift_cfg = load_converted(root / "tts_hift", hm.HiFTConfig)
+    cfg = co.OfficialTtsConfig(lm=lm_cfg, flow=flow_cfg, hift=hift_cfg)
+    return {"lm": lm_params, "flow": flow_params, "hift": hift_params}, cfg
 
 
 def load_qwen2_backbone(path: str | Path, cfg=None):

@@ -1,0 +1,486 @@
+"""Official CosyVoice2 flow decoder (models/flow_matcha.py) rebuild.
+
+Validation strategy (no real flow.pt ships in either repo):
+1. Torch mirrors of the two compute cores — the UpsampleConformerEncoder
+   (ESPnet rel-pos attention, pre-lookahead, causal ×2 upsample) and the
+   CausalConditionalDecoder U-Net — built with the **official module naming**,
+   provide real ``state_dict()``s to drive :func:`from_flow_state_dict` and
+   independent numerics for the forwards.
+2. Converter round-trip identity + full-scale shape contract
+   (cosyvoice2.yaml flow: dims), so a real flow.pt maps 1:1.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from expressive_speech_translation_tpu.models import flow_matcha as fm
+
+torch.manual_seed(0)
+
+
+# ===================================================== torch encoder mirror
+
+
+class EspnetRelPositionalEncoding(nn.Module):
+    def __init__(self, d_model):
+        super().__init__()
+        self.d_model = d_model
+        self.xscale = d_model ** 0.5
+
+    def forward(self, x):
+        t = x.size(1)
+        pos = torch.arange(t, dtype=torch.float64)
+        div = torch.exp(torch.arange(0, self.d_model, 2, dtype=torch.float64)
+                        * -(np.log(10000.0) / self.d_model))
+        pe_pos = torch.zeros(t, self.d_model, dtype=torch.float64)
+        pe_neg = torch.zeros(t, self.d_model, dtype=torch.float64)
+        pe_pos[:, 0::2] = torch.sin(pos[:, None] * div)
+        pe_pos[:, 1::2] = torch.cos(pos[:, None] * div)
+        pe_neg[:, 0::2] = torch.sin(-pos[:, None] * div)
+        pe_neg[:, 1::2] = torch.cos(-pos[:, None] * div)
+        pe = torch.cat([pe_pos.flip(0), pe_neg[1:]], dim=0).float()
+        return x * self.xscale, pe.unsqueeze(0)
+
+
+class RelPositionMultiHeadedAttention(nn.Module):
+    def __init__(self, n_head, n_feat):
+        super().__init__()
+        self.h, self.d_k = n_head, n_feat // n_head
+        self.linear_q = nn.Linear(n_feat, n_feat)
+        self.linear_k = nn.Linear(n_feat, n_feat)
+        self.linear_v = nn.Linear(n_feat, n_feat)
+        self.linear_out = nn.Linear(n_feat, n_feat)
+        self.linear_pos = nn.Linear(n_feat, n_feat, bias=False)
+        self.pos_bias_u = nn.Parameter(torch.randn(self.h, self.d_k) * 0.02)
+        self.pos_bias_v = nn.Parameter(torch.randn(self.h, self.d_k) * 0.02)
+
+    def rel_shift(self, x):
+        b, h, t, _ = x.shape
+        zero_pad = torch.zeros((b, h, t, 1))
+        x_padded = torch.cat([zero_pad, x], dim=-1)
+        x_padded = x_padded.view(b, h, 2 * t, t)
+        return x_padded[:, :, 1:].view_as(x)[:, :, :, : t]
+
+    def forward(self, x, pos_emb, mask):
+        b, t, _ = x.shape
+        q = self.linear_q(x).view(b, t, self.h, self.d_k)
+        k = self.linear_k(x).view(b, t, self.h, self.d_k).transpose(1, 2)
+        v = self.linear_v(x).view(b, t, self.h, self.d_k).transpose(1, 2)
+        p = self.linear_pos(pos_emb).view(pos_emb.size(0), -1, self.h, self.d_k)
+        p = p.transpose(1, 2)
+        q_u = (q + self.pos_bias_u).transpose(1, 2)
+        q_v = (q + self.pos_bias_v).transpose(1, 2)
+        ac = torch.matmul(q_u, k.transpose(-2, -1))
+        bd = self.rel_shift(torch.matmul(q_v, p.transpose(-2, -1)))
+        scores = (ac + bd) / np.sqrt(self.d_k)
+        scores = scores.masked_fill(~mask[:, None, None, :], float("-inf"))
+        attn = torch.softmax(scores, dim=-1)
+        attn = attn.masked_fill(~mask[:, None, None, :], 0.0)
+        out = torch.matmul(attn, v).transpose(1, 2).reshape(b, t, -1)
+        return self.linear_out(out)
+
+
+class PositionwiseFeedForward(nn.Module):
+    def __init__(self, d, units):
+        super().__init__()
+        self.w_1 = nn.Linear(d, units)
+        self.w_2 = nn.Linear(units, d)
+
+    def forward(self, x):
+        return self.w_2(F.silu(self.w_1(x)))
+
+
+class ConformerEncoderLayer(nn.Module):
+    def __init__(self, d, units, heads):
+        super().__init__()
+        self.self_attn = RelPositionMultiHeadedAttention(heads, d)
+        self.feed_forward = PositionwiseFeedForward(d, units)
+        self.norm_mha = nn.LayerNorm(d, eps=1e-5)
+        self.norm_ff = nn.LayerNorm(d, eps=1e-5)
+
+    def forward(self, x, pos_emb, mask):
+        x = x + self.self_attn(self.norm_mha(x), pos_emb, mask)
+        return x + self.feed_forward(self.norm_ff(x))
+
+
+class PreLookaheadLayer(nn.Module):
+    def __init__(self, channels, pre_lookahead_len):
+        super().__init__()
+        self.pre_lookahead_len = pre_lookahead_len
+        self.conv1 = nn.Conv1d(channels, channels, pre_lookahead_len + 1)
+        self.conv2 = nn.Conv1d(channels, channels, 3)
+
+    def forward(self, inputs):
+        out = inputs.transpose(1, 2)
+        out = F.pad(out, (0, self.pre_lookahead_len))
+        out = F.leaky_relu(self.conv1(out))
+        out = F.pad(out, (2, 0))
+        out = self.conv2(out)
+        return out.transpose(1, 2) + inputs
+
+
+class Upsample1D(nn.Module):
+    def __init__(self, channels, stride):
+        super().__init__()
+        self.stride = stride
+        self.conv = nn.Conv1d(channels, channels, stride * 2 + 1)
+
+    def forward(self, x):
+        x = F.interpolate(x, scale_factor=float(self.stride), mode="nearest")
+        x = F.pad(x, (self.stride * 2, 0))
+        return self.conv(x)
+
+
+class Embed(nn.Module):
+    """wenet LinearNoSubsampling: out = Sequential(Linear, LayerNorm, Dropout)."""
+
+    def __init__(self, d):
+        super().__init__()
+        self.out = nn.Sequential(nn.Linear(d, d), nn.LayerNorm(d, eps=1e-5),
+                                 nn.Dropout(0.0))
+        self.pos_enc = EspnetRelPositionalEncoding(d)
+
+    def forward(self, x):
+        return self.pos_enc(self.out(x))
+
+
+class UpsampleConformerEncoderMirror(nn.Module):
+    def __init__(self, cfg: fm.UpsampleConformerConfig):
+        super().__init__()
+        self.cfg = cfg
+        self.embed = Embed(cfg.size)
+        self.pre_lookahead_layer = PreLookaheadLayer(cfg.size,
+                                                     cfg.pre_lookahead_len)
+        self.encoders = nn.ModuleList([
+            ConformerEncoderLayer(cfg.size, cfg.linear_units, cfg.heads)
+            for _ in range(cfg.blocks)])
+        self.up_layer = Upsample1D(cfg.size, cfg.upsample_stride)
+        self.up_embed = EspnetRelPositionalEncoding(cfg.size)
+        self.up_encoders = nn.ModuleList([
+            ConformerEncoderLayer(cfg.size, cfg.linear_units, cfg.heads)
+            for _ in range(cfg.up_blocks)])
+        self.after_norm = nn.LayerNorm(cfg.size, eps=1e-5)
+
+    def forward(self, x, mask):
+        x, pos_emb = self.embed(x)
+        x = self.pre_lookahead_layer(x)
+        x = x * mask[..., None]
+        for layer in self.encoders:
+            x = layer(x, pos_emb, mask)
+        x = self.up_layer(x.transpose(1, 2)).transpose(1, 2)
+        mask_up = torch.repeat_interleave(mask, self.cfg.upsample_stride, dim=1)
+        x = x * mask_up[..., None]
+        t = x.size(1)
+        pos = torch.arange(t, dtype=torch.float64)
+        _, pos_emb_up = self.up_embed(x)
+        for layer in self.up_encoders:
+            x = layer(x, pos_emb_up, mask_up)
+        return self.after_norm(x), mask_up
+
+
+# ====================================================== torch decoder mirror
+
+
+class Transpose(nn.Module):
+    def __init__(self, a, b):
+        super().__init__()
+        self.a, self.b = a, b
+
+    def forward(self, x):
+        return x.transpose(self.a, self.b)
+
+
+class CausalConv1d(nn.Conv1d):
+    def forward(self, x):
+        x = F.pad(x, (self.kernel_size[0] - 1, 0))
+        return super().forward(x)
+
+
+class CausalBlock1D(nn.Module):
+    def __init__(self, dim, dim_out):
+        super().__init__()
+        self.block = nn.Sequential(
+            CausalConv1d(dim, dim_out, 3), Transpose(1, 2),
+            nn.LayerNorm(dim_out), Transpose(1, 2), nn.Mish())
+
+    def forward(self, x, mask):
+        return self.block(x * mask) * mask
+
+
+class CausalResnetBlock1D(nn.Module):
+    def __init__(self, dim, dim_out, time_emb_dim):
+        super().__init__()
+        self.mlp = nn.Sequential(nn.Mish(), nn.Linear(time_emb_dim, dim_out))
+        self.block1 = CausalBlock1D(dim, dim_out)
+        self.block2 = CausalBlock1D(dim_out, dim_out)
+        self.res_conv = nn.Conv1d(dim, dim_out, 1)
+
+    def forward(self, x, mask, t):
+        h = self.block1(x, mask)
+        h = h + self.mlp(t).unsqueeze(-1)
+        h = self.block2(h, mask)
+        return h + self.res_conv(x * mask)
+
+
+class GELUProj(nn.Module):
+    def __init__(self, dim, inner):
+        super().__init__()
+        self.proj = nn.Linear(dim, inner)
+
+    def forward(self, x):
+        return F.gelu(self.proj(x))
+
+
+class Attn1(nn.Module):
+    """diffusers-style self Attention: to_q/k/v bias-free, to_out.0 Linear."""
+
+    def __init__(self, dim, heads, head_dim):
+        super().__init__()
+        inner = heads * head_dim
+        self.heads, self.head_dim = heads, head_dim
+        self.to_q = nn.Linear(dim, inner, bias=False)
+        self.to_k = nn.Linear(dim, inner, bias=False)
+        self.to_v = nn.Linear(dim, inner, bias=False)
+        self.to_out = nn.Sequential(nn.Linear(inner, dim), nn.Dropout(0.0))
+
+    def forward(self, x, mask):
+        b, t, _ = x.shape
+        h, dk = self.heads, self.head_dim
+        q = self.to_q(x).view(b, t, h, dk)
+        k = self.to_k(x).view(b, t, h, dk)
+        v = self.to_v(x).view(b, t, h, dk)
+        scores = torch.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dk)
+        scores = scores.masked_fill(~mask[:, None, None, :], float("-inf"))
+        w = torch.softmax(scores, dim=-1)
+        w = w.masked_fill(~mask[:, None, None, :], 0.0)
+        out = torch.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, h * dk)
+        return self.to_out(out)
+
+
+class BasicTransformerBlock(nn.Module):
+    def __init__(self, dim, heads, head_dim):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn1 = Attn1(dim, heads, head_dim)
+        self.norm3 = nn.LayerNorm(dim)
+        self.ff = nn.Sequential()
+        self.ff.net = nn.Sequential(GELUProj(dim, dim * 4), nn.Dropout(0.0),
+                                    nn.Linear(dim * 4, dim))
+
+    def forward(self, x, mask):
+        x = x + self.attn1(self.norm1(x), mask)
+        return x + self.ff.net(self.norm3(x))
+
+
+class TimestepEmbedding(nn.Module):
+    def __init__(self, in_ch, dim):
+        super().__init__()
+        self.linear_1 = nn.Linear(in_ch, dim)
+        self.linear_2 = nn.Linear(dim, dim)
+
+    def forward(self, t):
+        return self.linear_2(F.silu(self.linear_1(t)))
+
+
+class CausalConditionalDecoderMirror(nn.Module):
+    def __init__(self, cfg: fm.CausalDecoderConfig):
+        super().__init__()
+        self.cfg = cfg
+        ch, t_dim = cfg.channels, cfg.time_embed_dim
+        self.time_mlp = TimestepEmbedding(cfg.in_channels, t_dim)
+        self.down_blocks = nn.ModuleList([nn.ModuleList([
+            CausalResnetBlock1D(cfg.in_channels, ch, t_dim),
+            nn.ModuleList([BasicTransformerBlock(ch, cfg.heads, cfg.head_dim)
+                           for _ in range(cfg.n_blocks)]),
+            CausalConv1d(ch, ch, 3)])])
+        self.mid_blocks = nn.ModuleList([nn.ModuleList([
+            CausalResnetBlock1D(ch, ch, t_dim),
+            nn.ModuleList([BasicTransformerBlock(ch, cfg.heads, cfg.head_dim)
+                           for _ in range(cfg.n_blocks)])])
+            for _ in range(cfg.num_mid_blocks)])
+        self.up_blocks = nn.ModuleList([nn.ModuleList([
+            CausalResnetBlock1D(ch * 2, ch, t_dim),
+            nn.ModuleList([BasicTransformerBlock(ch, cfg.heads, cfg.head_dim)
+                           for _ in range(cfg.n_blocks)]),
+            CausalConv1d(ch, ch, 3)])])
+        self.final_block = CausalBlock1D(ch, ch)
+        self.final_proj = nn.Conv1d(ch, cfg.out_channels, 1)
+
+    def forward(self, x, mask, mu, t, spks, cond):
+        cfg = self.cfg
+        half = cfg.in_channels // 2
+        emb = np.log(10000.0) / (half - 1)
+        emb = torch.exp(torch.arange(half).float() * -emb)
+        emb = 1000.0 * t.unsqueeze(1) * emb.unsqueeze(0)
+        temb = torch.cat((emb.sin(), emb.cos()), dim=-1)
+        temb = self.time_mlp(temb)
+
+        spks_t = spks.unsqueeze(-1).expand(-1, -1, x.size(-1))
+        h = torch.cat([x, mu, spks_t, cond], dim=1)
+        m = mask.unsqueeze(1).float()
+        bmask = mask
+
+        resnet, tblocks, downsample = self.down_blocks[0]
+        h = resnet(h, m, temb)
+        ht = h.transpose(1, 2)
+        for tb in tblocks:
+            ht = tb(ht, bmask)
+        h = ht.transpose(1, 2)
+        skip = h
+        h = downsample(h * m)
+
+        for resnet, tblocks in self.mid_blocks:
+            h = resnet(h, m, temb)
+            ht = h.transpose(1, 2)
+            for tb in tblocks:
+                ht = tb(ht, bmask)
+            h = ht.transpose(1, 2)
+
+        resnet, tblocks, upsample = self.up_blocks[0]
+        h = torch.cat([h, skip], dim=1)
+        h = resnet(h, m, temb)
+        ht = h.transpose(1, 2)
+        for tb in tblocks:
+            ht = tb(ht, bmask)
+        h = ht.transpose(1, 2)
+        h = upsample(h * m)
+
+        h = self.final_block(h, m)
+        out = self.final_proj(h * m)
+        return out * m
+
+
+# ================================================================== fixtures
+
+
+TINY = fm.OfficialFlowConfig.tiny()
+
+
+def _rename(sd, prefix):
+    return {f"{prefix}.{k}": v for k, v in sd.items()}
+
+
+@pytest.fixture(scope="module")
+def mirrors_and_params():
+    enc = UpsampleConformerEncoderMirror(TINY.encoder).eval()
+    dec = CausalConditionalDecoderMirror(TINY.estimator).eval()
+    state = {}
+    state.update(_rename(enc.state_dict(), "encoder"))
+    state.update(_rename(dec.state_dict(), "decoder.estimator"))
+    state["input_embedding.weight"] = torch.randn(TINY.vocab_size,
+                                                  TINY.input_size) * 0.02
+    state["spk_embed_affine_layer.weight"] = torch.randn(TINY.output_size,
+                                                         TINY.spk_embed_dim) * 0.1
+    state["spk_embed_affine_layer.bias"] = torch.randn(TINY.output_size) * 0.1
+    state["encoder_proj.weight"] = torch.randn(TINY.output_size,
+                                               TINY.encoder.size) * 0.1
+    state["encoder_proj.bias"] = torch.randn(TINY.output_size) * 0.1
+    params = fm.from_flow_state_dict(state, TINY)
+    return enc, dec, params
+
+
+def test_encoder_matches_torch(mirrors_and_params):
+    """UpsampleConformerEncoder forward (rel-pos attention, pre-lookahead,
+    ×2 causal upsample, post-upsample blocks, final norm) vs torch mirror."""
+    enc, _, params = mirrors_and_params
+    g = np.random.default_rng(0)
+    b, t, d = 2, 9, TINY.encoder.size
+    x = g.standard_normal((b, t, d)).astype(np.float32)
+    mask = np.ones((b, t), bool)
+    mask[1, 6:] = False
+    x = x * mask[..., None]
+    ours, mask_up = fm.upsample_conformer_encode(
+        params["encoder"], TINY.encoder, jnp.asarray(x), jnp.asarray(mask))
+    with torch.no_grad():
+        ref, ref_mask = enc(torch.from_numpy(x), torch.from_numpy(mask))
+    # padded positions may diverge (torch mirror zeroes inputs only at entry);
+    # compare valid frames
+    mu = np.asarray(mask_up)
+    np.testing.assert_allclose(np.asarray(ours)[mu], ref.numpy()[mu], atol=2e-4)
+
+
+def test_estimator_matches_torch(mirrors_and_params):
+    """CausalConditionalDecoder U-Net forward vs torch mirror."""
+    _, dec, params = mirrors_and_params
+    g = np.random.default_rng(1)
+    b, t, n = 2, 8, TINY.output_size
+    x = g.standard_normal((b, t, n)).astype(np.float32)
+    mu = g.standard_normal((b, t, n)).astype(np.float32)
+    spk = g.standard_normal((b, n)).astype(np.float32)
+    cond = g.standard_normal((b, t, n)).astype(np.float32)
+    tt = np.asarray([0.3, 0.7], np.float32)
+    mask = np.ones((b, t), bool)
+    mask[0, 5:] = False
+    ours = fm.causal_decoder_estimator(
+        params["estimator"], TINY.estimator, jnp.asarray(x), jnp.asarray(tt),
+        jnp.asarray(mu), jnp.asarray(spk), jnp.asarray(cond), jnp.asarray(mask))
+    with torch.no_grad():
+        ref = dec(torch.from_numpy(x).transpose(1, 2),
+                  torch.from_numpy(mask),
+                  torch.from_numpy(mu).transpose(1, 2),
+                  torch.from_numpy(tt), torch.from_numpy(spk),
+                  torch.from_numpy(cond).transpose(1, 2))
+    np.testing.assert_allclose(np.asarray(ours),
+                               ref.numpy().transpose(0, 2, 1), atol=2e-4)
+
+
+def test_flow_inference_runs_from_torch_weights(mirrors_and_params):
+    """End-to-end flow_inference on converter-loaded torch weights: finite
+    mel at ratio·T_tok frames, prompt span stripped."""
+    _, _, params = mirrors_and_params
+    g = np.random.default_rng(2)
+    b, t_tok, t_p = 1, 6, 3
+    tok = jnp.asarray(g.integers(0, TINY.vocab_size, (b, t_tok)), jnp.int32)
+    ptok = jnp.asarray(g.integers(0, TINY.vocab_size, (b, t_p)), jnp.int32)
+    pfeat = jnp.asarray(
+        g.standard_normal((b, t_p * TINY.token_mel_ratio, TINY.output_size)),
+        jnp.float32)
+    emb = jnp.asarray(g.standard_normal((b, TINY.spk_embed_dim)), jnp.float32)
+    mel, mask = fm.flow_inference(
+        params, TINY, jax.random.PRNGKey(0), tok, jnp.ones((b, t_tok), bool),
+        ptok, jnp.ones((b, t_p), bool), pfeat, emb)
+    assert mel.shape == (b, t_tok * TINY.token_mel_ratio, TINY.output_size)
+    assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_flow_roundtrip_identity():
+    params = fm.init_official_flow(jax.random.PRNGKey(3), TINY)
+    state = fm.to_flow_state_dict(params, TINY)
+    params2 = fm.from_flow_state_dict(state, TINY)
+    l1 = jax.tree_util.tree_leaves(params)
+    l2 = jax.tree_util.tree_leaves(params2)
+    assert len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_full_scale_shape_contract():
+    """cosyvoice2.yaml flow: dims — token table 6561×512, x-vector affine
+    192→80, 6+4 conformer blocks at 512/8 heads/2048 units, estimator U-Net
+    at 256 channels / 8 heads × 64 head-dim / 4+12·(1+4)+… blocks."""
+    cfg = fm.OfficialFlowConfig()
+    shapes = jax.eval_shape(lambda k: fm.init_official_flow(k, cfg),
+                            jax.random.PRNGKey(0))
+    assert shapes["input_embedding"].shape == (6561, 512)
+    assert shapes["spk_affine"]["kernel"].shape == (192, 80)
+    assert shapes["encoder_proj"]["kernel"].shape == (512, 80)
+    enc = shapes["encoder"]
+    assert len(enc["layers"]) == 6 and len(enc["up_layers"]) == 4
+    blk = enc["layers"][0]
+    assert blk["attn"]["q"]["kernel"].shape == (512, 512)
+    assert blk["attn"]["bias_u"].shape == (8, 64)
+    assert blk["ff"]["w1"]["kernel"].shape == (512, 2048)
+    assert enc["up_layer"]["kernel"].shape == (5, 512, 512)
+    est = shapes["estimator"]
+    assert est["time_mlp"]["l1"]["kernel"].shape == (320, 1024)
+    assert est["down"]["resnet"]["block1"]["conv"]["kernel"].shape == (3, 320, 256)
+    assert len(est["mid"]) == 12
+    assert est["mid"][0]["tblocks"][0]["attn"]["q"]["kernel"].shape == (256, 512)
+    assert est["up"]["resnet"]["block1"]["conv"]["kernel"].shape == (3, 512, 256)
+    assert est["final_proj"]["kernel"].shape == (1, 256, 80)

@@ -1,0 +1,139 @@
+"""End-to-end real-weights TTS path: official-naming .pt checkpoints →
+bake_models --tts → load_official_tts → synthesize_official.
+
+The reference deploys llm.pt/flow.pt/hift.pt baked into its image
+(Docker/Dockerfile.cosyvoice:37-52); no checkpoint ships here, so the triple
+is emitted synthetically in the official naming (models/flow_matcha
+to_flow_state_dict, models/hift to_hift_state_dict, an llm.pt built in the
+Qwen2LM layout) and driven through the exact production loading chain.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from expressive_speech_translation_tpu.models import (
+    cosyvoice as cv,
+    cosyvoice_official as co,
+    flow_matcha as fm,
+    hift as hm,
+    loaders,
+    qwen2 as q2,
+)
+
+TINY = co.OfficialTtsConfig.tiny()
+
+
+def _tiny_llm_state(cfg: cv.SpeechLMConfig) -> dict:
+    """Emit an official-naming Qwen2LM llm.pt state dict from random values
+    (llm.model.* HF backbone + llm_embedding + speech_embedding +
+    llm_decoder, models/cosyvoice.from_cosyvoice_llm_state_dict contract)."""
+    g = torch.Generator().manual_seed(0)
+    b = cfg.backbone
+
+    def r(*shape):
+        return torch.randn(*shape, generator=g) * 0.05
+
+    state = {
+        "llm_embedding.weight": r(2, b.hidden),
+        "speech_embedding.weight": r(cfg.speech_token_size + 3, b.hidden),
+        "llm_decoder.weight": r(cfg.speech_token_size + 3, b.hidden),
+        "llm_decoder.bias": r(cfg.speech_token_size + 3),
+        "llm.model.model.embed_tokens.weight": r(cfg.text_vocab, b.hidden),
+        "llm.model.model.norm.weight": torch.ones(b.hidden),
+    }
+    head_dim = b.hidden // b.heads
+    for i in range(b.layers):
+        p = f"llm.model.model.layers.{i}"
+        state.update({
+            f"{p}.input_layernorm.weight": torch.ones(b.hidden),
+            f"{p}.post_attention_layernorm.weight": torch.ones(b.hidden),
+            f"{p}.self_attn.q_proj.weight": r(b.heads * head_dim, b.hidden),
+            f"{p}.self_attn.q_proj.bias": r(b.heads * head_dim),
+            f"{p}.self_attn.k_proj.weight": r(b.kv_heads * head_dim, b.hidden),
+            f"{p}.self_attn.k_proj.bias": r(b.kv_heads * head_dim),
+            f"{p}.self_attn.v_proj.weight": r(b.kv_heads * head_dim, b.hidden),
+            f"{p}.self_attn.v_proj.bias": r(b.kv_heads * head_dim),
+            f"{p}.self_attn.o_proj.weight": r(b.hidden, b.heads * head_dim),
+            f"{p}.mlp.gate_proj.weight": r(b.ffn_dim, b.hidden),
+            f"{p}.mlp.up_proj.weight": r(b.ffn_dim, b.hidden),
+            f"{p}.mlp.down_proj.weight": r(b.hidden, b.ffn_dim),
+        })
+    return state
+
+
+@pytest.fixture(scope="module")
+def baked_root(tmp_path_factory):
+    src = tmp_path_factory.mktemp("cosyvoice_ckpt")
+    out = tmp_path_factory.mktemp("baked")
+
+    torch.save(_tiny_llm_state(TINY.lm), src / "llm.pt")
+    flow_params = fm.init_official_flow(jax.random.PRNGKey(0), TINY.flow)
+    torch.save({k: torch.from_numpy(np.asarray(v))
+                for k, v in fm.to_flow_state_dict(flow_params, TINY.flow).items()},
+               src / "flow.pt")
+    hift_params = hm.init_hift(jax.random.PRNGKey(1), TINY.hift)
+    torch.save({k: torch.from_numpy(np.asarray(v))
+                for k, v in hm.to_hift_state_dict(hift_params, TINY.hift).items()},
+               src / "hift.pt")
+
+    loaders.bake_models(out, tts=str(src), tts_llm_cfg=TINY.lm,
+                        tts_flow_cfg=TINY.flow, tts_hift_cfg=TINY.hift)
+    return out, flow_params, hift_params
+
+
+def test_bake_produces_all_three_submodels(baked_root):
+    out, _, _ = baked_root
+    for sub in ("tts_llm", "tts_flow", "tts_hift"):
+        assert (out / sub / "config.json").exists(), f"{sub} not baked"
+
+
+def test_load_official_tts_roundtrips_params(baked_root):
+    out, flow_params, hift_params = baked_root
+    params, cfg = loaders.load_official_tts(out)
+    assert cfg.flow.vocab_size == TINY.flow.vocab_size
+    assert cfg.hift.base_channels == TINY.hift.base_channels
+    for a, b in zip(jax.tree_util.tree_leaves(params["flow"]),
+                    jax.tree_util.tree_leaves(flow_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(params["hift"]),
+                    jax.tree_util.tree_leaves(hift_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_synthesize_official_end_to_end(baked_root):
+    """The full official chain on baked weights: RAS LM decode → prompt-
+    conditioned CFM mel → NSF-iSTFT vocoder, 24 kHz out."""
+    out, _, _ = baked_root
+    params, cfg = loaders.load_official_tts(out)
+    g = np.random.default_rng(0)
+    b, tt, tp = 1, 6, 4
+    text = jnp.asarray(g.integers(0, cfg.lm.text_vocab, (b, tt)), jnp.int32)
+    ptok = jnp.asarray(g.integers(0, min(cfg.lm.speech_token_size,
+                                         cfg.flow.vocab_size), (b, tp)), jnp.int32)
+    pmel = jnp.asarray(
+        g.standard_normal((b, tp * cfg.flow.token_mel_ratio,
+                           cfg.flow.output_size)), jnp.float32)
+    spk = jnp.asarray(g.standard_normal((b, cfg.flow.spk_embed_dim)), jnp.float32)
+
+    out_d = co.synthesize_official(
+        params, cfg, jax.random.PRNGKey(7), text, jnp.ones((b, tt), bool),
+        ptok, jnp.ones((b, tp), bool), spk, pmel,
+        max_new_tokens=8, min_new_tokens=8)
+    audio = np.asarray(out_d["audio"])
+    assert audio.shape == (b, 8 * cfg.flow.token_mel_ratio * cfg.hift.hop)
+    assert np.isfinite(audio).all()
+    assert np.abs(audio).max() <= cfg.hift.audio_limit + 1e-6
+
+
+def test_llm_converter_from_emitted_state(baked_root):
+    out, _, _ = baked_root
+    params, cfg = loaders.load_converted(out / "tts_llm", cv.SpeechLMConfig)
+    assert params["speech_embed"].shape == (cfg.speech_token_size + 3,
+                                            cfg.backbone.hidden)
+    assert isinstance(cfg.backbone, q2.Qwen2Config)
