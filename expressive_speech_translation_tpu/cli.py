@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 from pathlib import Path
 
@@ -195,11 +196,31 @@ def cmd_doctor(args) -> int:
         state = load_state_dict(args.weights)
         return f"{len(state)} tensors at {args.weights}"
 
+    def _tts_triple():
+        """Baked CosyVoice triple (tts_llm/tts_flow/tts_hift): the official
+        synthesis chain is available iff all three converted (bake_models
+        --tts on a dir holding llm.pt/flow.pt/hift.pt)."""
+        from pathlib import Path
+
+        root = args.weights or os.environ.get("EST_MODELS_DIR")
+        if not root:
+            return "no weights root (EST_MODELS_DIR unset)"
+        present = [s for s in ("tts_llm", "tts_flow", "tts_hift")
+                   if (Path(root) / s / "config.json").exists()]
+        if len(present) == 3:
+            from .models.loaders import load_official_tts
+
+            params, cfg = load_official_tts(root)
+            n = sum(1 for _ in __import__("jax").tree_util.tree_leaves(params))
+            return f"official TTS triple loads ({n} tensors)"
+        return f"baked: {present or 'none'} — official chain needs all three"
+
     check("jax_devices", _devices)
     check("jit_compile", _compile)
     check("pallas_kernel", _pallas)
     check("native_media_shim", _native)
     check("weights", _weights)
+    check("tts_triple", _tts_triple)
     ok = all(c["ok"] for c in checks.values())
     print(json.dumps({"ok": ok, "checks": checks}, ensure_ascii=False, indent=2))
     return 0 if ok else 1

@@ -559,26 +559,48 @@ class JaxCosyVoiceTts:
         seconds_per_char: float = 0.08,
         mesh=None,
         quantize: bool = False,
+        official=None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — the speech-LM params are
         placed by the tensor-parallel partition rules (models/cosyvoice.py
         ``speech_lm_partition_rules``) and inference programs pick the layout
         up from the committed arrays; everything else replicates.
-        ``quantize``: weight-only int8 for the speech-LM decode path."""
+        ``quantize``: weight-only int8 for the speech-LM decode path.
+        ``official``: optional ``(params, OfficialTtsConfig)`` — converted
+        llm.pt/flow.pt/hift.pt triple; synthesis then runs the official
+        CosyVoice2 chain (models/cosyvoice_official.synthesize_official)
+        instead of the TPU-native flow/vocoder."""
         from ..models import ecapa, qwen2 as q2
 
-        self.cfg = cfg or cvm.CosyVoiceConfig(
-            lm=cvm.SpeechLMConfig(
-                backbone=q2.Qwen2Config(hidden=256, layers=4, heads=8, kv_heads=2,
-                                        ffn_dim=1024, max_positions=2048),
-                text_vocab=384, speech_token_size=512),
-            flow=cvm.FlowConfig(token_vocab=515, dim=256, layers=4, heads=8),
-            vocoder=cvm.VocoderConfig(base_channels=256),
-        )
-        self.weightless = params is None
-        if params is None:
-            log.warning("JaxCosyVoiceTts: random weights (no checkpoint supplied)")
-            params = host_init(cvm.init_cosyvoice, 2, self.cfg)
+        self.official = official
+        if official is not None:
+            oparams, ocfg = official
+            self.official_cfg = ocfg
+            # config VIEW for the shared conditioning/bucketing code paths
+            # (spk_embed_dim / n_mels / text_vocab / samples-per-token)
+            self.cfg = cvm.CosyVoiceConfig(
+                lm=ocfg.lm,
+                flow=cvm.FlowConfig(
+                    token_vocab=ocfg.flow.vocab_size + 3,
+                    n_mels=ocfg.flow.output_size,
+                    spk_embed_dim=ocfg.flow.spk_embed_dim,
+                    token_mel_ratio=ocfg.flow.token_mel_ratio),
+            )
+            params = oparams
+            self.weightless = False
+        else:
+            self.cfg = cfg or cvm.CosyVoiceConfig(
+                lm=cvm.SpeechLMConfig(
+                    backbone=q2.Qwen2Config(hidden=256, layers=4, heads=8, kv_heads=2,
+                                            ffn_dim=1024, max_positions=2048),
+                    text_vocab=384, speech_token_size=512),
+                flow=cvm.FlowConfig(token_vocab=515, dim=256, layers=4, heads=8),
+                vocoder=cvm.VocoderConfig(base_channels=256),
+            )
+            self.weightless = params is None
+            if params is None:
+                log.warning("JaxCosyVoiceTts: random weights (no checkpoint supplied)")
+                params = host_init(cvm.init_cosyvoice, 2, self.cfg)
         self.params = cast_floats(params, dtype)
         if quantize:
             self.params = dict(self.params)
@@ -590,11 +612,12 @@ class JaxCosyVoiceTts:
             from ..parallel.mesh import TP_AXIS
             from ..parallel.partition import logical_to_sharding
 
+            repl = NamedSharding(mesh, P())
             self.params = {
                 "lm": logical_to_sharding(
                     self.params["lm"], mesh, cvm.speech_lm_partition_rules(TP_AXIS)),
-                "flow": jax.device_put(self.params["flow"], NamedSharding(mesh, P())),
-                "vocoder": jax.device_put(self.params["vocoder"], NamedSharding(mesh, P())),
+                **{k: jax.device_put(self.params[k], repl)
+                   for k in self.params if k != "lm"},
             }
         self.tokenizer = tokenizer or ByteTokenizer()
         self.seconds_per_char = seconds_per_char
@@ -611,26 +634,48 @@ class JaxCosyVoiceTts:
         # relay round-trip per call)
         self._call_count = 0
 
-        @functools.partial(jax.jit, static_argnums=(8,))
-        def _synth(params, seed, text, tmask, spk, pmel, pmm, psp, max_new):
-            key = jax.random.fold_in(jax.random.PRNGKey(42), seed)
-            return cvm.synthesize(
-                params, self.cfg, key, text, tmask,
-                psp, jnp.ones_like(psp, bool), spk, pmel, pmm,
-                max_new_tokens=max_new,
-            )["audio"]
+        if official is not None:
+            from ..models import cosyvoice_official as com
+
+            ocfg = self.official_cfg
+
+            @functools.partial(jax.jit, static_argnums=(8,))
+            def _synth(params, seed, text, tmask, spk, pmel, pmm, psp, max_new):
+                key = jax.random.fold_in(jax.random.PRNGKey(42), seed)
+                return com.synthesize_official(
+                    params, ocfg, key, text, tmask,
+                    psp, jnp.ones_like(psp, bool), spk, pmel,
+                    max_new_tokens=max_new,
+                )["audio"]
+
+            @functools.partial(jax.jit, static_argnums=(9,))
+            def _synth_b(params, seed, text, tmask, spk, pmel, pmm, psp, psm, max_new):
+                key = jax.random.fold_in(jax.random.PRNGKey(42), seed)
+                out = com.synthesize_official(
+                    params, ocfg, key, text, tmask, psp, psm, spk, pmel,
+                    max_new_tokens=max_new,
+                )
+                return out["audio"], out["token_lengths"]
+        else:
+            @functools.partial(jax.jit, static_argnums=(8,))
+            def _synth(params, seed, text, tmask, spk, pmel, pmm, psp, max_new):
+                key = jax.random.fold_in(jax.random.PRNGKey(42), seed)
+                return cvm.synthesize(
+                    params, self.cfg, key, text, tmask,
+                    psp, jnp.ones_like(psp, bool), spk, pmel, pmm,
+                    max_new_tokens=max_new,
+                )["audio"]
+
+            @functools.partial(jax.jit, static_argnums=(9,))
+            def _synth_b(params, seed, text, tmask, spk, pmel, pmm, psp, psm, max_new):
+                key = jax.random.fold_in(jax.random.PRNGKey(42), seed)
+                out = cvm.synthesize(
+                    params, self.cfg, key, text, tmask, psp, psm, spk, pmel, pmm,
+                    max_new_tokens=max_new,
+                )
+                return out["audio"], out["token_lengths"]
 
         self._fn = _synth
-
-        @functools.partial(jax.jit, static_argnums=(9,))
-        def _synth_b(params, seed, text, tmask, spk, pmel, pmm, psp, psm, max_new):
-            key = jax.random.fold_in(jax.random.PRNGKey(42), seed)
-            out = cvm.synthesize(
-                params, self.cfg, key, text, tmask, psp, psm, spk, pmel, pmm,
-                max_new_tokens=max_new,
-            )
-            return out["audio"], out["token_lengths"]
-
         self._fn_b = _synth_b
 
         @jax.jit
@@ -786,6 +831,13 @@ class JaxCosyVoiceTts:
         TPU-native streaming delivery — the capability the reference config
         declares (chunk_size 25, greek_sft.yaml:20-21) but whose API threw
         away (first generator chunk only, Docker/cosyvoice_api.py:129)."""
+        if self.official is not None:
+            # chunked official-chain streaming not built yet — deliver the
+            # full utterance as one chunk (same contract, no partials)
+            yield self.synthesize(
+                text, style_prompt=style_prompt,
+                reference_audio_16k=reference_audio_16k, language=language)
+            return
         toks, tmask, spk, pmel, pmm, psp, max_new = self._prepare_conditioning(
             text, reference_audio_16k)
         self._call_count += 1
@@ -848,6 +900,13 @@ def jax_engines(*, batch_tts: bool = False, batch_asr: bool = False,
             params, cfg = load_converted(root / "nmt", njm.NLLBConfig)
             kwargs["nmt_params"], kwargs["nmt_cfg"] = params, cfg
             log.info("loaded baked NMT weights from %s", root / "nmt")
+        if ("tts_official" not in kwargs and "tts_params" not in kwargs
+                and all((root / s / "config.json").exists()
+                        for s in ("tts_llm", "tts_flow", "tts_hift"))):
+            from ..models.loaders import load_official_tts
+
+            kwargs["tts_official"] = load_official_tts(root)
+            log.info("loaded baked official CosyVoice triple from %s", root)
 
     shared_tok = kwargs.get("tokenizer")
     asr: Any = JaxWhisperAsr(
@@ -863,7 +922,7 @@ def jax_engines(*, batch_tts: bool = False, batch_asr: bool = False,
     tts: Any = JaxCosyVoiceTts(
         kwargs.get("tts_cfg"), kwargs.get("tts_params"),
         kwargs.get("tts_tokenizer", shared_tok), quantize=quantize,
-        mesh=kwargs.get("mesh"))
+        mesh=kwargs.get("mesh"), official=kwargs.get("tts_official"))
     if batch_tts:
         from ..serve.batching import BatchedTts
 

@@ -88,6 +88,9 @@ class App:
 
             url_fetcher = default_fetcher
         self.url_fetcher = url_fetcher
+        from .podcasts import PodcastStore
+
+        self.podcasts = PodcastStore(Path(self.config.temp_dir) / "podcasts")
         self.started_at = time.time()
         self.url_map = Map([
             Rule("/", endpoint="index", methods=["GET"]),
@@ -99,6 +102,10 @@ class App:
             Rule("/process-audio-url", endpoint="process_audio_url", methods=["POST"]),
             Rule("/translation-service-status", endpoint="service_status", methods=["GET"]),
             Rule("/upload_podcast", endpoint="upload_podcast", methods=["POST"]),
+            Rule("/podcasts", endpoint="list_podcasts", methods=["GET"]),
+            Rule("/podcasts/<podcast_id>", endpoint="get_podcast", methods=["GET"]),
+            Rule("/podcasts/<podcast_id>/audio", endpoint="get_podcast_audio",
+                 methods=["GET"]),
             Rule("/health/model", endpoint="health_model", methods=["GET"]),
         ])
         self._route_limits = {
@@ -157,7 +164,7 @@ class App:
 
     # ---------------------------------------------------------------- routes
 
-    def _read_upload(self, request: Request) -> tuple[np.ndarray, int, str]:
+    def _read_upload(self, request: Request) -> tuple[np.ndarray, int, str, bytes]:
         file = request.files.get("file") or request.files.get("audio")
         if file is None or not file.filename:
             raise ValidationError("No audio file provided")
@@ -178,7 +185,7 @@ class App:
             from ..media import decode_audio_bytes
 
             audio, sr = decode_audio_bytes(raw, suffix)
-        return audio, sr, file.filename
+        return audio, sr, file.filename, raw
 
     _STATIC_DIR = Path(__file__).parent / "static"
     _STATIC_TYPES = {".html": "text/html", ".js": "application/javascript",
@@ -202,7 +209,7 @@ class App:
             raise ValidationError("target_language is required")
         source = request.form.get("source_language", "eng")
         backend_name = request.form.get("backend")
-        audio, sr, _ = self._read_upload(request)
+        audio, sr, _, _ = self._read_upload(request)
 
         duration = np.asarray(audio).reshape(-1).shape[0] / max(sr, 1)
         if np.asarray(audio).ndim == 2:
@@ -303,19 +310,33 @@ class App:
         return _json({"audio": encoded, "transcripts": result.get("transcripts", {})})
 
     def route_upload_podcast(self, request: Request) -> Response:
-        audio, sr, filename = self._read_upload(request)
+        """Upload + PERSIST (podcast_routes.py:17-95 parity: UUID filename
+        under the upload folder, duration mm:ss, episode count, metadata
+        JSON back). Retrieval: GET /podcasts, /podcasts/<id>[,/audio]."""
+        audio, sr, filename, raw = self._read_upload(request)
         duration = np.asarray(audio).shape[-1] / max(sr, 1)
         self.audio_processor.validate_audio_length(
             duration, max_seconds=self.config.audio.max_podcast_seconds
         )
-        podcast_id = uuid.uuid4().hex
-        return _json({
-            "podcast_id": podcast_id,
-            "filename": filename,
-            "duration_seconds": round(float(duration), 2),
-            "sample_rate": sr,
-            "status": "uploaded",
-        })
+        meta = self.podcasts.save(
+            raw, filename, title=request.form.get("title"),
+            duration_seconds=float(duration), sample_rate=sr)
+        return _json({**meta, "status": "uploaded"})
+
+    def route_list_podcasts(self, request: Request) -> Response:
+        return _json({"podcasts": self.podcasts.list()})
+
+    def route_get_podcast(self, request: Request, podcast_id: str) -> Response:
+        meta, _ = self.podcasts.get(podcast_id)
+        return _json(meta)
+
+    def route_get_podcast_audio(self, request: Request, podcast_id: str) -> Response:
+        meta, path = self.podcasts.get(podcast_id)
+        suffix = Path(meta["filename"]).suffix.lower()
+        ctype = {".wav": "audio/wav", ".mp3": "audio/mpeg",
+                 ".ogg": "audio/ogg", ".flac": "audio/flac"}.get(
+            suffix, "application/octet-stream")
+        return Response(path.read_bytes(), mimetype=ctype)
 
     def route_service_status(self, request: Request) -> Response:
         return _json({

@@ -1,0 +1,82 @@
+"""Podcast upload persistence (podcast_routes.py:17-95 parity).
+
+The reference saves each upload with a ``{uuid}_{secure_filename}`` name
+under an upload folder, derives an mm:ss duration, counts episodes by
+listing the folder, and returns metadata JSON. Rebuilt here with the same
+shape plus retrieval (list / metadata / raw audio) and restart survival via
+JSON sidecars — the part the round-2 build validated but never persisted.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import re
+import threading
+import uuid
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+from ..core.errors import ValidationError
+
+
+def secure_filename(name: str) -> str:
+    """werkzeug.utils.secure_filename-style sanitisation (path bits and
+    non [A-Za-z0-9._-] chars dropped)."""
+    name = Path(name).name
+    name = re.sub(r"[^A-Za-z0-9._-]", "_", name).strip("._")
+    return name or "upload"
+
+
+class PodcastStore:
+    def __init__(self, root: str | Path):
+        self.root = Path(root).absolute()
+        self.root.mkdir(parents=True, exist_ok=True)
+        self._lock = threading.Lock()
+
+    def save(self, raw: bytes, filename: str, *, title: Optional[str] = None,
+             duration_seconds: float = 0.0, sample_rate: int = 0) -> Dict:
+        unique_id = uuid.uuid4().hex
+        fname = secure_filename(filename)
+        path = self.root / f"{unique_id}_{fname}"
+        minutes, seconds = int(duration_seconds // 60), int(duration_seconds % 60)
+        with self._lock:
+            path.write_bytes(raw)
+            meta = {
+                "id": unique_id,
+                "podcast_id": unique_id,            # round-2 response alias
+                "title": title or Path(fname).stem,
+                "filename": fname,
+                # episode number = folder count, podcast_routes.py:79
+                "episode": str(len(list(self.root.glob("*_*")))
+                               - len(list(self.root.glob("*.json")))),
+                "duration": f"{minutes:02d}:{seconds:02d}",
+                "duration_seconds": round(duration_seconds, 2),
+                "sample_rate": sample_rate,
+                "date": _dt.datetime.now().isoformat(),
+                "filepath": str(path),
+            }
+            path.with_suffix(path.suffix + ".json").write_text(
+                json.dumps(meta), encoding="utf-8")
+        return meta
+
+    def list(self) -> List[Dict]:
+        out = []
+        for sidecar in sorted(self.root.glob("*.json")):
+            try:
+                out.append(json.loads(sidecar.read_text(encoding="utf-8")))
+            except (OSError, ValueError):
+                continue
+        return out
+
+    def get(self, podcast_id: str) -> Tuple[Dict, Path]:
+        if not re.fullmatch(r"[0-9a-f]{32}", podcast_id or ""):
+            raise ValidationError("invalid podcast id")
+        matches = list(self.root.glob(f"{podcast_id}_*.json"))
+        if not matches:
+            raise ValidationError(f"unknown podcast id {podcast_id}")
+        meta = json.loads(matches[0].read_text(encoding="utf-8"))
+        audio_path = Path(str(matches[0])[: -len(".json")])
+        if not audio_path.exists():
+            raise ValidationError(f"podcast {podcast_id} audio missing")
+        return meta, audio_path

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 from pathlib import Path
 from typing import Iterator, List, Optional
@@ -26,10 +27,92 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
-def load_kaldi_dir(data_dir: str | Path) -> List[dict]:
-    """wav.scp + text → sample dicts (tokenized text; speech tokens must be
-    produced by the speech tokenizer — absent weights, a deterministic proxy
-    hash keeps the pipeline runnable end-to-end)."""
+class SpeechTokenizerFrontend:
+    """wav → 25 Hz FSQ speech tokens — the role CosyVoice's tokenization
+    stage plays in the reference data pipeline (greek_sft.yaml:40-91:
+    parquet→tokenize→…; the speech tokens the LM trains on come from the
+    pretrained speech tokenizer).
+
+    Weights: a baked checkpoint under ``EST_MODELS_DIR/speech_tokenizer``
+    when present; otherwise a fixed-seed init — deterministic (same audio →
+    same tokens across runs/processes), so the full real-audio path is
+    exercised even weightless. Lengths are bucketed so the whole corpus
+    tokenizes through a handful of compiled programs."""
+
+    BUCKETS_S = (2, 5, 10, 20, 30)
+
+    def __init__(self):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import speech_tokenizer as st
+        from ..models.common import host_init
+
+        self.cfg = st.SpeechTokenizerConfig()
+        self._params = None
+        models_dir = os.environ.get("EST_MODELS_DIR")
+        if models_dir:
+            from ..models.loaders import WeightsNotFoundError, load_converted
+
+            try:
+                self._params, self.cfg = load_converted(
+                    Path(models_dir) / "speech_tokenizer", st.SpeechTokenizerConfig)
+                log.info("speech tokenizer: baked weights from %s", models_dir)
+            except WeightsNotFoundError:
+                pass
+        if self._params is None:
+            self._params = host_init(st.init_speech_tokenizer, 1986, self.cfg)
+            log.info("speech tokenizer: fixed-seed weights (deterministic)")
+
+        @functools.partial(jax.jit, static_argnums=())
+        def _tokenize(params, audio_24k, valid_samples):
+            from ..ops import kaldi_fbank
+
+            mel = kaldi_fbank(audio_24k[None], sr=24_000, frame_length_ms=40.0,
+                              frame_shift_ms=20.0, n_mels=self.cfg.n_mels)
+            frames = jnp.arange(mel.shape[1])
+            valid_frames = valid_samples // 480  # 20 ms shift at 24 kHz
+            mask = frames[None, :] < valid_frames
+            ids, tok_mask = st.encode(params, self.cfg, mel, mask)
+            return ids[0], tok_mask[0]
+
+        self._fn = _tokenize
+
+    def __call__(self, wav_path: str) -> Optional[List[int]]:
+        """Decode + tokenize one utterance; None if the file is unreadable."""
+        import jax.numpy as jnp
+
+        from ..media import native
+
+        try:
+            audio, _ = native.decode_audio(wav_path, target_rate=24_000,
+                                           target_channels=1)
+        except Exception:  # noqa: BLE001 — container paths, missing files
+            return None
+        x = np.asarray(audio, np.float32).reshape(-1)
+        if x.size < 2400:  # < 100 ms
+            return None
+        bucket_s = next((b for b in self.BUCKETS_S
+                         if x.size <= 24_000 * b), self.BUCKETS_S[-1])
+        padded = np.zeros(24_000 * bucket_s, np.float32)
+        n = min(x.size, padded.size)
+        padded[:n] = x[:n]
+        ids, mask = self._fn(self._params, jnp.asarray(padded), jnp.int32(n))
+        ids = np.asarray(ids)[np.asarray(mask)]
+        return ids.astype(int).tolist()
+
+
+def load_kaldi_dir(data_dir: str | Path, tokenizer_frontend=None) -> List[dict]:
+    """wav.scp + text → sample dicts.
+
+    Speech tokens come from the FSQ speech tokenizer applied to the REAL
+    audio (the wav→token stage of greek_sft.yaml's data pipeline). When an
+    utterance's wav cannot be decoded (e.g. the reference's container paths
+    ``/data/el/clips/...`` on a host without the corpus), a deterministic
+    per-utterance proxy keeps the pipeline runnable — and the fallback is
+    logged so silent proxy-training is impossible."""
     from ..pipeline.tokenizer import ByteTokenizer
 
     data = Path(data_dir)
@@ -38,21 +121,40 @@ def load_kaldi_dir(data_dir: str | Path) -> List[dict]:
         utt, _, sentence = line.partition(" ")
         texts[utt] = sentence
     tok = ByteTokenizer()
+    frontend = tokenizer_frontend
     samples = []
+    n_real = n_proxy = 0
     for line in (data / "wav.scp").read_text(encoding="utf-8").splitlines():
         utt, _, wav = line.partition(" ")
         sentence = texts.get(utt, "")
         text_tokens = tok.encode(sentence)[:200]
-        # proxy speech tokens: deterministic per utterance, ~2.5 tokens/char
-        rng = np.random.default_rng(abs(hash(utt)) % (2**32))
-        n_speech = max(int(len(sentence) * 2.5), 4)
+        speech_tokens = None
+        if frontend is None and Path(wav).exists():
+            frontend = SpeechTokenizerFrontend()
+        if frontend is not None:
+            speech_tokens = frontend(wav)
+        if speech_tokens:
+            n_real += 1
+        else:
+            # proxy speech tokens: deterministic per utterance, ~2.5 tokens/char
+            rng = np.random.default_rng(abs(hash(utt)) % (2**32))
+            n_speech = max(int(len(sentence) * 2.5), 4)
+            speech_tokens = rng.integers(0, 6561, n_speech).tolist()
+            n_proxy += 1
         samples.append({
             "utt_id": utt,
             "wav": wav,
             "text_tokens": text_tokens,
-            "speech_tokens": rng.integers(0, 6561, n_speech).tolist(),
-            "num_frames": n_speech,
+            "speech_tokens": speech_tokens,
+            "num_frames": len(speech_tokens),
         })
+    if n_proxy:
+        log.warning("load_kaldi_dir(%s): %d/%d utterances fell back to proxy "
+                    "speech tokens (wav missing/undecodable)", data_dir,
+                    n_proxy, n_real + n_proxy)
+    else:
+        log.info("load_kaldi_dir(%s): %d utterances tokenized from real audio",
+                 data_dir, n_real)
     return samples
 
 

@@ -137,3 +137,71 @@ def test_llm_converter_from_emitted_state(baked_root):
     assert params["speech_embed"].shape == (cfg.speech_token_size + 3,
                                             cfg.backbone.hidden)
     assert isinstance(cfg.backbone, q2.Qwen2Config)
+
+
+# ---------------------------------------------------- serving-engine wiring
+
+
+ENGINE_TINY = co.OfficialTtsConfig(
+    lm=TINY.lm,
+    flow=fm.OfficialFlowConfig(
+        vocab_size=64, input_size=32, output_size=80, spk_embed_dim=192,
+        encoder=fm.UpsampleConformerConfig(size=32, heads=4, linear_units=64,
+                                           blocks=1, up_blocks=1),
+        estimator=fm.CausalDecoderConfig(in_channels=320, out_channels=80,
+                                         channels=32, heads=2, head_dim=16,
+                                         n_blocks=1, num_mid_blocks=1),
+        n_timesteps=2),
+    hift=hm.HiFTConfig(in_channels=80, base_channels=32, nb_harmonics=2,
+                       f0_cond_channels=16),
+)
+
+
+def test_engine_official_mode_synthesizes():
+    """JaxCosyVoiceTts(official=…): the serving engine runs the official
+    chain end-to-end (engine conditioning: ECAPA 192-d x-vector + 80-mel
+    kaldi prompt mel + FSQ prompt tokens → LM → CFM → HiFT @24 kHz)."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.pipeline.jax_engines import (
+        JaxCosyVoiceTts,
+    )
+
+    params = co.init_official_tts(jax.random.PRNGKey(0), ENGINE_TINY)
+    tts = JaxCosyVoiceTts(dtype=jnp.float32, seconds_per_char=0.02,
+                          official=(params, ENGINE_TINY))
+    assert tts.weightless is False
+    assert tts.sample_rate == 24_000
+
+    wave = tts.synthesize("hello official weights")
+    assert np.isfinite(wave).all() and len(wave) > 0
+
+    # with a cloning reference (exercises the fused conditioning path)
+    g = np.random.default_rng(0)
+    ref = (0.2 * np.sin(np.arange(32_000) * 0.05)
+           + 0.01 * g.standard_normal(32_000)).astype(np.float32)
+    wave_ref = tts.synthesize("cloned voice", reference_audio_16k=ref)
+    assert np.isfinite(wave_ref).all() and len(wave_ref) > 0
+
+    # batched path returns per-request trimmed waveforms
+    outs = tts.synthesize_batch([
+        {"text": "one"}, {"text": "two", "reference_audio_16k": ref},
+    ])
+    assert len(outs) == 2 and all(np.isfinite(o).all() for o in outs)
+
+    # streaming contract: official mode delivers one full chunk
+    chunks = list(tts.synthesize_streaming("stream me"))
+    assert len(chunks) >= 1 and np.isfinite(chunks[0]).all()
+
+
+def test_jax_engines_factory_picks_up_baked_triple(baked_root, monkeypatch):
+    out, _, _ = baked_root
+    monkeypatch.setenv("EST_MODELS_DIR", str(out))
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.pipeline.jax_engines import jax_engines
+
+    eng = jax_engines(scale="toy")
+    assert eng.tts.official is not None
+    assert eng.tts.weightless is False
+    assert eng.tts.official_cfg.flow.vocab_size == TINY.flow.vocab_size

@@ -300,3 +300,33 @@ def test_engine_config_env_overrides(monkeypatch):
     assert cfg.engines.mode == "fake"
     assert cfg.engines.scale == "toy"
     assert cfg.engines.asr_context_buckets == (4, 10)
+
+
+def test_podcast_persistence_roundtrip(client):
+    """podcast_routes.py:17-95 parity + retrieval: upload persists the file
+    under a UUID name; list → metadata → raw-audio fetch round-trips."""
+    raw = wav_bytes(2.0)
+    resp = client.post(
+        "/upload_podcast",
+        data={"file": (io.BytesIO(raw), "show.wav"), "title": "My Show"},
+    )
+    assert resp.status_code == 200
+    body = resp.get_json()
+    assert body["title"] == "My Show"
+    assert body["duration"] == "00:02"
+    assert body["filepath"].endswith("_show.wav")
+    pid = body["podcast_id"]
+
+    listed = client.get("/podcasts").get_json()["podcasts"]
+    assert any(p["id"] == pid for p in listed)
+
+    meta = client.get(f"/podcasts/{pid}").get_json()
+    assert meta["filename"] == "show.wav"
+
+    audio = client.get(f"/podcasts/{pid}/audio")
+    assert audio.status_code == 200
+    assert audio.data == raw  # byte-exact original upload
+
+    # unknown / malformed ids are 400s, not 500s
+    assert client.get("/podcasts/" + "0" * 32).status_code == 400
+    assert client.get("/podcasts/../etc/passwd").status_code in (400, 404)
