@@ -177,6 +177,42 @@ class CascadedBackend(TranslationBackend):
             "stage_summary": self.last_stage_summary,
         }
 
+    def translate_text(
+        self,
+        text: str,
+        source_lang: str,
+        target_lang: str,
+        *,
+        synthesize: bool = False,
+    ) -> Dict[str, Any]:
+        """Text-mode translation (simple_translate_tts.py role, SURVEY §2.18:
+        text → NLLB → optional TTS): returns {"source_text", "target_text"}
+        plus {"audio" [1,T]@16k} when ``synthesize`` — the /translate-text
+        route and the SPA TranslateTool ride this."""
+        if not text.strip():
+            raise ValidationError("text is required")
+        if not self.is_language_supported(target_lang):
+            raise ValidationError(f"Unsupported target language: {target_lang}")
+        target_text = self.engines.nmt.translate(
+            text, NLLB_LANGUAGES.get(source_lang, source_lang),
+            NLLB_LANGUAGES.get(target_lang, target_lang),
+        )
+        nmt_inner = getattr(self.engines.nmt, "engine", self.engines.nmt)
+        if not target_text.strip() and getattr(nmt_inner, "weightless", True) is False:
+            raise RuntimeError("Translation result was empty.")
+        out: Dict[str, Any] = {"source_text": text, "target_text": target_text}
+        if synthesize:
+            wave = self.engines.tts.synthesize(
+                target_text, language=COSYVOICE_LANGUAGES.get(target_lang, "en"))
+            tts_sr = getattr(self.engines.tts, "sample_rate", 24_000)
+            wave = np.asarray(wave, np.float32).reshape(-1)
+            if tts_sr != 16_000:
+                from ..ops.host_dsp import resample_np
+
+                wave = resample_np(wave, tts_sr, 16_000)
+            out["audio"] = wave.reshape(1, -1).astype(np.float32)
+        return out
+
     def translate_speech_streaming(
         self,
         audio: np.ndarray,

@@ -96,6 +96,7 @@ class App:
             Rule("/", endpoint="index", methods=["GET"]),
             Rule("/static/<path:filename>", endpoint="static", methods=["GET"]),
             Rule("/translate", endpoint="translate", methods=["POST"]),
+            Rule("/translate-text", endpoint="translate_text", methods=["POST"]),
             Rule("/process-video", endpoint="process_video", methods=["POST"]),
             Rule("/available-backends", endpoint="available_backends", methods=["GET"]),
             Rule("/supported-languages", endpoint="supported_languages", methods=["GET"]),
@@ -285,6 +286,33 @@ class App:
         )
         return Response(stream, mimetype="text/event-stream",
                         headers={"Cache-Control": "no-cache", "X-Accel-Buffering": "no"})
+
+    def route_translate_text(self, request: Request) -> Response:
+        """Text-mode translation (the SPA TranslateTool; simple_translate_tts
+        capability surfaced over HTTP): JSON {text, source_language,
+        target_language, synthesize?} → {source_text, target_text, audio?}."""
+        data = request.get_json(force=True, silent=True) or {}
+        text = (data.get("text") or request.form.get("text") or "").strip()
+        if not text:
+            raise ValidationError("text is required")
+        target = data.get("target_language") or request.form.get("target_language")
+        if not target:
+            raise ValidationError("target_language is required")
+        source = data.get("source_language") or request.form.get("source_language") or "eng"
+        synth = str(data.get("synthesize",
+                             request.form.get("synthesize", ""))).lower() in (
+            "1", "true", "yes")
+        backend = self.manager.get_backend(data.get("backend"))
+        if not hasattr(backend, "translate_text"):
+            raise ValidationError(
+                f"backend {type(backend).__name__} has no text mode")
+        result = backend.translate_text(text, source, target, synthesize=synth)
+        payload = {"source_text": result["source_text"],
+                   "target_text": result["target_text"]}
+        if "audio" in result:
+            payload["audio"] = base64.b64encode(
+                _wav_bytes(result["audio"][0])).decode()
+        return _json(payload)
 
     def route_available_backends(self, request: Request) -> Response:
         return _json({

@@ -60,7 +60,7 @@ $("nav").addEventListener("click", (ev) => {
   const btn = ev.target.closest("button[data-view]");
   if (!btn) return;
   for (const b of $("nav").children) b.classList.toggle("active", b === btn);
-  for (const v of ["studio", "analytics", "podcasts", "pricing"]) {
+  for (const v of ["studio", "dub", "text", "analytics", "podcasts", "pricing"]) {
     $(`view-${v}`).hidden = v !== btn.dataset.view;
   }
 });
@@ -467,4 +467,201 @@ async function runUrl() {
 }
 
 $("go").addEventListener("click", run);
+
+// ====================== Video Dubbing (VideoSyncInterface.js:10-91 parity) ==
+// Standalone dubbing view: 36-language flag picker (common-first ordering),
+// 50 MB cap, voice-cloning toggle, manual SSE progress, result video +
+// download.
+
+const DUB_LANGUAGES = [
+  // most common first (VideoSyncInterface.js SUPPORTED_LANGUAGES order)
+  ["fra", "French", "🇫🇷"], ["spa", "Spanish", "🇪🇸"], ["deu", "German", "🇩🇪"],
+  ["ita", "Italian", "🇮🇹"], ["por", "Portuguese", "🇵🇹"], ["rus", "Russian", "🇷🇺"],
+  ["jpn", "Japanese", "🇯🇵"], ["cmn", "Chinese (Simplified)", "🇨🇳"],
+  ["ukr", "Ukrainian", "🇺🇦"],
+  // rest alphabetical
+  ["ben", "Bengali", "🇧🇩"], ["cat", "Catalan", "🏴"],
+  ["cmn_Hant", "Chinese (Traditional)", "🇹🇼"], ["cym", "Welsh", "🏴"],
+  ["dan", "Danish", "🇩🇰"], ["eng", "English", "🇬🇧"], ["est", "Estonian", "🇪🇪"],
+  ["fin", "Finnish", "🇫🇮"], ["hin", "Hindi", "🇮🇳"], ["ind", "Indonesian", "🇮🇩"],
+  ["kor", "Korean", "🇰🇷"], ["mlt", "Maltese", "🇲🇹"], ["nld", "Dutch", "🇳🇱"],
+  ["pes", "Persian", "🇮🇷"], ["pol", "Polish", "🇵🇱"], ["ron", "Romanian", "🇷🇴"],
+  ["slk", "Slovak", "🇸🇰"], ["swe", "Swedish", "🇸🇪"], ["swh", "Swahili", "🇹🇿"],
+  ["tel", "Telugu", "🇮🇳"], ["tgl", "Tagalog", "🇵🇭"], ["tha", "Thai", "🇹🇭"],
+  ["tur", "Turkish", "🇹🇷"], ["urd", "Urdu", "🇵🇰"], ["uzn", "Uzbek", "🇺🇿"],
+  ["vie", "Vietnamese", "🇻🇳"],
+];
+const dub = { file: null, lang: "fra", blobUrl: null };
+
+function initDub() {
+  const grid = $("dub-langs");
+  grid.innerHTML = "";
+  for (const [code, name, flag] of DUB_LANGUAGES) {
+    const b = document.createElement("button");
+    b.dataset.code = code;
+    b.textContent = `${flag} ${name}`;
+    b.classList.toggle("active", code === dub.lang);
+    grid.appendChild(b);
+  }
+  grid.addEventListener("click", (ev) => {
+    const b = ev.target.closest("button[data-code]");
+    if (!b) return;
+    dub.lang = b.dataset.code;
+    for (const x of grid.children) x.classList.toggle("active", x === b);
+  });
+  // backend selector for this view too (BackendSelector.js:13)
+  fetch("/available-backends").then((r) => r.json()).then((b) => {
+    $("dub-backend").innerHTML = "";
+    for (const name of b.backends) {
+      const opt = document.createElement("option");
+      opt.value = name;
+      opt.textContent = name + (name === b.default ? " (default)" : "");
+      $("dub-backend").appendChild(opt);
+    }
+  }).catch(() => {});
+}
+
+$("dub-file").addEventListener("change", () => {
+  const f = $("dub-file").files[0];
+  $("dub-error").textContent = "";
+  if (!f) return;
+  if (!f.type.startsWith("video/")) {
+    $("dub-error").textContent = "Please upload a valid video file";
+    return;
+  }
+  if (f.size > 50 * 1024 * 1024) {  // VideoSyncInterface.js 50 MB cap
+    $("dub-error").textContent = "Video file size should be less than 50MB";
+    return;
+  }
+  dub.file = f;
+  if (dub.blobUrl) URL.revokeObjectURL(dub.blobUrl);
+  dub.blobUrl = URL.createObjectURL(f);
+  $("dub-preview").src = dub.blobUrl;
+  $("dub-preview").hidden = false;
+});
+
+$("dub-go").addEventListener("click", async () => {
+  $("dub-error").textContent = "";
+  if (!dub.file) { $("dub-error").textContent = "Choose a video first"; return; }
+  const form = new FormData();
+  form.append("file", dub.file);
+  form.append("target_language", dub.lang);
+  form.append("backend", $("dub-backend").value || "cascaded");
+  form.append("use_voice_cloning", $("dub-clone").checked ? "true" : "false");
+  $("dub-go").disabled = true;
+  $("dub-prog").hidden = false; $("dub-prog").value = 0;
+  $("dub-result").hidden = true;
+  try {
+    const resp = await fetch("/process-video", { method: "POST", body: form });
+    if (!resp.ok) {
+      const body = await resp.json().catch(() => ({}));
+      throw new Error(body.error || `HTTP ${resp.status}`);
+    }
+    const reader = resp.body.getReader();
+    const decoder = new TextDecoder();
+    let buffer = "";
+    for (;;) {
+      const { done, value } = await reader.read();
+      if (done) break;
+      buffer += decoder.decode(value, { stream: true });
+      let idx;
+      while ((idx = buffer.indexOf("\n\n")) >= 0) {
+        const frame = buffer.slice(0, idx); buffer = buffer.slice(idx + 2);
+        if (!frame.startsWith("data: ")) continue;
+        const msg = JSON.parse(frame.slice(6));
+        if (msg.error) throw new Error(`${msg.error} (${msg.error_id || "?"})`);
+        if (msg.progress !== undefined) {
+          $("dub-prog").value = msg.progress;
+          $("dub-phase").textContent = msg.phase || "";
+        }
+        if (msg.result) {
+          const blob = b64ToBlob(msg.result.video, "video/mp4");
+          const url = URL.createObjectURL(blob);
+          $("dub-out").src = url;
+          $("dub-download").href = url;
+          const t = msg.result.transcripts || {};
+          $("dub-transcripts").innerHTML = "";
+          for (const k of ["source", "target"]) {
+            if (!t[k]) continue;
+            const d = document.createElement("div");
+            const b = document.createElement("b");
+            b.textContent = k + ": ";
+            d.appendChild(b);
+            d.appendChild(document.createTextNode(t[k]));
+            $("dub-transcripts").appendChild(d);
+          }
+          $("dub-result").hidden = false;
+        }
+      }
+    }
+    $("dub-phase").textContent = "Done";
+  } catch (e) {
+    $("dub-error").textContent = String(e.message || e);
+  } finally {
+    $("dub-go").disabled = false;
+  }
+});
+
+// =================== Translate Text (TranslateTool text mode) ==============
+
+function initTextTool() {
+  fetch("/supported-languages").then((r) => r.json()).then(({ languages }) => {
+    for (const sel of [$("tt-src"), $("tt-tgt")]) {
+      sel.innerHTML = "";
+      for (const code of languages) {
+        const opt = document.createElement("option");
+        opt.value = code;
+        opt.textContent = `${LANG_NAMES[code] || code} (${code})`;
+        sel.appendChild(opt);
+      }
+    }
+    $("tt-src").value = "eng";
+    $("tt-tgt").value = languages.includes("fra") ? "fra" : languages[0];
+  }).catch(() => {});
+}
+
+$("tt-go").addEventListener("click", async () => {
+  $("tt-error").textContent = "";
+  const text = $("tt-text").value.trim();
+  if (!text) { $("tt-error").textContent = "Type some text first"; return; }
+  $("tt-go").disabled = true;
+  try {
+    const resp = await fetch("/translate-text", {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      body: JSON.stringify({
+        text,
+        source_language: $("tt-src").value,
+        target_language: $("tt-tgt").value,
+        synthesize: $("tt-speak").checked,
+      }),
+    });
+    const body = await resp.json().catch(() => ({}));
+    if (!resp.ok) throw new Error(body.error || `HTTP ${resp.status}`);
+    $("tt-out").innerHTML = "";
+    for (const [label, value] of [["source", body.source_text],
+                                  ["target", body.target_text]]) {
+      const d = document.createElement("div");
+      const b = document.createElement("b");
+      b.textContent = label + ": ";
+      d.appendChild(b);
+      d.appendChild(document.createTextNode(value || ""));
+      $("tt-out").appendChild(d);
+    }
+    $("tt-player").innerHTML = "";
+    if (body.audio) {
+      const audio = document.createElement("audio");
+      audio.controls = true;
+      audio.src = URL.createObjectURL(b64ToBlob(body.audio, "audio/wav"));
+      $("tt-player").appendChild(audio);
+    }
+    $("tt-result").hidden = false;
+  } catch (e) {
+    $("tt-error").textContent = String(e.message || e);
+  } finally {
+    $("tt-go").disabled = false;
+  }
+});
+
+initDub();
+initTextTool();
 init();

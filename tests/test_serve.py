@@ -330,3 +330,53 @@ def test_podcast_persistence_roundtrip(client):
     # unknown / malformed ids are 400s, not 500s
     assert client.get("/podcasts/" + "0" * 32).status_code == 400
     assert client.get("/podcasts/../etc/passwd").status_code in (400, 404)
+
+
+def test_translate_text_route(client):
+    """Text-mode TranslateTool endpoint: NLLB translation + optional TTS
+    (simple_translate_tts.py capability over HTTP, SURVEY §2.18)."""
+    resp = client.post("/translate-text", json={
+        "text": "hello world", "source_language": "eng",
+        "target_language": "fra", "synthesize": True,
+    })
+    assert resp.status_code == 200
+    body = resp.get_json()
+    assert body["source_text"] == "hello world"
+    assert body["target_text"]
+    assert "audio" in body and len(body["audio"]) > 100
+
+    # text-only (no synthesis)
+    resp2 = client.post("/translate-text", json={
+        "text": "good morning", "target_language": "deu",
+    })
+    assert resp2.status_code == 200
+    assert "audio" not in resp2.get_json()
+
+    # validation
+    assert client.post("/translate-text", json={"text": ""}).status_code == 400
+    assert client.post("/translate-text",
+                       json={"text": "x"}).status_code == 400  # no target
+
+
+def test_spa_serves_all_reference_views(client):
+    """Frontend component parity (SURVEY §2.17): the served SPA carries the
+    studio flow, the VideoSyncInterface-equivalent dubbing view (36-language
+    picker, cloning toggle, backend select), the text TranslateTool, the
+    analytics dashboard, podcasts, and pricing."""
+    html = client.get("/").data.decode()
+    for anchor in ("view-studio", "view-dub", "view-text", "view-analytics",
+                   "view-podcasts", "view-pricing", "dub-langs", "dub-clone",
+                   "dub-backend", "tt-text", "tt-speak"):
+        assert anchor in html, f"SPA missing {anchor}"
+    js = client.get("/static/app.js").data.decode()
+    assert js.count('["') > 30  # language table present
+    assert "DUB_LANGUAGES" in js and "/translate-text" in js
+    # the 36-language VideoSyncInterface list (VideoSyncInterface.js:10-49)
+    import re
+
+    langs = re.search(r"DUB_LANGUAGES = \[(.*?)\];", js, re.S).group(1)
+    codes = re.findall(r'\["([a-z_A-Z]+)",', langs)
+    # the reference ships 35 languages (VideoSyncInterface.js:10-49 — 9
+    # common-first + 26 alphabetical)
+    assert len(codes) == 35, f"expected 35 dubbing languages, got {len(codes)}"
+    assert {"fra", "cmn_Hant", "vie", "cym", "uzn"} <= set(codes)
