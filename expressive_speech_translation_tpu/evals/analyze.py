@@ -72,7 +72,9 @@ def analyze_single_job(
     row["audio_emotion"] = classify_audio_emotion(audio, sr)
 
     # semantic scores are checkpoint-backed in the reference (SONAR,
-    # BERTScore); pluggable here, NaN when no scorer is wired
+    # BERTScore — analyze_outputs.py:92-109). Here they run off the baked
+    # NLLB encoder (EST_MODELS_DIR/nmt — SONAR's text encoder is itself
+    # NLLB-derived): evals/semantic.py. NaN when no checkpoint is mounted.
     row.setdefault("sonar_score", float("nan"))
     row.setdefault("bert_score_f1", float("nan"))
 
@@ -113,6 +115,17 @@ def analyze_single_job(
             row["bleu_vs_ref"] = round(sentence_bleu(row["target_text"], [ref_text]), 2)
             row["chrf_vs_ref"] = round(chrf(row["target_text"], ref_text), 2)
             row["token_f1_vs_ref"] = round(token_f1(row["target_text"], ref_text), 3)
+            from .semantic import default_scorer
+
+            scorer = default_scorer()
+            if scorer.available() and row["target_text"] and ref_text:
+                try:
+                    row["sonar_score"] = round(
+                        scorer.sonar_score(row["target_text"], ref_text), 4)
+                    row["bert_score_f1"] = round(
+                        scorer.bert_score_f1(row["target_text"], ref_text), 4)
+                except Exception:  # noqa: BLE001 — scorer must not kill the sweep
+                    log.exception("semantic scorer failed for %s", job_id)
         ref_w = reference_dir / f"{job_id}.wav"
         if ref_w.exists():
             ref_audio, _ = read_wav(ref_w)
