@@ -310,6 +310,19 @@ def track_face_windows(
         if face is None:
             tracks.append(None)
             continue
+        # anchor localisation: the full-window box smears a fast-moving head
+        # along its path (the blob covers the swept strip). Re-detect inside
+        # that ROI on a narrow chunk around the window CENTRE — constrained
+        # to the ROI it cannot wander onto background, and over 8 frames it
+        # sees the head only where it actually is at the anchor frame.
+        c = min(s + win // 2, n - 1)
+        sub = [np.asarray(frames[i])[face[0]:face[2], face[1]:face[3]]
+               for i in range(max(c - 4, s), min(c + 4, s + len(chunk)))]
+        if len(sub) >= 2 and (face[2] - face[0]) >= 8 and (face[3] - face[1]) >= 8:
+            local = detect_face_bbox(sub)
+            if local is not None:
+                face = (face[0] + local[0], face[1] + local[1],
+                        face[0] + local[2], face[1] + local[3])
         tracks.append(FaceTrack(face=face, mouth=detect_mouth_bbox(chunk, face)))
     # fill gaps from the nearest detected window
     detected = [i for i, t in enumerate(tracks) if t is not None]
@@ -319,12 +332,135 @@ def track_face_windows(
     return tracks
 
 
+def _gray_patch(frame: np.ndarray, box, size: int = 48) -> np.ndarray:
+    """Fixed-size grayscale crop of ``box`` (nearest resample — translation
+    estimation only needs consistent sampling, not fidelity)."""
+    f = np.asarray(frame)
+    h, w = f.shape[:2]
+    y0 = int(np.clip(box[0], 0, h - 2))
+    x0 = int(np.clip(box[1], 0, w - 2))
+    y1 = int(np.clip(box[2], y0 + 2, h))
+    x1 = int(np.clip(box[3], x0 + 2, w))
+    crop = f[y0:y1, x0:x1]
+    if crop.ndim == 3:
+        crop = crop.mean(axis=-1)
+    yi = np.linspace(0, crop.shape[0] - 1, size).astype(int)
+    xi = np.linspace(0, crop.shape[1] - 1, size).astype(int)
+    return crop[np.ix_(yi, xi)].astype(np.float32)
+
+
+def _phase_shift(a: np.ndarray, b: np.ndarray) -> Tuple[float, float]:
+    """Phase correlation: the (dy, dx) translating patch ``a`` onto ``b``
+    in patch pixels (FFT cross-power spectrum peak, wraparound-signed)."""
+    win = np.outer(np.hanning(a.shape[0]), np.hanning(a.shape[1]))
+    fa = np.fft.fft2((a - a.mean()) * win)
+    fb = np.fft.fft2((b - b.mean()) * win)
+    r = fb * np.conj(fa)
+    r /= np.maximum(np.abs(r), 1e-9)
+    corr = np.abs(np.fft.ifft2(r))
+    peak = np.unravel_index(int(np.argmax(corr)), corr.shape)
+
+    def subpixel(axis_idx, axis_len, other):
+        # parabolic interpolation around the peak along one axis
+        c0 = corr[(axis_idx - 1) % axis_len, other] if axis_len else 0.0
+        c1 = corr[axis_idx % axis_len, other]
+        c2 = corr[(axis_idx + 1) % axis_len, other]
+        denom = c0 - 2 * c1 + c2
+        return float(axis_idx) + (0.5 * (c0 - c2) / denom if abs(denom) > 1e-12 else 0.0)
+
+    dy = subpixel(peak[0], a.shape[0], peak[1])
+    dx_c0 = corr[peak[0], (peak[1] - 1) % a.shape[1]]
+    dx_c1 = corr[peak[0], peak[1]]
+    dx_c2 = corr[peak[0], (peak[1] + 1) % a.shape[1]]
+    denom = dx_c0 - 2 * dx_c1 + dx_c2
+    dx = float(peak[1]) + (0.5 * (dx_c0 - dx_c2) / denom if abs(denom) > 1e-12 else 0.0)
+    if dy > a.shape[0] / 2:
+        dy -= a.shape[0]
+    if dx > a.shape[1] / 2:
+        dx -= a.shape[1]
+    return dy, dx
+
+
+def smooth_boxes(boxes: List, window: int = 5) -> List[BBox]:
+    """diff2lip's 5-frame sliding-mean bbox smoothing
+    (Docker/api_inference_logic.py:27-38 get_smoothened_boxes parity)."""
+    arr = np.asarray(boxes, np.float32)
+    out = []
+    for i in range(len(arr)):
+        sl = arr[i: i + window] if i + window <= len(arr) else arr[-window:]
+        out.append(tuple(int(round(v)) for v in sl.mean(axis=0)))
+    return out
+
+
+def refine_boxes_flow(
+    frames: Sequence[np.ndarray],
+    boxes: List[BBox],
+    anchors: List[int],
+    *,
+    patch: int = 48,
+    max_step_frac: float = 0.35,
+) -> List[BBox]:
+    """Per-frame refinement between detection anchors (VERDICT r2 #9): the
+    face patch is tracked frame-to-frame by phase correlation, with linear
+    drift correction so each segment lands exactly on the next anchored
+    detection. Fast head motion inside a window — which pure window
+    interpolation lags — follows the actual pixels."""
+    n = len(frames)
+    if n == 0 or not anchors:
+        return list(boxes)
+    out = np.asarray(boxes, np.float32).copy()
+    anchors = sorted(set(int(a) for a in anchors))
+    # interior segments run detection→detection (drift-corrected to land on
+    # the far anchor); boundary segments run detection→clip edge where no
+    # detection exists — pure flow there, NO correction (correcting toward
+    # the interpolated edge box would drag the track back off the face)
+    segments = [(c0, c1, True) for c0, c1 in zip(anchors[:-1], anchors[1:])]
+    if anchors[0] > 0:
+        segments.insert(0, (anchors[0], 0, False))
+    if anchors[-1] < n - 1:
+        segments.append((anchors[-1], n - 1, False))
+    h, w = np.asarray(frames[0]).shape[:2]
+    for c0, c1, correct in segments:
+        if c0 == c1:
+            continue
+        step = 1 if c1 > c0 else -1
+        box = out[c0].copy()
+        bh, bw = box[2] - box[0], box[3] - box[1]
+        if bh < 4 or bw < 4:
+            continue
+        max_dy, max_dx = max_step_frac * bh, max_step_frac * bw
+        prev_patch = _gray_patch(frames[c0], box, patch)
+        pred = {c0: box.copy()}
+        for f in range(c0 + step, c1 + step, step):
+            cur_patch = _gray_patch(frames[f], box, patch)
+            dy, dx = _phase_shift(prev_patch, cur_patch)
+            # patch pixels → frame pixels; clamp implausible jumps
+            dy = float(np.clip(dy * bh / patch, -max_dy, max_dy))
+            dx = float(np.clip(dx * bw / patch, -max_dx, max_dx))
+            box = box + np.asarray([dy, dx, dy, dx], np.float32)
+            box[0::2] = np.clip(box[0::2], 0, h - 1)
+            box[1::2] = np.clip(box[1::2], 0, w - 1)
+            pred[f] = box.copy()
+            prev_patch = _gray_patch(frames[f], box, patch)
+        # drift correction: distribute the endpoint error linearly so the
+        # segment still lands on the detected box at c1 (interior only —
+        # both endpoints are real detections there)
+        err = (out[c1] - pred[c1]) if correct else np.zeros(4, np.float32)
+        span = abs(c1 - c0)
+        for f in pred:
+            a = abs(f - c0) / span
+            out[f] = pred[f] + a * err
+    return [tuple(int(round(v)) for v in b) for b in out]
+
+
 def per_frame_face_boxes(
     frames: Sequence[np.ndarray], fps: float = 25.0, *, window_s: float = 2.0,
+    refine: bool = True,
 ) -> List[BBox]:
-    """Per-frame face boxes: windowed detections linearly interpolated between
-    window centres (the reference's per-frame S3FD boxes get the same 5-frame
-    smoothing downstream — diff2lip smooth_boxes)."""
+    """Per-frame face boxes: windowed detections → linear interpolation →
+    phase-correlation flow refinement between anchors (``refine``) → 5-frame
+    smoothing (the reference's per-frame S3FD/DWPose boxes get the same
+    5-frame smoothing — api_inference_logic.py:89-97, diff2lip smooth_boxes)."""
     n = len(frames)
     tracks = track_face_windows(frames, fps, window_s=window_s)
     if not tracks or all(t is None for t in tracks):
@@ -347,4 +483,6 @@ def per_frame_face_boxes(
             a = (f - c0) / max(c1 - c0, 1)
             box = (1 - a) * boxes_at[j - 1] + a * boxes_at[j]
         out.append(tuple(int(round(v)) for v in box))
-    return out
+    if refine and n > 1:
+        out = refine_boxes_flow(frames, out, centers)
+    return smooth_boxes(out) if n > 1 else out

@@ -239,3 +239,69 @@ def test_track_windows_no_face_falls_back():
     assert all(t is None for t in tracks)
     boxes = F.per_frame_face_boxes(frames, 15.0)
     assert len(boxes) == 30 and boxes[0] == (0, 0, 64, 64)  # centre fallback
+
+
+def fast_pan_clip(n=50, h=180, w=320, speed=4.0):
+    """Head panning fast across the frame (speed px/frame) — faster than the
+    2 s windowed detector alone can follow between window centres."""
+    g = np.random.default_rng(1)
+    frames, centers = [], []
+    for t in range(n):
+        f = np.empty((h, w, 3), np.uint8)
+        f[:] = WALL
+        f += g.integers(0, 3, f.shape, dtype=np.uint8)
+        cy, cx = h // 2, int(50 + speed * t)
+        yy, xx = np.mgrid[:h, :w]
+        head = ((yy - cy) / 42.0) ** 2 + ((xx - cx) / 28.0) ** 2 < 1.0
+        f[head] = SKIN
+        ly, lx = cy + 22, cx
+        f[ly - 3: ly + 3, lx - 8: lx + 8] = LIPS
+        frames.append(f)
+        centers.append((cy, cx))
+    return np.stack(frames), centers
+
+
+def _center_errors(boxes, centers):
+    errs = []
+    for (y0, x0, y1, x1), (cy, cx) in zip(boxes, centers):
+        errs.append(np.hypot((y0 + y1) / 2 - cy, (x0 + x1) / 2 - cx))
+    return np.asarray(errs)
+
+
+def test_fast_pan_flow_refinement_tracks_mouth():
+    """VERDICT r2 #9: phase-correlation refinement between detection windows
+    keeps the box on a fast-panning head (the bar: diff2lip's 5-frame bbox
+    smoothing of per-frame detections, api_inference_logic.py:89-97)."""
+    frames, centers = fast_pan_clip()
+    refined = F.per_frame_face_boxes(frames, fps=25.0, refine=True)
+    plain = F.per_frame_face_boxes(frames, fps=25.0, refine=False)
+    assert len(refined) == len(frames)
+
+    e_ref = _center_errors(refined, centers)
+    e_plain = _center_errors(plain, centers)
+    # the tracked box stays on the head everywhere (≤ half the head radius;
+    # ~8 px of the residual is the anchor detection box's own asymmetry)
+    assert e_ref.max() <= 16.0, f"refined max err {e_ref.max():.1f}px"
+    assert e_ref.mean() <= 12.0, f"refined mean err {e_ref.mean():.1f}px"
+    # and decisively beats pure window interpolation on this motion
+    assert e_ref.mean() < 0.5 * e_plain.mean()
+
+
+def test_refinement_is_noop_on_static_head():
+    """A static head must not be disturbed by the flow pass."""
+    frames = synthetic_clip(n=30)
+    refined = F.per_frame_face_boxes(frames, fps=25.0, refine=True)
+    plain = F.per_frame_face_boxes(frames, fps=25.0, refine=False)
+    d = _center_errors(refined, [((p[0] + p[2]) / 2, (p[1] + p[3]) / 2)
+                                 for p in plain])
+    assert d.mean() <= 4.0
+
+
+def test_smooth_boxes_parity():
+    """5-frame sliding-mean smoothing (diff2lip get_smoothened_boxes)."""
+    boxes = [(i, i * 2, i + 10, i * 2 + 10) for i in range(12)]
+    sm = F.smooth_boxes(boxes, window=5)
+    assert len(sm) == 12
+    assert sm[0] == (2, 4, 12, 14)          # mean of boxes[0:5]
+    assert sm[-1] == tuple(int(round(v)) for v in
+                           np.mean(np.asarray(boxes[-5:], np.float32), axis=0))
