@@ -531,18 +531,32 @@ def init_vocoder(key, cfg: VocoderConfig) -> Params:
 def vocode(params: Params, cfg: VocoderConfig, mel: jnp.ndarray) -> jnp.ndarray:
     """mel [B, T, n_mels] → waveform [B, T * hop] at 24 kHz.
 
-    Perf note (v5e, 10 s utterance): ~63 ms device time, dominated by the
-    narrow-channel (≤64) upsampled tail convs which run ~10× off the
-    bandwidth/MXU bound under XLA's conv lowering (measured 2.1 ms for one
-    k=11 d=5 C=64 L=240k conv vs ~0.2 ms speed-of-light). A Pallas
-    shifted-views matmul kernel measured *slower* (k× view streaming is
-    DMA-bound the same way), as did im2col; the remaining lever is a blocked
-    channel-time layout through the whole stack, not a drop-in kernel.
+    Perf note (v5e, 10 s utterance): the narrow-channel (≤128) upsampled
+    tail stages run ~10× off the bandwidth/MXU bound under XLA's conv
+    lowering (NHC puts the 64-wide channel axis on the 128-lane dim and
+    every conv re-streams HBM). Those stages now run through the fused
+    blocked channel-time Pallas kernel (ops/pallas_vocoder.py): one HBM
+    round-trip per stage, [C_out,C_in]@[C_in,T_tile] matmuls with time on
+    the MXU's N axis — measured 5.1 ms vs 13.7 ms XLA for the C=64/T=240k
+    stage (bf16, one v5e chip). Round-2 attempts that re-streamed per
+    shifted view or im2col'd from HBM were slower than XLA; keeping every
+    shift in VMEM is what wins.
     """
     lrelu = lambda x: jax.nn.leaky_relu(x, 0.1)
+    use_fused = jax.default_backend() == "tpu"
     x = _conv1d(params["conv_pre"], mel)
     for up, stage, rate in zip(params["ups"], params["res"], cfg.upsample_rates):
         x = _conv_transpose1d(up, lrelu(x), rate)
+        ch = x.shape[-1]
+        if use_fused and ch <= 128 and ch % 8 == 0:
+            from ..ops import pallas_vocoder as pv
+
+            x = pv.fused_resblock_stage(
+                x, pv.stage_weights_flat(stage, cfg.resblock_kernels,
+                                         cfg.resblock_dilations),
+                kernels=tuple(cfg.resblock_kernels),
+                dilations=tuple(tuple(d) for d in cfg.resblock_dilations))
+            continue
         acc = None
         for block, dils in zip(stage, cfg.resblock_dilations):
             h = x
