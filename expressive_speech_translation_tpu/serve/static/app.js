@@ -60,8 +60,15 @@ $("nav").addEventListener("click", (ev) => {
   const btn = ev.target.closest("button[data-view]");
   if (!btn) return;
   for (const b of $("nav").children) b.classList.toggle("active", b === btn);
-  for (const v of ["studio", "dub", "text", "analytics", "podcasts", "pricing"]) {
+  for (const v of ["home", "studio", "dub", "text", "analytics", "podcasts", "pricing"]) {
     $(`view-${v}`).hidden = v !== btn.dataset.view;
+  }
+});
+
+// landing CTA → creator studio (App.js Link to="/creator-studio")
+$("home-start").addEventListener("click", () => {
+  for (const b of $("nav").children) {
+    if (b.dataset.view === "studio") b.click();
   }
 });
 

@@ -364,7 +364,8 @@ def test_spa_serves_all_reference_views(client):
     picker, cloning toggle, backend select), the text TranslateTool, the
     analytics dashboard, podcasts, and pricing."""
     html = client.get("/").data.decode()
-    for anchor in ("view-studio", "view-dub", "view-text", "view-analytics",
+    for anchor in ("view-home", "home-start", "view-studio", "view-dub",
+                   "view-text", "view-analytics",
                    "view-podcasts", "view-pricing", "dub-langs", "dub-clone",
                    "dub-backend", "tt-text", "tt-speak"):
         assert anchor in html, f"SPA missing {anchor}"
