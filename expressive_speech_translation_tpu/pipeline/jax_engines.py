@@ -44,6 +44,32 @@ def _bucket(n: int, buckets) -> int:
     return buckets[-1]
 
 
+def _dp_shard(mesh, *arrays):
+    """Commit host batch arrays with dim 0 sharded over the mesh's dp axis.
+
+    Data-parallel serving: under a (dp, tp) mesh the micro-batched dispatch
+    splits its batch rows across dp groups while each group runs the
+    TP-sharded program — batch-8 on a dp=4×tp=2 pod slice puts 2 rows on
+    each 2-chip TP group, so throughput scales with the slice instead of
+    one chip owning the whole batch (SURVEY.md §2.19; the reference pins
+    one request per GPU process, Docker/cosyvoice_api.py:96). Rows not
+    divisible by dp fall back to the default (replicated) placement —
+    correctness never depends on the fast path.
+    """
+    if mesh is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    from ..parallel.mesh import DP_AXIS, data_sharding
+
+    dp = mesh.shape.get(DP_AXIS, 1)
+    out = []
+    for a in arrays:
+        if dp > 1 and a.ndim >= 1 and a.shape[0] % dp == 0:
+            out.append(jax.device_put(a, data_sharding(mesh, a.ndim)))
+        else:
+            out.append(a)
+    return tuple(out) if len(out) > 1 else out[0]
+
+
 class JaxWhisperAsr:
     """ASR engine: fused Pallas mel → Whisper greedy decode, bucketed context
     chunking, cross-attention DTW word timestamps (whisper find_alignment
@@ -86,6 +112,7 @@ class JaxWhisperAsr:
         self.params = cast_floats(params, dtype)
         if quantize:
             self.params = wjm.quantize_whisper_decoder(self.params)
+        self.mesh = mesh
         if mesh is not None:
             # tensor-parallel serving: params placed by the Megatron-style
             # rules; inference programs inherit layouts from the committed
@@ -392,6 +419,7 @@ class JaxWhisperAsr:
             audio[j, : len(rrow)] = rrow[: 16_000 * window_s]
         prompt = np.tile(np.asarray(prompts[0], np.int32), (nb, 1))
         prompt[: len(prompts)] = np.asarray(prompts, np.int32)
+        audio, prompt = _dp_shard(self.mesh, audio, prompt)
         tokens_a, aligns_a = self._fn_b(self.params, audio, prompt)
         tokens_np, aligns_np = jax.device_get((tokens_a, aligns_a))
         p_len = prompt.shape[1]
@@ -440,6 +468,7 @@ class JaxNllbNmt:
         self.params = cast_floats(params, dtype)
         if quantize:
             self.params = njm.quantize_nllb_decoder(self.params)
+        self.mesh = mesh
         if mesh is not None:
             from ..parallel.mesh import TP_AXIS
             from ..parallel.partition import logical_to_sharding
@@ -535,7 +564,8 @@ class JaxNllbNmt:
             padded = np.full((nb, bucket), self.cfg.pad_token, np.int32)
             for row, s in enumerate(srcs):
                 padded[row, : len(s)] = self._fit_ids(s)
-            out = np.asarray(self._fn(self.params, jnp.asarray(padded), forced_bos))
+            out = np.asarray(
+                self._fn(self.params, _dp_shard(self.mesh, padded), forced_bos))
             for row, i in enumerate(idxs):
                 content = [int(t) for t in out[row, 2:]
                            if t not in (self.cfg.eos_token, self.cfg.pad_token)]
@@ -805,6 +835,7 @@ class JaxCosyVoiceTts:
                 refs[i] = np.resize(
                     np.asarray(ra, np.float32).reshape(-1)[: 16_000 * 10], 16_000 * 10)
                 has_ref[i] = 1.0
+        refs, has_ref = _dp_shard(self.mesh, refs, has_ref)
         spk, pmel, psp, psm = self._cond_b_fn(self._ecapa, self._st, refs, has_ref)
         pmm = np.ones((nb, pmel.shape[1]), bool)
         seconds = max(
@@ -813,6 +844,7 @@ class JaxCosyVoiceTts:
         )
         max_new = _bucket(int(seconds * 25), (64, 128, 256, 512, 768))
         self._call_count += 1
+        toks, tmask, pmm = _dp_shard(self.mesh, toks, tmask, pmm)
         audio, lengths = self._fn_b(
             self.params, jnp.uint32(self._call_count),
             toks, tmask, spk, pmel, pmm, psp, psm, max_new,

@@ -190,3 +190,72 @@ def test_asr_nmt_engines_tp_inference_matches_single():
     t1 = nmt1.translate("bonjour tout le monde", "eng_Latn", "fra_Latn")
     t2 = nmt2.translate("bonjour tout le monde", "eng_Latn", "fra_Latn")
     assert t1 == t2
+
+
+def test_engine_batches_shard_over_dp():
+    """Batched serving dispatches split their batch rows over the mesh's dp
+    axis (dp=4×tp=2 here) and must produce identical results to unsharded
+    engines — data parallelism is numerically transparent (no cross-row
+    reductions in inference)."""
+    from expressive_speech_translation_tpu.models import nllb as nj, whisper as wj
+    from expressive_speech_translation_tpu.pipeline.jax_engines import (
+        JaxNllbNmt, JaxWhisperAsr, _dp_shard,
+    )
+
+    mesh = make_mesh(MeshSpec(dp=-1, tp=2))
+
+    # helper semantics: divisible batch → dp-sharded dim 0; else untouched
+    a8 = np.zeros((8, 4), np.float32)
+    sharded = _dp_shard(mesh, a8)
+    assert sharded.sharding.spec == P(DP_AXIS, None)
+    a3 = np.zeros((3, 4), np.float32)
+    assert _dp_shard(mesh, a3) is a3
+
+    wcfg = wj.WhisperConfig(n_mels=80, d_model=64, encoder_layers=1,
+                            decoder_layers=1, heads=4, ffn_dim=128,
+                            vocab_size=51865)
+    g = np.random.default_rng(3)
+    reqs = [{"audio_16k": (0.2 * g.standard_normal(16000 * 2)).astype(np.float32),
+             "language": "eng"} for _ in range(4)]
+    asr1 = JaxWhisperAsr(wcfg, dtype=jnp.float32, max_new_tokens=8,
+                         context_buckets=(4,))
+    asr2 = JaxWhisperAsr(wcfg, dtype=jnp.float32, max_new_tokens=8,
+                         context_buckets=(4,), mesh=mesh)
+    o1 = asr1.transcribe_batch(reqs)
+    o2 = asr2.transcribe_batch(reqs)
+    assert [r["text"] for r in o1] == [r["text"] for r in o2]
+
+    ncfg = nj.NLLBConfig(d_model=64, encoder_layers=1, decoder_layers=1,
+                         heads=4, ffn_dim=128, vocab_size=384)
+    nreqs = [{"text": t, "source_lang": "eng_Latn", "target_lang": "fra_Latn"}
+             for t in ("hello there", "how are you", "good morning", "see you")]
+    nmt1 = JaxNllbNmt(ncfg, dtype=jnp.float32, max_new_tokens=8)
+    nmt2 = JaxNllbNmt(ncfg, dtype=jnp.float32, max_new_tokens=8, mesh=mesh)
+    assert nmt1.translate_batch(nreqs) == nmt2.translate_batch(nreqs)
+
+
+def test_tts_batch_shards_over_dp():
+    """Batched TTS synthesis under the (dp, tp) mesh matches the unsharded
+    engine sample-for-sample."""
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxCosyVoiceTts
+
+    cfg = cv.CosyVoiceConfig(
+        lm=cv.SpeechLMConfig(
+            backbone=q2.Qwen2Config(hidden=32, layers=1, heads=4, kv_heads=2,
+                                    ffn_dim=64, max_positions=512),
+            text_vocab=128, speech_token_size=61),
+        flow=cv.FlowConfig(token_vocab=64, dim=32, layers=1, heads=4, n_steps=2),
+        vocoder=cv.VocoderConfig(base_channels=32, upsample_rates=(8, 6, 10),
+                                 upsample_kernels=(16, 12, 20)),
+    )
+    mesh = make_mesh(MeshSpec(dp=-1, tp=2))
+    reqs = [{"text": t, "reference_audio_16k": None, "style_prompt": "",
+             "language": "en"} for t in ("one", "two", "three", "four")]
+    tts1 = JaxCosyVoiceTts(cfg, dtype=jnp.float32, seconds_per_char=0.02)
+    tts2 = JaxCosyVoiceTts(cfg, dtype=jnp.float32, seconds_per_char=0.02,
+                           mesh=mesh)
+    out1 = tts1.synthesize_batch(reqs)
+    out2 = tts2.synthesize_batch(reqs)
+    assert len(out1) == len(out2) == 4
+    for a, b in zip(out1, out2):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
