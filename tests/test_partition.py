@@ -259,3 +259,28 @@ def test_tts_batch_shards_over_dp():
     assert len(out1) == len(out2) == 4
     for a, b in zip(out1, out2):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_vocode_sp_time_sharded_matches_single():
+    """Sequence-parallel vocoder (models/cosyvoice.vocode_sp): the mel time
+    axis shards over the mesh, XLA inserts conv halo exchanges, and the
+    waveform matches single-device vocode — including a time length that is
+    NOT divisible by the axis size (pad+trim path)."""
+    mesh = make_mesh(MeshSpec(dp=-1, tp=1))  # 8-way time sharding
+    cfg = cv.VocoderConfig(base_channels=32, upsample_rates=(8, 6, 10),
+                           upsample_kernels=(16, 12, 20))
+    from expressive_speech_translation_tpu.models.common import host_init
+
+    params = host_init(cv.init_vocoder, 0, cfg)
+    g = np.random.default_rng(1)
+    for t in (64, 101):  # divisible and pad cases
+        mel = jnp.asarray(g.standard_normal((1, t, cfg.n_mels)), jnp.float32)
+        ref = cv.vocode(params, cfg, mel)
+        out = cv.vocode_sp(params, cfg, mel, mesh, DP_AXIS)
+        assert out.shape == ref.shape
+        if t % 8:
+            # pad path: the padded frames bleed into the trailing receptive
+            # field (documented contract) — exact outside it
+            out, ref = out[:, : -64 * cfg.hop], ref[:, : -64 * cfg.hop]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
