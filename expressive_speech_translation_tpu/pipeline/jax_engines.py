@@ -863,17 +863,19 @@ class JaxCosyVoiceTts:
         TPU-native streaming delivery — the capability the reference config
         declares (chunk_size 25, greek_sft.yaml:20-21) but whose API threw
         away (first generator chunk only, Docker/cosyvoice_api.py:129)."""
-        if self.official is not None:
-            # chunked official-chain streaming not built yet — deliver the
-            # full utterance as one chunk (same contract, no partials)
-            yield self.synthesize(
-                text, style_prompt=style_prompt,
-                reference_audio_16k=reference_audio_16k, language=language)
-            return
         toks, tmask, spk, pmel, pmm, psp, max_new = self._prepare_conditioning(
             text, reference_audio_16k)
         self._call_count += 1
         k = jax.random.fold_in(jax.random.PRNGKey(42), self._call_count)
+        if self.official is not None:
+            from ..models import cosyvoice_official as com
+
+            yield from com.synthesize_streaming_official(
+                self.params, self.official_cfg, k, toks, tmask,
+                psp, jnp.ones_like(psp, bool), spk, pmel,
+                max_new_tokens=max_new,
+            )
+            return
         yield from cvm.synthesize_streaming(
             self.params, self.cfg, k, toks, tmask,
             psp, jnp.ones_like(psp, bool), spk, pmel, pmm,

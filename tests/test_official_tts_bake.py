@@ -131,6 +131,41 @@ def test_synthesize_official_end_to_end(baked_root):
     assert np.abs(audio).max() <= cfg.hift.audio_limit + 1e-6
 
 
+def test_synthesize_streaming_official_conserves_samples(baked_root):
+    """Chunked official-chain streaming: yielded chunks concatenate to an
+    exact whole-token sample count, emission is multi-chunk, joins finite."""
+    out, _, _ = baked_root
+    params, cfg = loaders.load_official_tts(out)
+    g = np.random.default_rng(0)
+    b, tt, tp = 1, 6, 4
+    text = jnp.asarray(g.integers(0, cfg.lm.text_vocab, (b, tt)), jnp.int32)
+    ptok = jnp.asarray(g.integers(0, min(cfg.lm.speech_token_size,
+                                         cfg.flow.vocab_size), (b, tp)), jnp.int32)
+    pmel = jnp.asarray(
+        g.standard_normal((b, tp * cfg.flow.token_mel_ratio,
+                           cfg.flow.output_size)), jnp.float32)
+    spk = jnp.asarray(g.standard_normal((b, cfg.flow.spk_embed_dim)), jnp.float32)
+
+    chunks = list(co.synthesize_streaming_official(
+        params, cfg, jax.random.PRNGKey(7), text, jnp.ones((b, tt), bool),
+        ptok, jnp.ones((b, tp), bool), spk, pmel,
+        chunk_tokens=4, mel_cache_frames=3, fade_samples=128,
+        max_new_tokens=12, min_new_tokens=2))
+    assert len(chunks) >= 2, "streaming must emit incrementally"
+    wav = np.concatenate(chunks)
+    assert np.isfinite(wav).all()
+    spt = cfg.flow.token_mel_ratio * cfg.hift.hop     # samples per token
+    assert len(wav) % spt == 0
+    assert 2 <= len(wav) // spt <= 12
+    # batch > 1 rejected
+    with pytest.raises(ValueError):
+        next(co.synthesize_streaming_official(
+            params, cfg, jax.random.PRNGKey(8),
+            jnp.tile(text, (2, 1)), jnp.ones((2, tt), bool),
+            jnp.tile(ptok, (2, 1)), jnp.ones((2, tp), bool),
+            jnp.tile(spk, (2, 1)), jnp.tile(pmel, (2, 1, 1))))
+
+
 def test_llm_converter_from_emitted_state(baked_root):
     out, _, _ = baked_root
     params, cfg = loaders.load_converted(out / "tts_llm", cv.SpeechLMConfig)
@@ -189,9 +224,9 @@ def test_engine_official_mode_synthesizes():
     ])
     assert len(outs) == 2 and all(np.isfinite(o).all() for o in outs)
 
-    # streaming contract: official mode delivers one full chunk
+    # streaming contract: official mode streams chunked audio
     chunks = list(tts.synthesize_streaming("stream me"))
-    assert len(chunks) >= 1 and np.isfinite(chunks[0]).all()
+    assert len(chunks) >= 1 and all(np.isfinite(c).all() for c in chunks)
 
 
 def test_jax_engines_factory_picks_up_baked_triple(baked_root, monkeypatch):
