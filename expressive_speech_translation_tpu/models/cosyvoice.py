@@ -649,12 +649,15 @@ def synthesize(
     *,
     max_new_tokens: int = 512,
     min_new_tokens: int = 2,
+    vocode_fused: bool | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Zero-shot TTS: text + voice prompt → 24 kHz waveform.
 
     Mirrors ``CosyVoice2.inference_zero_shot`` (Docker/cosyvoice_api.py:128):
     the prompt transcription tokens ride in ``text_tokens``; the prompt's
-    speech tokens and mel provide the cloning context.
+    speech tokens and mel provide the cloning context. ``vocode_fused``
+    forwards to :func:`vocode` — pass ``False`` when this program runs under
+    a GSPMD mesh (pallas_call cannot be auto-partitioned).
     """
     k_lm, k_flow = jax.random.split(key)
     gen = generate_speech_tokens_mtp if cfg.lm.mtp > 1 else generate_speech_tokens
@@ -672,7 +675,7 @@ def synthesize(
     # Drop the prompt frames before vocoding (output = new speech only)
     t_prompt = prompt_mel.shape[1]
     gen_mel = mel[:, t_prompt:]
-    audio = vocode(params["vocoder"], cfg.vocoder, gen_mel)
+    audio = vocode(params["vocoder"], cfg.vocoder, gen_mel, fused=vocode_fused)
     return {
         "audio": audio,
         "mel": gen_mel,

@@ -251,6 +251,10 @@ def init_upsample_conformer(key, cfg: UpsampleConformerConfig) -> Params:
         },
         "layers": [init_conformer_block(next(it), cfg) for _ in range(cfg.blocks)],
         "up_layer": _init_conv(next(it), cfg.upsample_stride * 2 + 1, s, s),
+        # second LinearNoSubsampling applied after the ×2 upsample
+        # (official `up_embed`: Linear → LayerNorm → ×√d via pos-enc xscale)
+        "up_embed": {"linear": init_dense(next(it), s, s),
+                     "ln": init_layer_norm(s)},
         "up_layers": [init_conformer_block(next(it), cfg) for _ in range(cfg.up_blocks)],
         "after_norm": init_layer_norm(s),
     }
@@ -285,6 +289,11 @@ def upsample_conformer_encode(
     h = jnp.repeat(h, r, axis=1)                             # [B, rT, s]
     h = _conv1d(p["up_layer"], h, pad=(2 * r, 0))
     mask_up = jnp.repeat(mask, r, axis=1)
+
+    # up_embed (second LinearNoSubsampling): linear → LayerNorm → ×√d
+    # (the pos-enc xscale the official encoder applies after the upsample)
+    h = layer_norm(p["up_embed"]["ln"], dense(p["up_embed"]["linear"], h))
+    h = h * np.sqrt(s)
     h = h * mask_up[..., None]
 
     pos_emb_up = _rel_pos_encoding(r * t, s, h.dtype)
@@ -592,6 +601,7 @@ def from_flow_state_dict(state: Dict[str, Any], cfg: OfficialFlowConfig) -> Para
       encoder.pre_lookahead_layer.conv1/2
       encoder.encoders.{i}.*              6 conformer blocks
       encoder.up_layer.conv               ×2 upsample causal conv
+      encoder.up_embed.out.0 / .out.1     post-upsample linear embed + LayerNorm
       encoder.up_encoders.{i}.*           4 post-upsample blocks
       encoder.after_norm
       encoder_proj.*                      512 → 80
@@ -613,6 +623,8 @@ def from_flow_state_dict(state: Dict[str, Any], cfg: OfficialFlowConfig) -> Para
         "layers": [_conformer_from(state, f"encoder.encoders.{i}", enc)
                    for i in range(enc.blocks)],
         "up_layer": _conv(state, "encoder.up_layer.conv"),
+        "up_embed": {"linear": _lin(state, "encoder.up_embed.out.0"),
+                     "ln": _ln(state, "encoder.up_embed.out.1")},
         "up_layers": [_conformer_from(state, f"encoder.up_encoders.{i}", enc)
                       for i in range(enc.up_blocks)],
         "after_norm": _ln(state, "encoder.after_norm"),
@@ -720,6 +732,8 @@ def to_flow_state_dict(params: Params, cfg: OfficialFlowConfig) -> Dict[str, np.
     for i, blk in enumerate(enc["layers"]):
         _emit_conformer(out, f"encoder.encoders.{i}", blk)
     _emit_conv(out, "encoder.up_layer.conv", enc["up_layer"])
+    _emit_lin(out, "encoder.up_embed.out.0", enc["up_embed"]["linear"])
+    _emit_ln(out, "encoder.up_embed.out.1", enc["up_embed"]["ln"])
     for i, blk in enumerate(enc["up_layers"]):
         _emit_conformer(out, f"encoder.up_encoders.{i}", blk)
     _emit_ln(out, "encoder.after_norm", enc["after_norm"])

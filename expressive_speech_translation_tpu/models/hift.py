@@ -99,8 +99,17 @@ def _conv1d(p, x, *, stride=1, dilation=1, pad=None):
 
 
 def _conv_transpose1d(p, x, stride):
-    """torch ConvTranspose1d(stride=s, padding=(k−s)//2): out = in × s."""
+    """torch ConvTranspose1d(stride=s, padding=(k−s)//2): out = in × s.
+
+    Exact torch parity holds for EVEN k−s only (every official HiFT
+    geometry: (16,8)/(11,5)/(7,3)). Odd k−s would make torch emit in×s+1
+    samples while this emits in×s — refuse rather than silently shift the
+    waveform against the source STFT alignment."""
     width = p["kernel"].shape[0]
+    if (width - stride) % 2:
+        raise NotImplementedError(
+            f"ConvTranspose1d parity requires even kernel-stride, got "
+            f"k={width} s={stride}")
     pad_torch = (width - stride) // 2
     pad = width - 1 - pad_torch
     y = jax.lax.conv_general_dilated(

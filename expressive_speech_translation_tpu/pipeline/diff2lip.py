@@ -54,14 +54,17 @@ def mel_windows_for_frames(
 
 
 def smooth_boxes(boxes: List[Tuple[int, int, int, int]], window: int = 5) -> List[Tuple[int, int, int, int]]:
-    """5-frame moving-average box smoothing (generate.py:92-149 /
-    api_inference_logic.py:27-38)."""
+    """diff2lip get_smoothened_boxes (generate.py:92-95, T=5): FORWARD
+    window with in-place feedback — boxes[i] is overwritten before later
+    (tail) windows read it, exactly like the reference loop. The MuseTalk
+    service's CENTERED smoother lives in pipeline/face.py (smooth_bbox
+    parity); the two reference smoothers have different semantics."""
     arr = np.asarray(boxes, np.float32)
-    out = np.copy(arr)
-    for i in range(len(arr)):
-        lo, hi = max(0, i - window // 2), min(len(arr), i + window // 2 + 1)
-        out[i] = arr[lo:hi].mean(axis=0)
-    return [tuple(int(round(v)) for v in row) for row in out]
+    n = len(arr)
+    for i in range(n):
+        win = arr[n - window:] if i + window > n else arr[i: i + window]
+        arr[i] = win.mean(axis=0)
+    return [tuple(int(round(v)) for v in row) for row in arr]
 
 
 def center_face_detector(frame: np.ndarray) -> Tuple[int, int, int, int]:

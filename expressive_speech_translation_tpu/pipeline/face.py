@@ -360,20 +360,17 @@ def _phase_shift(a: np.ndarray, b: np.ndarray) -> Tuple[float, float]:
     corr = np.abs(np.fft.ifft2(r))
     peak = np.unravel_index(int(np.argmax(corr)), corr.shape)
 
-    def subpixel(axis_idx, axis_len, other):
-        # parabolic interpolation around the peak along one axis
-        c0 = corr[(axis_idx - 1) % axis_len, other] if axis_len else 0.0
-        c1 = corr[axis_idx % axis_len, other]
-        c2 = corr[(axis_idx + 1) % axis_len, other]
+    def subpixel(axis_idx, axis_len, pick):
+        # parabolic interpolation around the peak along one axis; ``pick``
+        # indexes corr at a given position along that axis
+        c0 = pick((axis_idx - 1) % axis_len)
+        c1 = pick(axis_idx)
+        c2 = pick((axis_idx + 1) % axis_len)
         denom = c0 - 2 * c1 + c2
         return float(axis_idx) + (0.5 * (c0 - c2) / denom if abs(denom) > 1e-12 else 0.0)
 
-    dy = subpixel(peak[0], a.shape[0], peak[1])
-    dx_c0 = corr[peak[0], (peak[1] - 1) % a.shape[1]]
-    dx_c1 = corr[peak[0], peak[1]]
-    dx_c2 = corr[peak[0], (peak[1] + 1) % a.shape[1]]
-    denom = dx_c0 - 2 * dx_c1 + dx_c2
-    dx = float(peak[1]) + (0.5 * (dx_c0 - dx_c2) / denom if abs(denom) > 1e-12 else 0.0)
+    dy = subpixel(peak[0], a.shape[0], lambda i: corr[i, peak[1]])
+    dx = subpixel(peak[1], a.shape[1], lambda j: corr[peak[0], j])
     if dy > a.shape[0] / 2:
         dy -= a.shape[0]
     if dx > a.shape[1] / 2:
@@ -382,13 +379,16 @@ def _phase_shift(a: np.ndarray, b: np.ndarray) -> Tuple[float, float]:
 
 
 def smooth_boxes(boxes: List, window: int = 5) -> List[BBox]:
-    """diff2lip's 5-frame sliding-mean bbox smoothing
-    (Docker/api_inference_logic.py:27-38 get_smoothened_boxes parity)."""
+    """MuseTalk's CENTERED 5-frame bbox smoothing
+    (Docker/api_inference_logic.py:27-38 smooth_bbox parity: window
+    [i−w//2, i+w//2], out-of-place). The diff2lip pipeline's FORWARD
+    in-place smoother is pipeline/diff2lip.smooth_boxes — the reference
+    ships both with different semantics."""
     arr = np.asarray(boxes, np.float32)
     out = []
     for i in range(len(arr)):
-        sl = arr[i: i + window] if i + window <= len(arr) else arr[-window:]
-        out.append(tuple(int(round(v)) for v in sl.mean(axis=0)))
+        lo, hi = max(0, i - window // 2), min(len(arr), i + window // 2 + 1)
+        out.append(tuple(int(round(v)) for v in arr[lo:hi].mean(axis=0)))
     return out
 
 

@@ -696,12 +696,22 @@ class JaxCosyVoiceTts:
                     max_new_tokens=max_new,
                 )["audio"]
 
+            # dp-sharded batches GSPMD-partition the program; the fused
+            # Pallas vocoder stage cannot be auto-sharded, so the batched
+            # path falls back to XLA convs under a dp mesh (B=1 _synth keeps
+            # the kernel: its operands stay replicated, a valid partition)
+            from ..parallel.mesh import DP_AXIS
+
+            batched_fused = (
+                False if (mesh is not None and mesh.shape.get(DP_AXIS, 1) > 1)
+                else None)
+
             @functools.partial(jax.jit, static_argnums=(9,))
             def _synth_b(params, seed, text, tmask, spk, pmel, pmm, psp, psm, max_new):
                 key = jax.random.fold_in(jax.random.PRNGKey(42), seed)
                 out = cvm.synthesize(
                     params, self.cfg, key, text, tmask, psp, psm, spk, pmel, pmm,
-                    max_new_tokens=max_new,
+                    max_new_tokens=max_new, vocode_fused=batched_fused,
                 )
                 return out["audio"], out["token_lengths"]
 
@@ -851,7 +861,12 @@ class JaxCosyVoiceTts:
         )
         audio = np.asarray(audio, np.float32)
         lengths = np.asarray(lengths)
-        spt = self.cfg.flow.token_mel_ratio * self.cfg.vocoder.hop  # samples/token
+        # samples/token from the ACTIVE vocoder geometry: the official-mode
+        # cfg view keeps the default VocoderConfig, whose hop need not match
+        # the loaded HiFT checkpoint's upsample stack
+        hop = (self.official_cfg.hift.hop if self.official is not None
+               else self.cfg.vocoder.hop)
+        spt = self.cfg.flow.token_mel_ratio * hop
         return [audio[i, : max(int(lengths[i]), 1) * spt] for i in range(n)]
 
     def synthesize_streaming(

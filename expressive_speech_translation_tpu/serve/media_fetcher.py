@@ -82,11 +82,13 @@ def ytdlp_fetcher(url: str) -> Tuple[np.ndarray, int]:
         return native.decode_audio(str(wav), target_rate=16_000, target_channels=1)
 
 
-def _assert_public_host(url: str) -> None:
-    """SSRF guard: refuse URLs whose host resolves to private, loopback, or
-    link-local address space. Applied to the initial URL and EVERY redirect
-    hop — an open redirect on an allow-listed platform must not let the
-    server GET internal endpoints (metadata service, intranet)."""
+def _resolve_public_host(url: str) -> str:
+    """SSRF guard: resolve the URL's host ONCE, refuse private/loopback/
+    link-local/reserved address space, and return the validated IP. The
+    caller must CONNECT TO THE RETURNED IP (Host/SNI set to the hostname) —
+    re-resolving at connect time reopens the check to DNS rebinding (a
+    low-TTL name that alternates public ↔ 169.254.169.254 passes a
+    check-then-refetch sequence). Applied per redirect hop."""
     import ipaddress
     import socket
     from urllib.parse import urlsplit
@@ -108,6 +110,37 @@ def _assert_public_host(url: str) -> None:
             raise MediaError(
                 f"host {host!r} resolves to non-public address {ip}",
                 user_message="Could not download media from this URL")
+    return infos[0][4][0]
+
+
+def _open_pinned(url: str, ip: str, timeout: float):
+    """GET ``url`` connecting to the pinned ``ip`` (no second DNS lookup):
+    TLS SNI + certificate hostname checks still run against the URL's
+    hostname via urllib3's server_hostname/assert_hostname."""
+    from urllib.parse import urlsplit
+
+    import urllib3
+
+    parts = urlsplit(url)
+    host = parts.hostname or ""
+    path = parts.path or "/"
+    if parts.query:
+        path += "?" + parts.query
+    t = urllib3.Timeout(connect=min(timeout, 30.0), read=timeout)
+    if parts.scheme == "https":
+        import certifi
+
+        pool = urllib3.HTTPSConnectionPool(
+            ip, parts.port or 443, server_hostname=host,
+            assert_hostname=host, cert_reqs="CERT_REQUIRED",
+            ca_certs=certifi.where(), timeout=t, maxsize=1)
+    else:
+        pool = urllib3.HTTPConnectionPool(ip, parts.port or 80,
+                                          timeout=t, maxsize=1)
+    resp = pool.urlopen("GET", path, headers={"Host": host},
+                        redirect=False, preload_content=False,
+                        retries=False)
+    return pool, resp
 
 
 def http_media_fetcher(
@@ -117,45 +150,65 @@ def http_media_fetcher(
 ) -> Tuple[np.ndarray, int]:
     """Direct streaming download of a media file, decoded via the native
     libav shim (handles every container the shim does). Redirects are
-    followed manually with a per-hop public-address check (ADVICE r2: the
-    requests default follows redirects blindly, a residual SSRF vector
-    behind the platform allow-list)."""
-    import requests
+    followed manually; every hop resolves the host once, validates the
+    address, and connects to that pinned IP (ADVICE r2 + the DNS-rebinding
+    TOCTOU: a resolve-then-refetch sequence can be rebound between the
+    check and the connect)."""
+    from urllib.parse import urljoin, urlsplit
 
-    resp = None
-    try:
-        for _ in range(max_redirects + 1):
-            if not allow_private_hosts:  # test servers bind loopback
-                _assert_public_host(url)
-            resp = requests.get(url, stream=True, timeout=timeout,
-                                allow_redirects=False)
-            if resp.is_redirect or resp.is_permanent_redirect:
-                nxt = resp.headers.get("Location")
-                if not nxt:
-                    break
-                url = requests.compat.urljoin(url, nxt)
-                continue
-            break
-        else:
-            raise MediaError("too many redirects",
-                             user_message="Could not download media from this URL")
-    except requests.RequestException as e:
-        raise MediaError(f"download failed: {e}",
-                         user_message="Could not download media from this URL") from e
-    if resp is None or resp.status_code != 200:
-        code = "no response" if resp is None else f"HTTP {resp.status_code}"
-        raise MediaError(f"download failed: {code}",
-                         user_message="Could not download media from this URL")
-    suffix = Path(url.split("?", 1)[0]).suffix.lower() or ".bin"
-    chunks = []
+    import urllib3
+
+    pool = resp = None
+    chunks: list = []
     total = 0
-    for chunk in resp.iter_content(chunk_size=1 << 20):
-        total += len(chunk)
-        if total > max_bytes:
-            raise MediaError(
-                f"download exceeds {max_bytes} bytes",
-                user_message="Media file is too large to import from URL")
-        chunks.append(chunk)
+    try:
+        try:
+            for _ in range(max_redirects + 1):
+                if allow_private_hosts:  # test servers bind loopback
+                    ip = urlsplit(url).hostname or ""
+                    if urlsplit(url).scheme not in ("http", "https"):
+                        raise MediaError(
+                            f"refusing non-http(s) URL: {url[:80]}",
+                            user_message="Only http/https media URLs are supported")
+                else:
+                    ip = _resolve_public_host(url)
+                pool, resp = _open_pinned(url, ip, timeout)
+                nxt = resp.get_redirect_location()
+                if nxt:
+                    resp.release_conn()
+                    pool.close()
+                    pool = resp = None
+                    url = urljoin(url, nxt)
+                    continue
+                break
+            else:
+                raise MediaError(
+                    "too many redirects",
+                    user_message="Could not download media from this URL")
+        except (urllib3.exceptions.HTTPError, OSError) as e:
+            raise MediaError(f"download failed: {e}",
+                             user_message="Could not download media from this URL") from e
+        if resp is None or resp.status != 200:
+            code = "no response" if resp is None else f"HTTP {resp.status}"
+            raise MediaError(f"download failed: {code}",
+                             user_message="Could not download media from this URL")
+        suffix = Path(url.split("?", 1)[0]).suffix.lower() or ".bin"
+        try:
+            for chunk in resp.stream(1 << 20):
+                total += len(chunk)
+                if total > max_bytes:
+                    raise MediaError(
+                        f"download exceeds {max_bytes} bytes",
+                        user_message="Media file is too large to import from URL")
+                chunks.append(chunk)
+        except (urllib3.exceptions.HTTPError, OSError) as e:
+            raise MediaError(f"download failed: {e}",
+                             user_message="Could not download media from this URL") from e
+    finally:
+        if resp is not None:
+            resp.release_conn()
+        if pool is not None:
+            pool.close()
     data = b"".join(chunks)
     if not data:
         raise MediaError("empty download",

@@ -42,27 +42,30 @@ class PodcastStore:
         minutes, seconds = int(duration_seconds // 60), int(duration_seconds % 60)
         with self._lock:
             path.write_bytes(raw)
+            # sidecar name is {id}.meta.json — derived from the id only, so
+            # an upload whose sanitized NAME ends in .json can never collide
+            # with it (audio files always carry the joining underscore;
+            # sidecars never do)
             meta = {
                 "id": unique_id,
                 "podcast_id": unique_id,            # round-2 response alias
                 "title": title or Path(fname).stem,
                 "filename": fname,
                 # episode number = folder count, podcast_routes.py:79
-                "episode": str(len(list(self.root.glob("*_*")))
-                               - len(list(self.root.glob("*.json")))),
+                "episode": str(len(list(self.root.glob("*.meta.json"))) + 1),
                 "duration": f"{minutes:02d}:{seconds:02d}",
                 "duration_seconds": round(duration_seconds, 2),
                 "sample_rate": sample_rate,
                 "date": _dt.datetime.now().isoformat(),
                 "filepath": str(path),
             }
-            path.with_suffix(path.suffix + ".json").write_text(
+            (self.root / f"{unique_id}.meta.json").write_text(
                 json.dumps(meta), encoding="utf-8")
         return meta
 
     def list(self) -> List[Dict]:
         out = []
-        for sidecar in sorted(self.root.glob("*.json")):
+        for sidecar in sorted(self.root.glob("*.meta.json")):
             try:
                 out.append(json.loads(sidecar.read_text(encoding="utf-8")))
             except (OSError, ValueError):
@@ -72,11 +75,11 @@ class PodcastStore:
     def get(self, podcast_id: str) -> Tuple[Dict, Path]:
         if not re.fullmatch(r"[0-9a-f]{32}", podcast_id or ""):
             raise ValidationError("invalid podcast id")
-        matches = list(self.root.glob(f"{podcast_id}_*.json"))
-        if not matches:
+        sidecar = self.root / f"{podcast_id}.meta.json"
+        if not sidecar.exists():
             raise ValidationError(f"unknown podcast id {podcast_id}")
-        meta = json.loads(matches[0].read_text(encoding="utf-8"))
-        audio_path = Path(str(matches[0])[: -len(".json")])
+        meta = json.loads(sidecar.read_text(encoding="utf-8"))
+        audio_path = self.root / f"{podcast_id}_{meta['filename']}"
         if not audio_path.exists():
             raise ValidationError(f"podcast {podcast_id} audio missing")
         return meta, audio_path

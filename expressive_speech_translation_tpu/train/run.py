@@ -137,7 +137,11 @@ def load_kaldi_dir(data_dir: str | Path, tokenizer_frontend=None) -> List[dict]:
             n_real += 1
         else:
             # proxy speech tokens: deterministic per utterance, ~2.5 tokens/char
-            rng = np.random.default_rng(abs(hash(utt)) % (2**32))
+            # (crc32, NOT hash() — string hashing is salted per process, which
+            # would give resumed/multi-worker runs different proxy targets)
+            import zlib
+
+            rng = np.random.default_rng(zlib.crc32(utt.encode("utf-8")))
             n_speech = max(int(len(sentence) * 2.5), 4)
             speech_tokens = rng.integers(0, 6561, n_speech).tolist()
             n_proxy += 1

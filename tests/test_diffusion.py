@@ -147,6 +147,15 @@ def test_diff2lip_pipeline_end_to_end_tiny():
     assert mels.shape == (5, 16, 80)
     sb = smooth_boxes([(0, 0, 10, 10), (20, 20, 30, 30), (0, 0, 10, 10)])
     assert sb[1][0] < 20  # smoothed toward neighbours
+    # exact parity with diff2lip generate.py:92-95 (forward window, in-place)
+    boxes = [(float(i), 0.0, float(i + 10), 10.0) for i in range(9)]
+    ref = np.array(boxes, np.float32)
+    for i in range(len(ref)):
+        win = ref[len(ref) - 5:] if i + 5 > len(ref) else ref[i: i + 5]
+        ref[i] = win.mean(axis=0)
+    got = smooth_boxes([tuple(b) for b in boxes], window=5)
+    np.testing.assert_allclose(np.array(got, np.float32),
+                               np.round(ref), atol=0.51)
 
 
 def test_kv_logger_sinks(tmp_path, capsys):

@@ -298,10 +298,12 @@ def test_refinement_is_noop_on_static_head():
 
 
 def test_smooth_boxes_parity():
-    """5-frame sliding-mean smoothing (diff2lip get_smoothened_boxes)."""
+    """Centered 5-frame smoothing (api_inference_logic.py:27-38 smooth_bbox:
+    window [i−2, i+3], out-of-place)."""
     boxes = [(i, i * 2, i + 10, i * 2 + 10) for i in range(12)]
     sm = F.smooth_boxes(boxes, window=5)
     assert len(sm) == 12
-    assert sm[0] == (2, 4, 12, 14)          # mean of boxes[0:5]
+    assert sm[0] == (1, 2, 11, 12)          # mean of boxes[0:3]
+    assert sm[5] == (5, 10, 15, 20)         # mean of boxes[3:8]
     assert sm[-1] == tuple(int(round(v)) for v in
-                           np.mean(np.asarray(boxes[-5:], np.float32), axis=0))
+                           np.mean(np.asarray(boxes[-3:], np.float32), axis=0))

@@ -161,7 +161,8 @@ class UpsampleConformerEncoderMirror(nn.Module):
             ConformerEncoderLayer(cfg.size, cfg.linear_units, cfg.heads)
             for _ in range(cfg.blocks)])
         self.up_layer = Upsample1D(cfg.size, cfg.upsample_stride)
-        self.up_embed = EspnetRelPositionalEncoding(cfg.size)
+        # official: a SECOND LinearNoSubsampling after the upsample
+        self.up_embed = Embed(cfg.size)
         self.up_encoders = nn.ModuleList([
             ConformerEncoderLayer(cfg.size, cfg.linear_units, cfg.heads)
             for _ in range(cfg.up_blocks)])
@@ -175,10 +176,8 @@ class UpsampleConformerEncoderMirror(nn.Module):
             x = layer(x, pos_emb, mask)
         x = self.up_layer(x.transpose(1, 2)).transpose(1, 2)
         mask_up = torch.repeat_interleave(mask, self.cfg.upsample_stride, dim=1)
+        x, pos_emb_up = self.up_embed(x)
         x = x * mask_up[..., None]
-        t = x.size(1)
-        pos = torch.arange(t, dtype=torch.float64)
-        _, pos_emb_up = self.up_embed(x)
         for layer in self.up_encoders:
             x = layer(x, pos_emb_up, mask_up)
         return self.after_norm(x), mask_up

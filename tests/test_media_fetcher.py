@@ -83,13 +83,14 @@ def test_ssrf_guard_blocks_private_hosts(media_server):
                 "http://169.254.169.254/latest/meta-data",
                 "http://[::1]/x.wav"):
         with pytest.raises(MediaError, match="non-public address"):
-            mf._assert_public_host(url)
+            mf._resolve_public_host(url)
     with pytest.raises(MediaError, match="non-http"):
-        mf._assert_public_host("file:///etc/passwd")
+        mf._resolve_public_host("file:///etc/passwd")
 
 
 def test_default_fetcher_direct_link(media_server, monkeypatch):
-    monkeypatch.setattr(mf, "_assert_public_host", lambda url: None)
+    # pin-resolve to loopback (the test server) instead of refusing it
+    monkeypatch.setattr(mf, "_resolve_public_host", lambda url: "127.0.0.1")
     audio, sr = mf.default_fetcher(f"{media_server}/clip.wav")
     assert sr == 16000 and len(audio) > 15000
 

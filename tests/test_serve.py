@@ -332,6 +332,21 @@ def test_podcast_persistence_roundtrip(client):
     assert client.get("/podcasts/../etc/passwd").status_code in (400, 404)
 
 
+def test_podcast_store_json_named_upload(tmp_path):
+    """An upload whose sanitized filename ends in .json must not collide
+    with the metadata sidecar scheme (sidecars are {id}.meta.json)."""
+    from expressive_speech_translation_tpu.serve.podcasts import PodcastStore
+
+    store = PodcastStore(tmp_path)
+    meta = store.save(b"\x00\x01binary", "notes.json", duration_seconds=1.0)
+    got, audio_path = store.get(meta["id"])
+    assert got["filename"] == "notes.json"
+    assert audio_path.read_bytes() == b"\x00\x01binary"
+    episodes = store.list()
+    assert len(episodes) == 1 and episodes[0]["id"] == meta["id"]
+    assert episodes[0]["episode"] == "1"
+
+
 def test_translate_text_route(client):
     """Text-mode TranslateTool endpoint: NLLB translation + optional TTS
     (simple_translate_tts.py capability over HTTP, SURVEY §2.18)."""
