@@ -160,6 +160,9 @@ class TrainConfig:
     sort_buffer: int = 500
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 10
+    # structured train/CV metrics JSONL (the reference writes TensorBoard
+    # events from its executor; empty = log-lines only)
+    metrics_path: str = ""
 
 
 @dataclass(frozen=True)

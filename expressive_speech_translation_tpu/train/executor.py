@@ -132,7 +132,13 @@ class Executor:
         *,
         cv_batches: Callable[[], Iterable[SFTBatch]] = lambda: (),
         max_epochs: Optional[int] = None,
+        metric_sink: Optional[Callable[[dict], None]] = None,
     ) -> TrainState:
+        """``metric_sink``: optional per-log-interval structured-metrics hook
+        (an ``obs.kvlogger`` output's ``writekvs``) — the TPU-native stand-in
+        for the reference executor's TensorBoard writer (cosyvoice
+        train_utils); receives train rows tagged ``phase="train"`` and CV
+        rows tagged ``phase="cv"``."""
         max_epochs = max_epochs or self.cfg.max_epochs
         t_last = time.perf_counter()
         for epoch in range(max_epochs):
@@ -147,6 +153,14 @@ class Executor:
                         epoch, step, float(metrics["loss"]), float(metrics["acc"]),
                         float(metrics["grad_norm"]), rate,
                     )
+                    if metric_sink is not None:
+                        metric_sink({
+                            "phase": "train", "epoch": epoch, "step": step,
+                            "loss": float(metrics["loss"]),
+                            "acc": float(metrics["acc"]),
+                            "grad_norm": float(metrics["grad_norm"]),
+                            "it_per_s": round(rate, 3),
+                        })
                 if self.ckpt is not None and step % self.cfg.save_per_step == 0:
                     cvm = self.cv(state, cv_batches())
                     if cvm:
@@ -154,6 +168,9 @@ class Executor:
                             "Epoch %d Step %d CV info loss %.6f acc %.6f",
                             epoch, step, cvm.get("loss", float("nan")), cvm.get("acc", float("nan")),
                         )
+                        if metric_sink is not None:
+                            metric_sink({"phase": "cv", "epoch": epoch,
+                                         "step": step, **cvm})
                     self.ckpt.save(state, metrics=cvm)
             cvm = self.cv(state, cv_batches())
             if cvm:
@@ -161,6 +178,9 @@ class Executor:
                     "Epoch %d Step %d CV info loss %.6f acc %.6f",
                     epoch, int(state.step), cvm.get("loss", float("nan")), cvm.get("acc", float("nan")),
                 )
+                if metric_sink is not None:
+                    metric_sink({"phase": "cv", "epoch": epoch,
+                                 "step": int(state.step), **cvm})
             if self.ckpt is not None:
                 self.ckpt.save(state, metrics=cvm, force=True)
         if self.ckpt is not None:

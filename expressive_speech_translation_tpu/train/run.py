@@ -221,7 +221,13 @@ def main(argv: Optional[list] = None) -> int:
             rows_multiple=rows_multiple,
         )
 
-    state = executor.train(state, epoch_batches, cv_batches=cv_batches)
+    sink = None
+    if train_cfg.metrics_path:
+        from ..obs.kvlogger import JSONOutput
+
+        sink = JSONOutput(train_cfg.metrics_path).writekvs
+    state = executor.train(state, epoch_batches, cv_batches=cv_batches,
+                           metric_sink=sink)
     log.info("training done at step %d", int(state.step))
     return 0
 

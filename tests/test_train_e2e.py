@@ -143,3 +143,34 @@ def test_sft_loss_decreases_then_resumes(kaldi_dir, tmp_path):
     assert min(post) <= losses[-1] * 1.5  # same curve, not re-initialized
     ex.ckpt.close()
     ex2.ckpt.close()
+
+
+def test_executor_metric_sink_receives_structured_rows(kaldi_dir, tmp_path):
+    """metric_sink (the TensorBoard-writer stand-in) receives per-interval
+    train rows and CV rows as structured dicts; JSONOutput persists them."""
+    import json
+
+    from expressive_speech_translation_tpu.obs.kvlogger import JSONOutput
+
+    samples = load_kaldi_dir(kaldi_dir)
+    tc = TrainConfig(learning_rate=3e-3, accum_grad=1, max_epochs=1,
+                     log_interval=1, save_per_step=10_000,
+                     max_frames_in_batch=40, shuffle_buffer=8, sort_buffer=4)
+    ex = Executor(TINY_LM, tc, checkpoint_dir=False)
+    state = ex.init_or_resume()
+    path = tmp_path / "metrics.jsonl"
+    sink = JSONOutput(path)
+
+    def epoch_batches(epoch):
+        return batches_from_samples(iter(samples), tc, accum=1, seed=epoch)
+
+    def cv_batches():
+        return batches_from_samples(iter(samples[:2]), tc, accum=1, seed=0)
+
+    ex.train(state, epoch_batches, cv_batches=cv_batches, max_epochs=1,
+             metric_sink=sink.writekvs)
+    rows = [json.loads(l) for l in path.read_text().splitlines()]
+    phases = {r["phase"] for r in rows}
+    assert "train" in phases and "cv" in phases
+    tr = next(r for r in rows if r["phase"] == "train")
+    assert {"epoch", "step", "loss", "acc", "grad_norm", "it_per_s"} <= set(tr)
