@@ -48,6 +48,10 @@ class AudioConfig:
     max_audio_seconds: float = 300.0
     max_podcast_seconds: float = 3600.0
     max_video_mb: float = 150.0
+    # byte cap on audio uploads BEFORE the body is buffered/decoded (the
+    # duration caps only run after a full read; sized to admit a 1 h
+    # 44.1 kHz stereo PCM podcast while refusing multi-GB bodies)
+    max_audio_upload_mb: float = 750.0
     max_url_media_seconds: float = 120.0
     clone_reference_seconds: float = 25.0
     target_lufs: float = -23.0

@@ -242,13 +242,23 @@ class CascadedBackend(TranslationBackend):
                   language=COSYVOICE_LANGUAGES.get(target_lang, "en"))
         tts = self.engines.tts
         tts_sr = getattr(tts, "sample_rate", 24_000)
+        # gate on the UNWRAPPED engine: micro-batch facades define a
+        # synthesize_streaming method that raises AttributeError when the
+        # inner engine lacks one, so hasattr on the wrapper is always True
+        # and the offline one-chunk fallback would be unreachable
+        inner = getattr(tts, "engine", tts)
         chunks = (tts.synthesize_streaming(target_text, **kw)
-                  if hasattr(tts, "synthesize_streaming")
+                  if hasattr(inner, "synthesize_streaming")
                   else iter([tts.synthesize(target_text, **kw)]))
+        from ..ops.host_dsp import resample_np
+
         for chunk in chunks:
             c = np.asarray(chunk, np.float32)
             if tts_sr != 16_000:
-                c = np.asarray(ops.resample(jnp.asarray(c), tts_sr, 16_000))
+                # host-side polyphase: chunk lengths vary per request, the
+                # jitted device op would recompile for every unique length
+                # (the offline path made the same switch, see translate_speech)
+                c = resample_np(c, tts_sr, 16_000)
             yield {"type": "audio", "chunk": c, "sample_rate": 16_000}
 
     # ------------------------------------------------------------ temporal map

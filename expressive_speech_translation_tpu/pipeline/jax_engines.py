@@ -145,7 +145,10 @@ class JaxWhisperAsr:
         # takes the deployment's non-speech id list
         suppress_first: tuple = ()
         if suppress_blank:
-            space_ids = tuple(self.tokenizer.encode(" ") if tokenizer else ())
+            # self.tokenizer, not the constructor arg: the default
+            # ByteTokenizer must also contribute its space id(s), or the
+            # decoder can emit the leading blank whisper suppresses
+            space_ids = tuple(self.tokenizer.encode(" "))
             suppress_first = tuple(space_ids) + (self.cfg.eos_token,)
         self._suppress = (tuple(suppress_tokens), suppress_first)
         # whisper condition_on_previous_text: each chunk's prompt carries

@@ -181,11 +181,13 @@ class TemporalMapper:
         onset_samples = int(profile.speech_onset * self.sr)
         lead = self.room_tone(source, onset_samples) if onset_samples > 0 else np.zeros(0, np.float32)
 
-        # 3. trailing room tone to match total duration
+        # 3. trailing room tone UP TO the source duration. Never truncate:
+        # a verbose translation that stays longer than the source even at
+        # MAX_STRETCH keeps its full content, matching the reference
+        # (apply_temporal_guidance returns the adjusted audio at its natural
+        # length, temporal_mapper.py:201-237 — no cut to source duration).
         total = int(profile.duration * self.sr)
         used = len(lead) + len(stretched)
         tail_n = max(total - used, 0)
         tail = self.room_tone(source, tail_n) if tail_n else np.zeros(0, np.float32)
-
-        out = np.concatenate([lead, stretched, tail])
-        return out[:total] if total > 0 else out
+        return np.concatenate([lead, stretched, tail])

@@ -150,7 +150,11 @@ class App:
                 raise ValidationError("Content-Type must be multipart/form-data or application/json")
 
         limits = self._route_limits.get(endpoint, ())
-        ok, rule = self.limiter.check(request.remote_addr or "anon", limits)
+        # Flask-Limiter semantics: limit counters are scoped per (client,
+        # route) — static-asset and status-poll hits must not consume the
+        # translate budget
+        ok, rule = self.limiter.check(
+            f"{request.remote_addr or 'anon'}|{endpoint}", limits)
         if not ok:
             return _json({"error": f"Rate limit exceeded ({rule})"}, 429)
 
@@ -166,6 +170,13 @@ class App:
     # ---------------------------------------------------------------- routes
 
     def _read_upload(self, request: Request) -> tuple[np.ndarray, int, str, bytes]:
+        # byte-size gate BEFORE buffering/decoding (the duration caps only
+        # run after a full read — a multi-GB body must be refused up front,
+        # the way video uploads are gated on max_video_mb)
+        cap = int(self.config.audio.max_audio_upload_mb * 1024 * 1024)
+        if (request.content_length or 0) > cap:
+            raise ValidationError(
+                f"Upload exceeds {self.config.audio.max_audio_upload_mb:g} MB")
         file = request.files.get("file") or request.files.get("audio")
         if file is None or not file.filename:
             raise ValidationError("No audio file provided")
@@ -175,7 +186,10 @@ class App:
                 f"Unsupported format {suffix!r}. Supported: "
                 + ", ".join(self.audio_processor.SUPPORTED_FORMATS)
             )
-        raw = file.read()
+        raw = file.read(cap + 1)
+        if len(raw) > cap:
+            raise ValidationError(
+                f"Upload exceeds {self.config.audio.max_audio_upload_mb:g} MB")
         if suffix == ".wav":
             import tempfile
 

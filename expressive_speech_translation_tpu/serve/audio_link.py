@@ -70,7 +70,11 @@ def process_audio_url(
     """Download → cap at 120 s → 16 kHz mono → translate."""
     validate_url(url)
     audio, sr = (fetcher or _no_fetcher)(url)
-    duration = np.asarray(audio).reshape(-1).shape[0] / max(sr, 1)
+    audio = np.asarray(audio)
+    # channel-aware duration: a [C, T] stereo fetcher result must not count
+    # C×T samples (a valid 90 s clip would read as 180 s and be rejected)
+    frames = audio.shape[-1] if audio.ndim > 1 else audio.shape[0]
+    duration = frames / max(sr, 1)
     if duration > MAX_URL_MEDIA_SECONDS:
         raise ValidationError(
             f"Media too long ({duration:.0f}s). Maximum for URL imports is "

@@ -25,11 +25,18 @@ log = logging.getLogger(__name__)
 
 
 def bucket_batch(n: int, buckets: Sequence[int] = (1, 2, 4, 8, 16)) -> int:
-    """Smallest bucket ≥ n (callers pad to this so XLA sees few shapes)."""
+    """Smallest bucket ≥ n (callers pad to this so XLA sees few shapes).
+
+    Above the top bucket, keep doubling: callers allocate batch arrays at
+    the returned size, so returning less than ``n`` (the old behaviour)
+    made e.g. 40 flattened ASR chunk rows index past a 32-row array."""
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    b = buckets[-1]
+    while b < n:
+        b *= 2
+    return b
 
 
 class MicroBatcher:
@@ -58,6 +65,7 @@ class MicroBatcher:
         self.max_wait_s = max_wait_ms / 1000.0
         self._q: "queue.Queue[Any]" = queue.Queue()
         self._closed = False
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, name=name, daemon=True)
         self._thread.start()
         # served/batch counters — observability for the health endpoints
@@ -65,10 +73,14 @@ class MicroBatcher:
         self.n_batches = 0
 
     def submit(self, item: Any) -> Future:
-        if self._closed:
-            raise RuntimeError("MicroBatcher is shut down")
-        fut: Future = Future()
-        self._q.put((item, fut))
+        # atomic closed-check + enqueue: without the lock a submit racing
+        # shutdown() can land behind the sentinel and its Future never
+        # resolves (the caller's .result() blocks forever)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is shut down")
+            fut: Future = Future()
+            self._q.put((item, fut))
         return fut
 
     def __call__(self, item: Any) -> Any:
@@ -76,10 +88,11 @@ class MicroBatcher:
         return self.submit(item).result()
 
     def shutdown(self, *, wait: bool = True) -> None:
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(self._SHUTDOWN)
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(self._SHUTDOWN)
         if wait:
             self._thread.join(timeout=30)
 

@@ -2,7 +2,9 @@
 
 Parity with the reference's limits: default ``500/day; 100/hour`` and per-route
 ``20/min`` translate, ``10/min`` video + audio-url, ``5/min`` podcast
-(Backend/app.py:211, :254, :336, :401, :444). Sliding-window per client IP.
+(Backend/app.py:211, :254, :336, :401, :444). Sliding-window; callers key
+hits per (client IP, route) — Flask-Limiter scopes its counters per route,
+so hits on one endpoint must not consume another's budget.
 """
 
 from __future__ import annotations

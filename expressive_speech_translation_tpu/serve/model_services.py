@@ -25,6 +25,7 @@ import io
 import json
 import logging
 import tempfile
+import threading
 import time
 from pathlib import Path
 from typing import Any, Callable, Dict, Optional
@@ -129,6 +130,7 @@ class CosyVoiceService(_ServiceApp):
             model_factories = {"default": FakeTts, "greek": FakeTts}
         self._factories = model_factories
         self._models: Dict[str, Any] = {}
+        self._load_lock = threading.Lock()
         self._batching = batching
         self._max_batch = max_batch
         self._batch_wait_ms = batch_wait_ms
@@ -139,17 +141,22 @@ class CosyVoiceService(_ServiceApp):
 
     def get_model(self, name: str):
         """Lazy load + cache (cosyvoice_api.py:37-69); with batching on,
-        batch-capable models are wrapped in the micro-batching facade."""
+        batch-capable models are wrapped in the micro-batching facade.
+        Locked: under the threaded server, two concurrent first requests
+        would otherwise each run the factory — duplicating a multi-GB weight
+        load and leaking the loser's micro-batcher collector thread."""
         key = name if name in self._factories else "default"
         if key not in self._models:
-            log.info("loading TTS model %r", key)
-            model = self._factories[key]()
-            if self._batching and hasattr(model, "synthesize_batch"):
-                from .batching import BatchedTts
+            with self._load_lock:
+                if key not in self._models:
+                    log.info("loading TTS model %r", key)
+                    model = self._factories[key]()
+                    if self._batching and hasattr(model, "synthesize_batch"):
+                        from .batching import BatchedTts
 
-                model = BatchedTts(model, max_batch=self._max_batch,
-                                   max_wait_ms=self._batch_wait_ms)
-            self._models[key] = model
+                        model = BatchedTts(model, max_batch=self._max_batch,
+                                           max_wait_ms=self._batch_wait_ms)
+                    self._models[key] = model
         return self._models[key]
 
     def warm_up(self):

@@ -16,7 +16,12 @@ from expressive_speech_translation_tpu.serve.batching import (
 
 
 def test_bucket_batch():
-    assert [bucket_batch(n) for n in (1, 2, 3, 5, 8, 9, 99)] == [1, 2, 4, 8, 8, 16, 16]
+    # above the top bucket, keep doubling — callers size batch ARRAYS from
+    # the return value, so it must never be < n (40 flattened ASR rows from
+    # four 300 s uploads used to overflow a 32-row array)
+    assert [bucket_batch(n) for n in (1, 2, 3, 5, 8, 9, 17, 40, 99)] == \
+        [1, 2, 4, 8, 8, 16, 32, 64, 128]
+    assert bucket_batch(40, (1, 2, 4, 8, 16, 32)) == 64
 
 
 def test_microbatcher_coalesces_and_preserves_mapping():

@@ -134,6 +134,21 @@ def test_apply_temporal_guidance_matches_source_duration():
     assert np.abs(out[:4000]).mean() < np.abs(out[10000:20000]).mean()
 
 
+def test_apply_temporal_guidance_never_truncates_long_translations():
+    """A verbose translation longer than the source even at MAX_STRETCH keeps
+    its full content (the reference returns the adjusted audio at natural
+    length — no cut to source duration)."""
+    tm = TemporalMapper()
+    source = np.concatenate([np.zeros(4000, np.float32), speech_like(4.0),
+                             np.zeros(4000, np.float32)])   # 5.5 s
+    translated = speech_like(20.0, seed=3)                  # ~3.6x longer
+    out = tm.apply_temporal_guidance(translated, source)
+    # even fully compressed at MAX_STRETCH=1.5, 20 s cannot fit 5.5 s:
+    # the output must be longer than the source, not chopped to it
+    assert len(out) > len(source)
+    assert len(out) >= int(20.0 / 1.5 * 16000) - 16000
+
+
 # -------------------------------------------------------- visual mapper/detector
 
 
