@@ -85,9 +85,10 @@ def beam_search(step_fn: StepFn, prompt: jnp.ndarray, cache, beam_state, cfg: Be
 
     # Broadcast beam_state's batch-major leaves from B to B*K.
     def tile(x):
+        # repeat (NOT jnp.tile): each row's k beams must be contiguous to
+        # match the b*k + beam flat indexing in _gather_beams
         if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == b:
-            reps = (k,) + (1,) * (x.ndim - 1)
-            return jnp.repeat(x, k, axis=0) if True else jnp.tile(x, reps)
+            return jnp.repeat(x, k, axis=0)
         return x
 
     beam_state = jax.tree_util.tree_map(tile, beam_state)

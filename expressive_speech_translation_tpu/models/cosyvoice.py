@@ -183,11 +183,16 @@ def generate_speech_tokens(
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i))
         recent = jnp.concatenate([recent[:, 1:], nxt[:, None]], axis=1)
         done = done | (nxt == cfg.eos_speech)
-        # embed the sampled token and advance the backbone one step
+        # embed the sampled token and advance the backbone one step; the
+        # cache slot is the shared p_len+i, but each row attends only to its
+        # VALID prompt K/V and rotates at its true continuation position
+        # (pad-slot attention / inflated RoPE distances otherwise degrade
+        # shorter rows in a batch vs running them alone)
         x = params["speech_embed"][nxt][:, None, :]
-        pos = last_idx + 1 + i  # per-row position — use max for cache slot
         h, cache = q2.decode_step(
-            params["backbone"], cfg.backbone, x, p_len + i, cache
+            params["backbone"], cfg.backbone, x, p_len + i, cache,
+            rope_pos=last_idx + 1 + i, prompt_len=last_idx + 1,
+            prompt_capacity=p_len,
         )
         return i + 1, h, cache, tokens, recent, key, done
 
@@ -267,10 +272,13 @@ def generate_speech_tokens_mtp(
         new_toks = jnp.where(after_eos | done[:, None], cfg.eos_speech, new_toks)
         tokens = jax.lax.dynamic_update_slice(tokens, new_toks, (0, i * k_mtp))
         done = done | jnp.any(new_toks == cfg.eos_speech, axis=1)
-        # ingest the K tokens in one multi-position pass
+        # ingest the K tokens in one multi-position pass (per-row RoPE +
+        # pad-slot masking — see generate_speech_tokens)
         x = params["speech_embed"][new_toks]
         h_span, cache = q2.decode_span(
-            params["backbone"], cfg.backbone, x, p_len + i * k_mtp, cache
+            params["backbone"], cfg.backbone, x, p_len + i * k_mtp, cache,
+            rope_pos=last_idx + 1 + i * k_mtp, prompt_len=last_idx + 1,
+            prompt_capacity=p_len,
         )
         return i + 1, h_span[:, -1, :], cache, tokens, recent, key, done
 
@@ -728,6 +736,7 @@ def lm_stream_start(
         "recent": jnp.full((b, cfg.win_size), -1, jnp.int32),
         "done": jnp.zeros((b,), bool),
         "step": jnp.asarray(0, jnp.int32),
+        "last_idx": last_idx,
     }
 
 
@@ -749,6 +758,7 @@ def lm_stream_chunk(
     """
     b = state["recent"].shape[0]
     tokens0 = jnp.full((b, chunk_tokens), cfg.eos_speech, jnp.int32)
+    last_idx = state["last_idx"]
 
     def body(j, carry):
         h, cache, tokens, recent, key, done, step = carry
@@ -764,7 +774,10 @@ def lm_stream_chunk(
         recent = jnp.concatenate([recent[:, 1:], nxt[:, None]], axis=1)
         done = done | (nxt == cfg.eos_speech)
         x = params["speech_embed"][nxt][:, None, :]
-        h, cache = q2.decode_step(params["backbone"], cfg.backbone, x, p_len + step, cache)
+        h, cache = q2.decode_step(
+            params["backbone"], cfg.backbone, x, p_len + step, cache,
+            rope_pos=last_idx + 1 + step, prompt_len=last_idx + 1,
+            prompt_capacity=p_len)
         return h, cache, tokens, recent, key, done, step + 1
 
     carry = (state["h"], state["cache"], tokens0, state["recent"], key,
@@ -772,7 +785,8 @@ def lm_stream_chunk(
     h, cache, tokens, recent, _, done, step = jax.lax.fori_loop(
         0, chunk_tokens, body, carry
     )
-    return tokens, {"h": h, "cache": cache, "recent": recent, "done": done, "step": step}
+    return tokens, {"h": h, "cache": cache, "recent": recent, "done": done,
+                    "step": step, "last_idx": last_idx}
 
 
 def flow_vocode_chunk(

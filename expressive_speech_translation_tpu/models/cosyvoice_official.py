@@ -191,8 +191,11 @@ def synthesize_streaming_official(
     buckets = [c]
     while buckets[-1] < total_tok:
         buckets.append(min(buckets[-1] * 2, total_tok))
-    # one eager RNG op for the whole stream (per-chunk splits are relay RPCs)
-    all_keys = np.asarray(jax.random.split(key, n_chunks + 1))
+    # one eager RNG op for the whole stream (per-chunk splits are relay
+    # RPCs); DISTINCT keys for the LM chunk and the HiFT source per chunk —
+    # sharing one key would correlate token sampling with sine-phase/noise
+    all_keys = np.asarray(jax.random.split(key, 2 * n_chunks + 1))
+    lm_keys, src_keys = all_keys[:n_chunks], all_keys[n_chunks:2 * n_chunks]
     k_flow = jnp.asarray(all_keys[-1])
 
     lm_state = cv._lm_stream_start_j(
@@ -211,7 +214,7 @@ def synthesize_streaming_official(
 
     for ci in range(n_chunks):
         tokens, lm_state = cv._lm_stream_chunk_j(
-            params["lm"], cfg.lm, jnp.asarray(all_keys[ci]), lm_state,
+            params["lm"], cfg.lm, jnp.asarray(lm_keys[ci]), lm_state,
             chunk_tokens=c, min_new_tokens=min_new_tokens, p_len=p_len,
         )
         tok_np = np.asarray(tokens[0])
@@ -235,7 +238,7 @@ def synthesize_streaming_official(
         nm[0, : len(new_mel)] = new_mel
 
         wave, cache_mel, cache_src = _hift_chunk(
-            params["hift"], cfg.hift, jnp.asarray(all_keys[ci]),
+            params["hift"], cfg.hift, jnp.asarray(src_keys[ci]),
             cache_mel, cache_src, use_cache, jnp.asarray(nm),
             deterministic=deterministic_source,
         )

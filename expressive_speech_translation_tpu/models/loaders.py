@@ -261,9 +261,11 @@ def load_cosyvoice_flow(path: str | Path, cfg=None):
                            if k.startswith("encoder.encoders."))
         n_up = 1 + max(int(k.split(".")[2]) for k in state
                        if k.startswith("encoder.up_encoders."))
-        n_mid = 1 + max(int(k.split(".")[2]) for k in state
+        # keys: decoder.estimator.mid_blocks.{i}.{0|1.{j}}.… — the block
+        # index is segment 3 and the transformer-block index segment 5
+        n_mid = 1 + max(int(k.split(".")[3]) for k in state
                         if k.startswith("decoder.estimator.mid_blocks."))
-        n_tb = 1 + max(int(k.split(".")[4]) for k in state
+        n_tb = 1 + max(int(k.split(".")[5]) for k in state
                        if k.startswith("decoder.estimator.mid_blocks.0.1."))
         base = fm.OfficialFlowConfig()
         cfg = dataclasses.replace(

@@ -230,8 +230,9 @@ def generate(
     min_new_tokens: int = 0,
     length_penalty: float = 1.0,
 ) -> jnp.ndarray:
-    """Translate: returns [B, 2 + max_new_tokens] token ids
-    (``</s> <lang> ...`` — HF layout with decoder_start + forced BOS)."""
+    """Translate: returns [B, 1 + max_new_tokens] token ids
+    (``</s> <lang> ...`` — HF layout: the forced-BOS language token counts
+    as the first generated token, so max_len = 1 + max_new_tokens)."""
     enc_out = encode(params, cfg, src_tokens)
     enc_pad_mask = (src_tokens != cfg.pad_token)[:, None, None, :]
     cross_kv = precompute_cross_kv(params, cfg, enc_out)

@@ -60,9 +60,13 @@ def _rotate_half(x):
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """x [B, T, H, Dh]; cos/sin [T, Dh]."""
-    cos = cos[None, :, None, :]
-    sin = sin[None, :, None, :]
+    """x [B, T, H, Dh]; cos/sin [T, Dh] (shared) or [B, T, Dh] (per-row)."""
+    if cos.ndim == 2:
+        cos = cos[None, :, None, :]
+        sin = sin[None, :, None, :]
+    else:
+        cos = cos[:, :, None, :]
+        sin = sin[:, :, None, :]
     return x * cos + _rotate_half(x) * sin
 
 
@@ -195,18 +199,36 @@ def decode_step(
     kv_cache,
     *,
     valid_from: Optional[jnp.ndarray] = None,  # [B] first valid cache index
+    rope_pos: Optional[jnp.ndarray] = None,    # [B] per-row RoPE position
+    prompt_len: Optional[jnp.ndarray] = None,  # [B] true prompt lengths
+    prompt_capacity: int = 0,                  # padded prompt width
 ) -> Tuple[jnp.ndarray, Any]:
-    """One cached decode step → (hidden [B,1,H], new cache)."""
+    """One cached decode step → (hidden [B,1,H], new cache).
+
+    Right-padded batched prompts: ``prompt_len``/``prompt_capacity`` mask
+    the pad slots [prompt_len_b, prompt_capacity) out of attention (prefill
+    wrote garbage K/V there), and ``rope_pos`` gives each row its TRUE
+    continuation position (last valid prompt index + 1 + step) so shorter
+    rows don't see prompt→token RoPE distances inflated by their pad count.
+    The cache write slot stays the shared scalar ``pos``."""
     b = x.shape[0]
     cos_t, sin_t = rope_table(cfg)
-    cos = jax.lax.dynamic_slice_in_dim(jnp.asarray(cos_t), pos, 1, 0)
-    sin = jax.lax.dynamic_slice_in_dim(jnp.asarray(sin_t), pos, 1, 0)
+    if rope_pos is None:
+        cos = jax.lax.dynamic_slice_in_dim(jnp.asarray(cos_t), pos, 1, 0)
+        sin = jax.lax.dynamic_slice_in_dim(jnp.asarray(sin_t), pos, 1, 0)
+    else:
+        cos = jnp.asarray(cos_t)[rope_pos][:, None, :]       # [B, 1, rot]
+        sin = jnp.asarray(sin_t)[rope_pos][:, None, :]
     groups = cfg.heads // cfg.kv_heads
     max_len = kv_cache[0]["k"].shape[1]
     positions = jnp.arange(max_len)[None, None, None, :]
     mask = positions <= pos
     if valid_from is not None:
         mask = mask & (positions >= valid_from[:, None, None, None])
+    if prompt_len is not None:
+        keep = ((positions < prompt_len[:, None, None, None])
+                | (positions >= prompt_capacity))
+        mask = mask & keep
 
     new_cache = []
     for layer, cache in zip(params["layers"], kv_cache):
@@ -237,19 +259,34 @@ def decode_span(
     x: jnp.ndarray,        # [B, S, hidden] — S new positions
     pos: jnp.ndarray,      # scalar int32 — absolute index of x[:, 0]
     kv_cache,
+    *,
+    rope_pos: Optional[jnp.ndarray] = None,    # [B] per-row position of x[:, 0]
+    prompt_len: Optional[jnp.ndarray] = None,  # [B] true prompt lengths
+    prompt_capacity: int = 0,                  # padded prompt width
 ) -> Tuple[jnp.ndarray, Any]:
     """Multi-position cached decode: process S new tokens in ONE dispatch
     (weights stream from HBM once for all S — the enabler for multi-token
-    prediction, where S≈2-4 costs barely more than 1 when HBM-bound)."""
+    prediction, where S≈2-4 costs barely more than 1 when HBM-bound).
+    ``rope_pos``/``prompt_len``/``prompt_capacity``: see decode_step —
+    right-padded batched prompt handling."""
     b, s_len, _ = x.shape
     cos_t, sin_t = rope_table(cfg)
-    cos = jax.lax.dynamic_slice_in_dim(jnp.asarray(cos_t), pos, s_len, 0)
-    sin = jax.lax.dynamic_slice_in_dim(jnp.asarray(sin_t), pos, s_len, 0)
+    if rope_pos is None:
+        cos = jax.lax.dynamic_slice_in_dim(jnp.asarray(cos_t), pos, s_len, 0)
+        sin = jax.lax.dynamic_slice_in_dim(jnp.asarray(sin_t), pos, s_len, 0)
+    else:
+        idx = rope_pos[:, None] + jnp.arange(s_len)[None, :]  # [B, S]
+        cos = jnp.asarray(cos_t)[idx]                         # [B, S, rot]
+        sin = jnp.asarray(sin_t)[idx]
     groups = cfg.heads // cfg.kv_heads
     max_len = kv_cache[0]["k"].shape[1]
     cache_pos = jnp.arange(max_len)[None, None, None, :]
     query_abs = pos + jnp.arange(s_len)[None, None, :, None]
     mask = cache_pos <= query_abs          # causal over absolute positions
+    if prompt_len is not None:
+        keep = ((cache_pos < prompt_len[:, None, None, None])
+                | (cache_pos >= prompt_capacity))
+        mask = mask & keep
 
     new_cache = []
     for layer, cache in zip(params["layers"], kv_cache):

@@ -209,7 +209,15 @@ def translate_s2st(
     ucache = _init_cache(cfg, cfg.unit_decoder_layers, b, ubc.max_len, enc.dtype)
     units = greedy_search(step_u, u_prompt, ucache, (cross_u,), ubc)
 
-    # -- unit vocoder: embed units → HiFi-GAN (hop 320 → 16 kHz at 50 u/s)
-    unit_feats = udec["embed"][jnp.where(units == 0, 0, units)]
+    # -- unit vocoder: embed units → HiFi-GAN (hop 320 → 16 kHz at 50 u/s).
+    # Post-EOS pad slots (pad_token=0) must contribute SILENCE, not the
+    # embedding of real unit id 0 — zero their features so the fixed-length
+    # waveform's tail is quiet instead of a sustained unit-0 sound, and
+    # report the valid-unit count so callers can trim.
+    valid = jnp.cumsum((units == cfg.unit_eos).astype(jnp.int32), axis=1) == 0
+    valid = valid & (units != 0)
+    unit_feats = udec["embed"][units] * valid[..., None]
     audio = vocode(params["vocoder"], cfg.vocoder, unit_feats)
-    return {"audio": audio, "text_tokens": text_tokens, "units": units}
+    n_units = jnp.sum(valid.astype(jnp.int32), axis=1)
+    return {"audio": audio, "text_tokens": text_tokens, "units": units,
+            "n_units": n_units}

@@ -101,34 +101,14 @@ def ids_to_codes(ids: jnp.ndarray, *, levels: int = 3, dims: int = 8) -> jnp.nda
     return (ints - half) / half
 
 
-def encode(
-    params: Params, cfg: SpeechTokenizerConfig, mel: jnp.ndarray, mask: jnp.ndarray
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """mel [B, T, n_mels] (50 Hz frames) + mask → (token ids [B, T//ds],
-    token mask). Deterministic: same audio → same tokens."""
-    x = jax.lax.conv_general_dilated(
-        mel * mask[..., None], params["conv_in"]["kernel"], (cfg.downsample,),
-        [(2, 2)], dimension_numbers=("NHC", "HIO", "NHC"),
-    ) + params["conv_in"]["bias"]
-    x = jax.nn.gelu(x)
-    tok_mask = mask[:, :: cfg.downsample][:, : x.shape[1]]
-    attn_mask = tok_mask[:, None, None, :]
-    for blk in params["blocks"]:
-        h = layer_norm(blk["attn_ln"], x)
-        x = x + mha(blk["attn"], cfg.attn, h, h, mask=attn_mask)
-        h = layer_norm(blk["mlp_ln"], x)
-        x = x + mlp(blk["mlp"], h)
-    z = dense(params["to_fsq"], layer_norm(params["ln_out"], x))
-    _, ints = _fsq(z, cfg.fsq_levels)
-    ids = codes_to_ids(ints, cfg.fsq_levels)
-    return jnp.where(tok_mask, ids, 0), tok_mask
-
-
 def encode_with_codes(
     params: Params, cfg: SpeechTokenizerConfig, mel: jnp.ndarray, mask: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Training-path variant returning STE codes (for a reconstruction or
-    distillation objective) along with ids."""
+    """mel [B, T, n_mels] (50 Hz frames) + mask → (token ids [B, T//ds],
+    token mask, STE codes). ONE forward shared by training (which consumes
+    the codes for a reconstruction/distillation objective) and inference
+    (:func:`encode` drops them) — the same-audio→same-tokens determinism
+    contract depends on the two paths never diverging."""
     x = jax.lax.conv_general_dilated(
         mel * mask[..., None], params["conv_in"]["kernel"], (cfg.downsample,),
         [(2, 2)], dimension_numbers=("NHC", "HIO", "NHC"),
@@ -145,6 +125,14 @@ def encode_with_codes(
     codes, ints = _fsq(z, cfg.fsq_levels)
     ids = codes_to_ids(ints, cfg.fsq_levels)
     return jnp.where(tok_mask, ids, 0), tok_mask, dense(params["from_fsq"], codes)
+
+
+def encode(
+    params: Params, cfg: SpeechTokenizerConfig, mel: jnp.ndarray, mask: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inference path: ids + mask only (shared forward, codes dropped)."""
+    ids, tok_mask, _ = encode_with_codes(params, cfg, mel, mask)
+    return ids, tok_mask
 
 
 def tokenize_audio(

@@ -128,7 +128,7 @@ def kaldi_fbank(
     n_mels: int = 80,
     frame_length_ms: float = 80.0,   # 1920 samples at 24 kHz (greek_sft.yaml:60)
     frame_shift_ms: float = 20.0,    # 480 samples
-    dither: float = 0.0,
+    dither: float = 0.0,             # must be 0 — see guard below
     preemphasis: float = 0.97,
     remove_dc: bool = True,
     fmin: float = 20.0,
@@ -140,6 +140,12 @@ def kaldi_fbank(
     Snip-edges framing, per-frame DC removal, pre-emphasis with edge
     replication, povey window, power spectrum, HTK-scale mel (no norm), ln.
     """
+    if dither:
+        # silently ignoring a requested dither would fake Kaldi parity for
+        # pipelines configured with it; implementing it needs a PRNG key —
+        # add one if a converted checkpoint ever requires dithered features
+        raise NotImplementedError("kaldi_fbank: dither is not implemented; "
+                                  "pass dither=0.0 (the CosyVoice setting)")
     frame_len = int(sr * frame_length_ms / 1000.0)
     hop = int(sr * frame_shift_ms / 1000.0)
     n_fft = 1 << (frame_len - 1).bit_length()  # next pow2, kaldi round_to_power_of_two

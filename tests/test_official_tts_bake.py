@@ -240,3 +240,24 @@ def test_jax_engines_factory_picks_up_baked_triple(baked_root, monkeypatch):
     assert eng.tts.official is not None
     assert eng.tts.weightless is False
     assert eng.tts.official_cfg.flow.vocab_size == TINY.flow.vocab_size
+
+
+def test_load_cosyvoice_flow_infers_config(tmp_path):
+    """cfg=None path: structural dims are inferred from the state-dict key
+    layout (regression: the mid-block and transformer-block counts parsed
+    the wrong '.'-segment, crashing or silently halving the estimator)."""
+    flow_params = fm.init_official_flow(jax.random.PRNGKey(2), TINY.flow)
+    path = tmp_path / "flow.pt"
+    torch.save({k: torch.from_numpy(np.asarray(v))
+                for k, v in fm.to_flow_state_dict(flow_params, TINY.flow).items()},
+               path)
+    _, cfg = loaders.load_cosyvoice_flow(path, cfg=None)
+    assert cfg.vocab_size == TINY.flow.vocab_size
+    assert cfg.input_size == TINY.flow.input_size
+    assert cfg.output_size == TINY.flow.output_size
+    assert cfg.spk_embed_dim == TINY.flow.spk_embed_dim
+    assert cfg.encoder.blocks == TINY.flow.encoder.blocks
+    assert cfg.encoder.up_blocks == TINY.flow.encoder.up_blocks
+    assert cfg.estimator.num_mid_blocks == TINY.flow.estimator.num_mid_blocks
+    assert cfg.estimator.n_blocks == TINY.flow.estimator.n_blocks
+    assert cfg.estimator.channels == TINY.flow.estimator.channels

@@ -95,3 +95,42 @@ def test_jit_decode_loop(hf_pair):
     h, _ = run(params, x0, cache)
     assert h.shape == (1, 1, cfg.hidden)
     assert np.isfinite(np.asarray(h)).all()
+
+
+def test_padded_batch_decode_matches_unpadded(hf_pair):
+    """Right-padded prompt rows must decode EXACTLY like the same row run
+    alone: the pad slots' garbage K/V are masked out of every step and the
+    row's RoPE continues at its true position (last valid index + 1), not at
+    the shared padded width."""
+    _, cfg, params = hf_pair
+    g = np.random.default_rng(4)
+    p_cap, p_short, steps = 7, 4, 3
+    xp = g.standard_normal((1, p_cap, cfg.hidden)).astype(np.float32)
+    gen = g.standard_normal((1, steps, cfg.hidden)).astype(np.float32)
+
+    # padded: prompt occupies [0, 4), slots [4, 7) garbage; writes at 7+i
+    cache = qj.init_kv_cache(cfg, 1, p_cap + steps)
+    mask = jnp.asarray([[True] * p_short + [False] * (p_cap - p_short)])
+    _, cache = qj.prefill(params, cfg, jnp.asarray(xp), cache, length_mask=mask)
+    last_idx = jnp.asarray([p_short - 1], jnp.int32)
+    outs_padded = []
+    for i in range(steps):
+        h, cache = qj.decode_step(
+            params, cfg, jnp.asarray(gen[:, i:i + 1]),
+            jnp.asarray(p_cap + i, jnp.int32), cache,
+            rope_pos=last_idx + 1 + i, prompt_len=last_idx + 1,
+            prompt_capacity=p_cap)
+        outs_padded.append(np.asarray(h))
+
+    # unpadded reference: the same 4-token prompt with no pad slots
+    cache2 = qj.init_kv_cache(cfg, 1, p_short + steps)
+    _, cache2 = qj.prefill(params, cfg, jnp.asarray(xp[:, :p_short]), cache2)
+    outs_ref = []
+    for i in range(steps):
+        h, cache2 = qj.decode_step(
+            params, cfg, jnp.asarray(gen[:, i:i + 1]),
+            jnp.asarray(p_short + i, jnp.int32), cache2)
+        outs_ref.append(np.asarray(h))
+
+    for a, b in zip(outs_padded, outs_ref):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
