@@ -52,6 +52,11 @@ def read_manifest(path: str | Path) -> List[Dict[str, str]]:
 
 def manifest_row(path: str | Path, index: int) -> Dict[str, str]:
     """1-based row lookup (SLURM_ARRAY_TASK_ID semantics,
-    submit_slurm_job.sh:41-53 awk-indexes row N+1)."""
+    submit_slurm_job.sh:41-53 awk-indexes row N+1). Out-of-range indices —
+    including 0 from a 0-based array — fail loudly instead of wrapping."""
     rows = read_manifest(path)
+    if not 1 <= index <= len(rows):
+        raise ValueError(
+            f"manifest row {index} out of range 1..{len(rows)} "
+            f"(rows are 1-based; 0-based SLURM arrays need --array=1-N)")
     return rows[index - 1]

@@ -85,7 +85,7 @@ def main(argv: Optional[list] = None) -> int:
     parser.add_argument("--row", type=int, help="1-based manifest row (SLURM_ARRAY_TASK_ID)")
     args = parser.parse_args(argv)
 
-    if args.manifest and args.row:
+    if args.manifest and args.row is not None:
         from .manifest import manifest_row
 
         row = manifest_row(args.manifest, args.row)

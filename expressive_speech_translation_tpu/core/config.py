@@ -153,6 +153,7 @@ class TrainConfig:
     learning_rate: float = 1e-5
     scheduler: str = "constant"
     warmup_steps: int = 0
+    total_steps: int = 0     # required (> warmup_steps) for warmup_cosine
     max_epochs: int = 10
     grad_clip: float = 5.0
     accum_grad: int = 4
@@ -203,6 +204,13 @@ _LEGACY_ENV_ALIASES: Mapping[str, str] = {
 
 _ENV_PREFIX = "EST_"
 
+# Documented EST_-prefixed env vars that are NOT config keys (asset mounts,
+# bench knobs): load_config must skip them — previously EST_MODELS_DIR alone
+# crashed every load_config() call at startup with "unknown config key".
+_RUNTIME_ENV_VARS = frozenset({
+    "EST_MODELS_DIR", "EST_TOKENIZER", "EST_SER_MODEL", "EST_COMPILE_CACHE",
+})
+
 
 # ------------------------------------------------------------------- implementation
 
@@ -252,6 +260,10 @@ def _replace_path(cfg: T, dotted: str, value: Any) -> T:
         new_value: Any = _replace_path(current, rest, value)
     else:
         new_value = _coerce(value, match.type) if isinstance(value, str) else value
+        if isinstance(new_value, list):
+            # YAML sequences arrive as lists; Tuple-annotated frozen fields
+            # must hold tuples (hashability, tuple concatenation at callers)
+            new_value = tuple(new_value)
         if is_dataclass(current) and isinstance(value, Mapping):
             new_value = _merge_mapping(current, value)
     return dataclasses.replace(cfg, **{head: new_value})
@@ -305,7 +317,8 @@ def load_config(
         if name in env:
             cfg = _replace_path(cfg, dotted, env[name])
     for name, value in env.items():
-        if name.startswith(_ENV_PREFIX):
+        if name.startswith(_ENV_PREFIX) and name not in _RUNTIME_ENV_VARS \
+                and not name.startswith("EST_BENCH_"):
             dotted = name[len(_ENV_PREFIX):].lower().replace("__", ".")
             cfg = _replace_path(cfg, dotted, value)
 

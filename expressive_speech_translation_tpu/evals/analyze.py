@@ -90,14 +90,17 @@ def analyze_single_job(
             src_frames = None
             if src_video is not None and src_video.exists():
                 src_frames, _ = native.decode_video(src_video, max_frames=240)
-            row.update(video_metrics(frames, fps, audio, sr,
-                                     source_frames=src_frames))
-            # AV-sync confidence = mouth-activity↔envelope correlation at the
-            # video frame rate (SyncNet-confidence stand-in)
+            # mouth-opening series computed ONCE, shared by the battery's
+            # lip_audio_correlation and the av-sync column below
             from ..pipeline.face import FaceLandmarkDetector
 
             activity = FaceLandmarkDetector().mouth_area_series(
                 frames, frame_skip=1)
+            row.update(video_metrics(frames, fps, audio, sr,
+                                     source_frames=src_frames,
+                                     mouth_openings=activity))
+            # AV-sync confidence = mouth-activity↔envelope correlation at the
+            # video frame rate (SyncNet-confidence stand-in)
             row["av_sync_confidence"] = round(
                 av_sync_correlation(audio, sr, activity, fps), 4)
         except Exception:  # noqa: BLE001 — visual battery must not kill the sweep

@@ -103,11 +103,14 @@ def action_units(frames: np.ndarray) -> Dict[str, float]:
     }
 
 
-def classify_visual_emotion(frames: np.ndarray) -> str:
+def classify_visual_emotion(frames: np.ndarray,
+                            aus: Optional[Dict[str, float]] = None) -> str:
     """Dominant-emotion label from mouth geometry (DeepFace stand-in,
     analyze_outputs.py:177-218): wide+open → happy, narrow+open → surprise,
-    wide+closed → smile/happy, low activity → neutral."""
-    aus = action_units(frames)
+    wide+closed+active → happy (a smile), else → neutral. Pass precomputed
+    ``aus`` to share one tracking pass with the rest of the battery."""
+    if aus is None:
+        aus = action_units(frames)
     if np.isnan(aus["au12_mean"]):
         return "no_face_detected"
     wide = aus["au12_mean"] > 0.55
@@ -117,19 +120,22 @@ def classify_visual_emotion(frames: np.ndarray) -> str:
         return "happy"
     if open_ and not wide:
         return "surprise"
-    if active:
-        return "neutral"
+    if wide and active:
+        return "happy"       # smiling mouth, mostly closed but moving
     return "neutral"
 
 
 def mouth_audio_correlation(
     frames: np.ndarray, fps: float, audio: np.ndarray, sr: int = 16_000,
+    *, openings: Optional[np.ndarray] = None,
 ) -> float:
     """Pearson correlation between per-frame mouth opening and the audio
     envelope (analyze_outputs.py:277-370 run_mediapipe_analysis semantics:
-    landmark mouth opening vs mean |y| per frame-length window)."""
-    det = FaceLandmarkDetector()
-    openings = det.mouth_area_series(frames, frame_skip=1)
+    landmark mouth opening vs mean |y| per frame-length window). Pass
+    precomputed ``openings`` to share one tracking pass with other metrics."""
+    if openings is None:
+        det = FaceLandmarkDetector()
+        openings = det.mouth_area_series(frames, frame_skip=1)
     if len(openings) < 2:
         return 0.0
     y = np.abs(np.asarray(audio, np.float32).reshape(-1))
@@ -211,16 +217,23 @@ def deepfake_artifact_score(frames: np.ndarray) -> float:
 def video_metrics(
     frames: np.ndarray, fps: float, audio: np.ndarray, sr: int = 16_000,
     *, source_frames: Optional[np.ndarray] = None,
+    mouth_openings: Optional[np.ndarray] = None,
 ) -> Dict[str, object]:
-    """The full visual column set for one job (analyze_outputs.py battery)."""
+    """The full visual column set for one job (analyze_outputs.py battery).
+    The per-frame tracking pass (action_units) runs ONCE and is shared with
+    the emotion classifier — it dominates the sweep's cost. Callers that
+    also need the mouth-opening series (av-sync) pass ``mouth_openings``."""
+    aus = action_units(frames)
     out: Dict[str, object] = {
-        "visual_emotion": classify_visual_emotion(frames),
-        "lip_audio_correlation": round(mouth_audio_correlation(frames, fps, audio, sr), 4),
+        "visual_emotion": classify_visual_emotion(frames, aus),
+        "lip_audio_correlation": round(
+            mouth_audio_correlation(frames, fps, audio, sr,
+                                    openings=mouth_openings), 4),
         "deepfake_score": deepfake_artifact_score(frames),
     }
     out.update({k: round(v, 4) for k, v in head_pose_std(frames).items()})
     out.update({k: (round(v, 4) if not np.isnan(v) else v)
-                for k, v in action_units(frames).items()})
+                for k, v in aus.items()})
     if source_frames is not None:
         out["visual_identity_distance"] = round(
             visual_identity_distance(source_frames, frames), 4)

@@ -21,21 +21,28 @@ def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
     data = Path(path).read_bytes()
     if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise MediaError(f"{path} is not a RIFF/WAVE file")
-    pos, fmt, raw = 12, None, None
+    pos, fmt, raw, fmt_body = 12, None, None, None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
         size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
         body = data[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size % 2)
     if fmt is None or raw is None:
         raise MediaError(f"{path}: missing fmt/data chunk")
     audio_format, channels, sr, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(data) > 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1 if bits != 32 else 3
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # The real sample format lives in the SubFormat GUID (first 2 bytes
+        # past cbSize at fmt offset 24) — guessing from bit depth decoded
+        # 32-bit INT PCM extensible files as float garbage
+        if fmt_body is not None and len(fmt_body) >= 26:
+            audio_format = struct.unpack("<H", fmt_body[24:26])[0]
+        else:
+            audio_format = 1 if bits != 32 else 3  # legacy short-fmt guess
 
     if audio_format == 1 and bits == 16:
         x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0

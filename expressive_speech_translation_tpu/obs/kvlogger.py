@@ -53,6 +53,14 @@ class CSVOutput:
     def __init__(self, path: str | Path):
         self.path = Path(path)
         self.keys: List[str] = []
+        # resume: seed columns from an existing file's header, or the first
+        # writekvs of a new process rewrites it with FEWER columns than the
+        # old rows carry and DictWriter raises on the extras
+        if self.path.exists():
+            with self.path.open() as f:
+                header = f.readline().strip()
+            if header:
+                self.keys = header.split(",")
 
     def writekvs(self, kvs: Dict[str, Any]) -> None:
         extra = sorted(k for k in kvs if k not in self.keys)

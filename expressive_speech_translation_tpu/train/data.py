@@ -53,11 +53,18 @@ def sort_buffer(
 
 
 def bucket_length(n: int, buckets: Sequence[int]) -> int:
-    """Smallest bucket ≥ n (static-shape compilation); caller filters oversize."""
+    """Smallest bucket ≥ n (static-shape compilation). Above the top bucket,
+    keep doubling — returning less than ``n`` made pad_batch silently
+    TRUNCATE long admitted samples (filter_samples allows up to 2000 frames
+    vs a 512 top bucket) while marking every position valid, training the
+    LM on corrupted supervision."""
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    b = buckets[-1]
+    while b < n:
+        b *= 2
+    return b
 
 
 class DynamicFrameBatcher:

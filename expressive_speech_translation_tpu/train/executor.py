@@ -69,11 +69,14 @@ def batches_from_samples(
         if len(by_shape[sig]) == accum:
             yield SFTBatch(*[np.stack(x) for x in zip(*by_shape.pop(sig))])
             emitted += 1
-    # flush leftovers: repeat microbatches up to `accum` so small datasets and
-    # epoch tails still train (each unique sample is seen at least once)
+    # flush leftovers: CYCLE the real microbatches up to `accum` so small
+    # datasets and epoch tails still train with evenly weighted gradients
+    # (indexing by the growing length repeated micros[0] only, tripling its
+    # gradient weight at every epoch tail)
     for sig, micros in by_shape.items():
+        n_real = len(micros)
         while len(micros) < accum:
-            micros.append(micros[len(micros) % max(len(micros), 1)])
+            micros.append(micros[len(micros) % n_real])
         yield SFTBatch(*[np.stack(x) for x in zip(*micros[:accum])])
 
 
@@ -95,6 +98,7 @@ class Executor:
             grad_clip=train_cfg.grad_clip,
             scheduler=train_cfg.scheduler,
             warmup_steps=train_cfg.warmup_steps,
+            total_steps=train_cfg.total_steps,
         )
         self.train_step = make_train_step(
             lm_cfg, self.optimizer, mesh, accum_grad=train_cfg.accum_grad

@@ -130,8 +130,15 @@ def make_optimizer(
     if scheduler == "constant":
         lr = optax.constant_schedule(learning_rate)
     elif scheduler == "warmup_cosine":
+        if total_steps <= warmup_steps:
+            # decay_steps = warmup+1 silently collapses LR to ~0 right after
+            # warmup — a config that "trains" while making no progress
+            raise ValueError(
+                "scheduler='warmup_cosine' requires total_steps > "
+                f"warmup_steps (got total_steps={total_steps}, "
+                f"warmup_steps={warmup_steps}); set train.total_steps")
         lr = optax.warmup_cosine_decay_schedule(
-            0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1)
+            0.0, learning_rate, warmup_steps, total_steps
         )
     elif scheduler == "warmuplr":
         # ESPnet-style warmup: lr * min(step^-0.5, step * warmup^-1.5) scaled

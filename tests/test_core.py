@@ -101,3 +101,32 @@ def test_mesh_8_devices():
 def test_lazy_subpackage_access():
     assert est.core is not None
     assert "ops" in dir(est)
+
+
+def test_runtime_env_vars_are_not_config_keys(tmp_path):
+    """EST_MODELS_DIR / EST_BENCH_* / EST_TOKENIZER are documented runtime
+    asset/bench knobs, not config keys — load_config must skip them
+    (regression: EST_MODELS_DIR alone crashed startup with ConfigError)."""
+    cfg = load_config(env={
+        "EST_MODELS_DIR": "/models",
+        "EST_TOKENIZER": "/tok.model",
+        "EST_SER_MODEL": "/ser",
+        "EST_COMPILE_CACHE": "/cache",
+        "EST_BENCH_SCALE": "small",
+        "EST_SERVE__PORT": "8123",          # real config keys still apply
+    })
+    assert cfg.serve.port == 8123
+
+
+def test_yaml_sequences_become_tuples(tmp_path):
+    """Tuple-annotated fields must hold tuples even when set from a YAML
+    sequence (frozen-config hashability / tuple-concatenation contract)."""
+    y = tmp_path / "c.yaml"
+    y.write_text(
+        "serve:\n  cors_origins: [http://a, http://b]\n"
+        "engines:\n  asr_context_buckets: [10, 30]\n")
+    cfg = load_config(y, env={})
+    assert cfg.serve.cors_origins == ("http://a", "http://b")
+    assert isinstance(cfg.serve.cors_origins, tuple)
+    assert cfg.engines.asr_context_buckets == (10, 30)
+    assert isinstance(cfg.engines.asr_context_buckets, tuple)

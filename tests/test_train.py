@@ -182,3 +182,27 @@ def test_lm_loss_trains_mtp_heads():
     assert float(metrics["loss"]) > float(metrics["loss"] - metrics["mtp_loss"])
     for head_grad in grads["mtp_heads"]:
         assert float(jnp.abs(head_grad["kernel"]).max()) > 0
+
+
+def test_bucket_length_never_truncates():
+    """Above the top bucket, lengths double (regression: a 700-token sample
+    admitted by filter_samples was silently clipped to 512 with an all-valid
+    mask — corrupted EOS supervision)."""
+    from expressive_speech_translation_tpu.train.data import bucket_length, pad_batch
+
+    assert bucket_length(700, (32, 64, 128, 200, 256, 512)) == 1024
+    out = pad_batch([{"speech_tokens": list(range(700))}], ("speech_tokens",),
+                    buckets=(32, 64, 128, 200, 256, 512))
+    assert out["speech_tokens"].shape == (1, 1024)
+    assert out["speech_tokens_mask"].sum() == 700
+
+
+def test_warmup_cosine_requires_total_steps():
+    import pytest as _pytest
+
+    from expressive_speech_translation_tpu.train.sft import make_optimizer
+
+    with _pytest.raises(ValueError, match="total_steps"):
+        make_optimizer(1e-4, scheduler="warmup_cosine", warmup_steps=100)
+    make_optimizer(1e-4, scheduler="warmup_cosine", warmup_steps=100,
+                   total_steps=1000)  # valid
