@@ -241,11 +241,29 @@ def cmd_embed(args) -> int:
         from .ops.host_dsp import resample_np
 
         audio = resample_np(audio, sr, 16_000)
+    # weights plumbing mirrors `est translate`: --weights / EST_MODELS_DIR
+    # with an `ecapa/` subtree; a random-weight embedding carries no speaker
+    # identity, so the fallback is LOUD, never silent
+    root = getattr(args, "weights", None) or os.environ.get("EST_MODELS_DIR")
+    weightless = True
     cfg = ecapa.EcapaConfig()
-    params = ecapa.init_ecapa(jax.random.PRNGKey(4), cfg)
+    params = None
+    if root:
+        from .models.loaders import load_converted
+
+        edir = Path(root) / "ecapa"
+        if (edir / "config.json").exists():
+            params, cfg = load_converted(edir, ecapa.EcapaConfig)
+            weightless = False
+    if params is None:
+        print("WARNING: no ECAPA checkpoint (--weights/EST_MODELS_DIR with "
+              "an ecapa/ subtree) — embedding uses RANDOM weights and "
+              "carries no speaker identity", file=sys.stderr)
+        params = ecapa.init_ecapa(jax.random.PRNGKey(4), cfg)
     emb = np.asarray(ecapa.embed_audio(params, cfg, audio[None]))[0]
     np.save(args.output, emb)
-    print(json.dumps({"output": args.output, "dim": int(emb.shape[-1])}))
+    print(json.dumps({"output": args.output, "dim": int(emb.shape[-1]),
+                      "weightless": weightless}))
     return 0
 
 
@@ -297,6 +315,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser(
         "embed", help="speaker embedding from audio (create_embedding.py role)")
     p.add_argument("input"); p.add_argument("output", help=".npy path")
+    p.add_argument("--weights", help="models root with an ecapa/ subtree "
+                   "(defaults to EST_MODELS_DIR)")
     p.set_defaults(fn=cmd_embed)
 
     p = sub.add_parser(

@@ -273,13 +273,95 @@ static int encode_audio_stream(AVFormatContext* ofmt, AVStream* ast, AVCodecCont
     return err ? -1 : 0;
 }
 
-static const AVCodec* pick_audio_encoder(AVFormatContext* ofmt) {
-    // Prefer the container's default; fall back AAC → PCM.
-    const AVCodec* c = avcodec_find_encoder(ofmt->oformat->audio_codec);
-    if (c) return c;
-    c = avcodec_find_encoder(AV_CODEC_ID_AAC);
-    if (c) return c;
-    return avcodec_find_encoder(AV_CODEC_ID_PCM_S16LE);
+// Encode the PCM into a packet list (rescaled to ast->time_base,
+// stream_index set) WITHOUT writing: callers interleave these against video
+// packets by dts. Writing all video first and audio after defeats
+// av_interleaved_write_frame (it cannot interleave against packets that do
+// not exist yet and force-flushes video-only), laying the file out as
+// [all video][all audio] — progressive playback then stalls until the tail.
+static int collect_audio_packets(AVStream* ast, AVCodecContext* actx,
+                                 const float* audio, long n_samples, int rate,
+                                 std::vector<AVPacket*>& out_pkts) {
+    AVFrame* af = av_frame_alloc();
+    int frame_size = actx->frame_size > 0 ? actx->frame_size : 1024;
+    long pos = 0;
+    int64_t pts = 0;
+    int err = 0;
+
+    auto send_frame = [&](AVFrame* f) -> int {
+        if (avcodec_send_frame(actx, f) < 0) return -1;
+        while (true) {
+            AVPacket* pkt = av_packet_alloc();
+            int r = avcodec_receive_packet(actx, pkt);
+            if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) { av_packet_free(&pkt); break; }
+            if (r < 0) { av_packet_free(&pkt); return -1; }
+            av_packet_rescale_ts(pkt, actx->time_base, ast->time_base);
+            pkt->stream_index = ast->index;
+            out_pkts.push_back(pkt);
+        }
+        return 0;
+    };
+
+    while (pos < n_samples && !err) {
+        int chunk = (int)((n_samples - pos) < frame_size ? (n_samples - pos) : frame_size);
+        af->nb_samples = chunk;
+        af->format = actx->sample_fmt;
+        av_channel_layout_copy(&af->ch_layout, &actx->ch_layout);
+        af->sample_rate = rate;
+        if (av_frame_get_buffer(af, 0) < 0) { err = 1; break; }
+        if (actx->sample_fmt == AV_SAMPLE_FMT_FLTP ||
+            actx->sample_fmt == AV_SAMPLE_FMT_FLT) {
+            memcpy(af->data[0], audio + pos, chunk * sizeof(float));
+        } else if (actx->sample_fmt == AV_SAMPLE_FMT_S16) {
+            int16_t* d = (int16_t*)af->data[0];
+            for (int i = 0; i < chunk; i++) {
+                float v = audio[pos + i];
+                v = v > 1.f ? 1.f : (v < -1.f ? -1.f : v);
+                d[i] = (int16_t)(v * 32767.f);
+            }
+        } else { err = 1; break; }
+        af->pts = pts;
+        pts += chunk;
+        if (send_frame(af)) err = 1;
+        av_frame_unref(af);
+        pos += chunk;
+    }
+    if (!err && send_frame(nullptr)) err = 1;
+    av_frame_free(&af);
+    return err ? -1 : 0;
+}
+
+static void free_packet_list(std::vector<AVPacket*>& pkts, size_t from) {
+    for (size_t i = from; i < pkts.size(); i++) av_packet_free(&pkts[i]);
+    pkts.clear();
+}
+
+// Try container default → AAC → PCM, returning the first encoder whose
+// context actually OPENS (a found-but-unopenable default — e.g. the
+// experimental native vorbis encoder for .ogg — must fall through, which a
+// find-only probe cannot detect). Returns a configured+opened context or
+// nullptr; the caller creates the AVStream only after success, so no
+// half-initialized stream is ever registered with the muxer.
+static AVCodecContext* open_audio_encoder(AVFormatContext* ofmt, int rate) {
+    const AVCodecID candidates[] = {ofmt->oformat->audio_codec,
+                                    AV_CODEC_ID_AAC, AV_CODEC_ID_PCM_S16LE};
+    for (AVCodecID id : candidates) {
+        if (id == AV_CODEC_ID_NONE) continue;
+        const AVCodec* c = avcodec_find_encoder(id);
+        if (!c) continue;
+        AVCodecContext* actx = avcodec_alloc_context3(c);
+        if (!actx) continue;
+        actx->sample_rate = rate;
+        av_channel_layout_default(&actx->ch_layout, 1);
+        actx->sample_fmt = c->sample_fmts ? c->sample_fmts[0] : AV_SAMPLE_FMT_FLTP;
+        actx->time_base = {1, rate};
+        actx->bit_rate = 128000;
+        if (ofmt->oformat->flags & AVFMT_GLOBALHEADER)
+            actx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+        if (avcodec_open2(actx, c, nullptr) == 0) return actx;
+        avcodec_free_context(&actx);
+    }
+    return nullptr;
 }
 
 // Encode mono float32 PCM to `out_path` (container by extension).
@@ -287,22 +369,9 @@ int est_encode_audio(const char* out_path, const float* audio, long n_samples, i
     AVFormatContext* ofmt = nullptr;
     if (avformat_alloc_output_context2(&ofmt, nullptr, nullptr, out_path) < 0 || !ofmt)
         return fail("cannot create output context");
-    const AVCodec* codec = pick_audio_encoder(ofmt);
-    if (!codec) { avformat_free_context(ofmt); return fail("no audio encoder"); }
-
+    AVCodecContext* actx = open_audio_encoder(ofmt, rate);
+    if (!actx) { avformat_free_context(ofmt); return fail("no openable audio encoder"); }
     AVStream* ast = avformat_new_stream(ofmt, nullptr);
-    AVCodecContext* actx = avcodec_alloc_context3(codec);
-    actx->sample_rate = rate;
-    av_channel_layout_default(&actx->ch_layout, 1);
-    actx->sample_fmt = codec->sample_fmts ? codec->sample_fmts[0] : AV_SAMPLE_FMT_FLTP;
-    actx->time_base = {1, rate};
-    actx->bit_rate = 128000;
-    if (ofmt->oformat->flags & AVFMT_GLOBALHEADER)
-        actx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-    if (avcodec_open2(actx, codec, nullptr) < 0) {
-        avcodec_free_context(&actx); avformat_free_context(ofmt);
-        return fail("cannot open audio encoder");
-    }
     avcodec_parameters_from_context(ast->codecpar, actx);
     ast->time_base = actx->time_base;
 
@@ -352,21 +421,9 @@ int est_mux_audio_video(const char* video_path, const float* audio, long n_sampl
     vout->time_base = vin->time_base;
 
     // audio: encode
-    const AVCodec* acodec = pick_audio_encoder(out);
-    if (!acodec) { avformat_close_input(&in); avformat_free_context(out); return fail("no audio encoder"); }
+    AVCodecContext* actx = open_audio_encoder(out, rate);
+    if (!actx) { avformat_close_input(&in); avformat_free_context(out); return fail("no openable audio encoder"); }
     AVStream* aout = avformat_new_stream(out, nullptr);
-    AVCodecContext* actx = avcodec_alloc_context3(acodec);
-    actx->sample_rate = rate;
-    av_channel_layout_default(&actx->ch_layout, 1);
-    actx->sample_fmt = acodec->sample_fmts ? acodec->sample_fmts[0] : AV_SAMPLE_FMT_FLTP;
-    actx->time_base = {1, rate};
-    actx->bit_rate = 128000;
-    if (out->oformat->flags & AVFMT_GLOBALHEADER)
-        actx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-    if (avcodec_open2(actx, acodec, nullptr) < 0) {
-        avcodec_free_context(&actx); avformat_close_input(&in); avformat_free_context(out);
-        return fail("cannot open audio encoder");
-    }
     avcodec_parameters_from_context(aout->codecpar, actx);
     aout->time_base = actx->time_base;
 
@@ -380,19 +437,37 @@ int est_mux_audio_video(const char* video_path, const float* audio, long n_sampl
         return fail("cannot write header");
     }
 
-    // interleave: copy all video packets, then the encoded audio (the muxer
-    // re-interleaves by dts via av_interleaved_write_frame)
+    // true interleaving: encode the audio packets first, then emit them
+    // dts-merged with the copied video packets — see collect_audio_packets
+    std::vector<AVPacket*> apkts;
+    int r = collect_audio_packets(aout, actx, audio, n_samples, rate, apkts);
+    size_t anext = 0;
     AVPacket* pkt = av_packet_alloc();
-    while (av_read_frame(in, pkt) >= 0) {
-        if (pkt->stream_index == vidx) {
-            av_packet_rescale_ts(pkt, vin->time_base, vout->time_base);
-            pkt->stream_index = vout->index;
-            av_interleaved_write_frame(out, pkt);
+    if (r == 0) {
+        while (av_read_frame(in, pkt) >= 0) {
+            if (pkt->stream_index == vidx) {
+                av_packet_rescale_ts(pkt, vin->time_base, vout->time_base);
+                pkt->stream_index = vout->index;
+                while (anext < apkts.size() &&
+                       av_compare_ts(apkts[anext]->dts, aout->time_base,
+                                     pkt->dts, vout->time_base) <= 0) {
+                    av_interleaved_write_frame(out, apkts[anext]);
+                    av_packet_free(&apkts[anext]);
+                    anext++;
+                }
+                av_interleaved_write_frame(out, pkt);
+            }
+            av_packet_unref(pkt);
         }
-        av_packet_unref(pkt);
+        for (; anext < apkts.size(); anext++) {
+            av_interleaved_write_frame(out, apkts[anext]);
+            av_packet_free(&apkts[anext]);
+        }
+        apkts.clear();
+    } else {
+        free_packet_list(apkts, anext);
     }
     av_packet_free(&pkt);
-    int r = encode_audio_stream(out, aout, actx, audio, n_samples, rate);
 
     av_write_trailer(out);
     if (!(out->oformat->flags & AVFMT_NOFILE)) avio_closep(&out->pb);
@@ -435,28 +510,18 @@ int est_encode_video(const char* out_path, const uint8_t* frames, long n_frames,
     avcodec_parameters_from_context(vst->codecpar, vctx);
     vst->time_base = vctx->time_base;
 
+    // the stream is created only AFTER the encoder opens — a registered
+    // stream whose codec failed to open has codec_id NONE codecpar and makes
+    // avformat_write_header reject the whole file instead of the intended
+    // graceful no-audio fallback
     AVCodecContext* actx = nullptr;
     AVStream* ast = nullptr;
     if (audio && n_samples > 0) {
-        const AVCodec* acodec = pick_audio_encoder(out);
-        if (acodec) {
+        actx = open_audio_encoder(out, audio_rate);
+        if (actx) {
             ast = avformat_new_stream(out, nullptr);
-            actx = avcodec_alloc_context3(acodec);
-            actx->sample_rate = audio_rate;
-            av_channel_layout_default(&actx->ch_layout, 1);
-            actx->sample_fmt = acodec->sample_fmts ? acodec->sample_fmts[0] : AV_SAMPLE_FMT_FLTP;
-            actx->time_base = {1, audio_rate};
-            actx->bit_rate = 128000;
-            if (out->oformat->flags & AVFMT_GLOBALHEADER)
-                actx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-            if (avcodec_open2(actx, acodec, nullptr) < 0) {
-                avcodec_free_context(&actx);
-                actx = nullptr;
-                ast = nullptr;
-            } else {
-                avcodec_parameters_from_context(ast->codecpar, actx);
-                ast->time_base = actx->time_base;
-            }
+            avcodec_parameters_from_context(ast->codecpar, actx);
+            ast->time_base = actx->time_base;
         }
     }
 
@@ -484,6 +549,25 @@ int est_encode_video(const char* out_path, const uint8_t* frames, long n_frames,
     AVPacket* pkt = av_packet_alloc();
     int err = 0;
 
+    // encode the audio up front and dts-merge its packets into the video
+    // write loop (see collect_audio_packets — writing it after all video
+    // lays the file out [all video][all audio])
+    std::vector<AVPacket*> apkts;
+    size_t anext = 0;
+    if (actx && ast &&
+        collect_audio_packets(ast, actx, audio, n_samples, audio_rate, apkts) < 0)
+        err = 1;
+
+    auto drain_audio_until = [&](int64_t vdts) {
+        while (anext < apkts.size() &&
+               av_compare_ts(apkts[anext]->dts, ast->time_base,
+                             vdts, vst->time_base) <= 0) {
+            av_interleaved_write_frame(out, apkts[anext]);
+            av_packet_free(&apkts[anext]);
+            anext++;
+        }
+    };
+
     auto send_v = [&](AVFrame* f) -> int {
         if (avcodec_send_frame(vctx, f) < 0) return -1;
         while (true) {
@@ -492,6 +576,7 @@ int est_encode_video(const char* out_path, const uint8_t* frames, long n_frames,
             if (r < 0) return -1;
             av_packet_rescale_ts(pkt, vctx->time_base, vst->time_base);
             pkt->stream_index = vst->index;
+            drain_audio_until(pkt->dts);
             if (av_interleaved_write_frame(out, pkt) < 0) return -1;
         }
         return 0;
@@ -508,8 +593,11 @@ int est_encode_video(const char* out_path, const uint8_t* frames, long n_frames,
     }
     if (!err && send_v(nullptr)) err = 1;
 
-    if (!err && actx && ast)
-        err = encode_audio_stream(out, ast, actx, audio, n_samples, audio_rate) < 0;
+    for (; anext < apkts.size(); anext++) {
+        if (!err) av_interleaved_write_frame(out, apkts[anext]);
+        av_packet_free(&apkts[anext]);
+    }
+    apkts.clear();
 
     av_write_trailer(out);
     if (!(out->oformat->flags & AVFMT_NOFILE)) avio_closep(&out->pb);

@@ -107,8 +107,12 @@ class CascadedBackend(TranslationBackend):
         *,
         original_video_frames: Optional[list] = None,
         video_fps: float = 25.0,
+        use_voice_cloning: bool = True,
         **kwargs: Any,
     ) -> Dict[str, Any]:
+        """``use_voice_cloning=False`` synthesizes without the source-audio
+        cloning reference (the frontend's toggle — app.py:358 reads the form
+        flag; here it actually controls the reference-audio conditioning)."""
         process_id = f"{time.time_ns():x}"[-8:]  # cascaded_backend.py:398
         if not self.is_language_supported(target_lang):
             raise ValidationError(f"Unsupported target language: {target_lang}")
@@ -141,7 +145,8 @@ class CascadedBackend(TranslationBackend):
         if not target_text.strip() and getattr(nmt_inner, "weightless", True) is False:
             raise RuntimeError("Translation result was empty.")
 
-        reference = self.reference_audio_for_cloning(x)
+        reference = (self.reference_audio_for_cloning(x)
+                     if use_voice_cloning else None)
         with timer.stage("tts"):
             tts_audio = self.engines.tts.synthesize(
                 target_text,

@@ -295,8 +295,11 @@ class App:
             raise ValidationError("target_language is required")
         source = request.form.get("source_language", "eng")
         backend = self.manager.get_backend(request.form.get("backend"))
+        # the frontend's cloning toggle (app.py:358 reads the same form flag)
+        cloning = request.form.get("use_voice_cloning", "true").lower() != "false"
         stream = self.video_processor.process_video(
-            file.read(), backend, source, target, filename=file.filename or "input.mp4",
+            file.read(), backend, source, target,
+            filename=file.filename or "input.mp4", use_voice_cloning=cloning,
         )
         return Response(stream, mimetype="text/event-stream",
                         headers={"Cache-Control": "no-cache", "X-Accel-Buffering": "no"})

@@ -246,11 +246,18 @@ function showVideoResult(b64, transcripts) {
 const VIDEO_PHASES = ["Extracting audio", "Preprocessing audio", "Translating speech",
                       "Adding watermark", "Applying lip sync", "Encoding result"];
 
-function updatePhases(label) {
+function updatePhases(label, progress) {
   if (!label) return;
   const ul = $("phases");
   ul.hidden = false;
-  const reached = VIDEO_PHASES.findIndex((p) => label.startsWith(p.split(" ")[0]));
+  let reached = VIDEO_PHASES.findIndex((p) => label.startsWith(p.split(" ")[0]));
+  if (reached < 0) {
+    // unknown label (final "complete" frame, lip-sync fallback message):
+    // never RESET the checklist — complete marks everything done,
+    // anything else keeps the current rendering
+    if (progress >= 100 || /complete/i.test(label)) reached = VIDEO_PHASES.length;
+    else return;
+  }
   ul.innerHTML = VIDEO_PHASES.map((p, i) => {
     const mark = i < reached ? "✓" : i === reached ? "●" : "○";
     const color = i <= reached ? "var(--ok)" : "var(--dim)";
@@ -261,9 +268,19 @@ function updatePhases(label) {
 function clearPhases() { $("phases").hidden = true; $("phases").innerHTML = ""; }
 
 function showTranscripts(t) {
-  $("transcripts").innerHTML = t
-    ? `<div><b>source</b> ${t.source || "—"}</div><div><b>target</b> ${t.target || "—"}</div>`
-    : "";
+  // build with createTextNode — transcripts are model output and must not
+  // be interpolated into markup (same escaping as the dub/text views)
+  const box = $("transcripts");
+  box.innerHTML = "";
+  if (!t) return;
+  for (const k of ["source", "target"]) {
+    const d = document.createElement("div");
+    const b = document.createElement("b");
+    b.textContent = k + " ";
+    d.appendChild(b);
+    d.appendChild(document.createTextNode(t[k] || "—"));
+    box.appendChild(d);
+  }
 }
 
 // ============== analytics (VoiceAnalyticsDashboard.js, measured) ============
@@ -274,16 +291,20 @@ function pitchTrack(data, rate) {
   const lagLo = Math.floor(rate / 350), lagHi = Math.floor(rate / 70);
   const out = [];
   for (let s = 0; s + frame < data.length; s += hop) {
-    let energy = 0;
+    let energy = 0, energy2 = 0;
     for (let i = 0; i < frame; i++) energy += data[s + i] * data[s + i];
     if (energy / frame < 1e-5) { out.push(NaN); continue; }
+    // the lag search strides by 2; the voicing threshold must compare
+    // against the SAME stride-2 energy, or the effective normalized-
+    // correlation cutoff doubles and moderately voiced frames read as NaN
+    for (let i = 0; i < frame; i += 2) energy2 += data[s + i] * data[s + i];
     let bestLag = 0, bestR = 0;
     for (let lag = lagLo; lag <= lagHi; lag++) {
       let r = 0;
       for (let i = 0; i < frame - lag; i += 2) r += data[s + i] * data[s + i + lag];
       if (r > bestR) { bestR = r; bestLag = lag; }
     }
-    out.push(bestR > 0.3 * energy && bestLag ? rate / bestLag : NaN);
+    out.push(bestR > 0.3 * energy2 && bestLag ? rate / bestLag : NaN);
   }
   return out;
 }
@@ -381,9 +402,11 @@ $("pod-go").addEventListener("click", async () => {
 // ============================ submission paths ==============================
 
 async function run() {
+  // while busy the button stays ENABLED as a Cancel control — disabling it
+  // would make the abort branch unreachable
   if (state.busy) { state.abort?.abort(); return; }
   setError(""); setStatus(""); $("result").hidden = true; clearPhases();
-  state.busy = true; $("go").disabled = true;
+  state.busy = true; $("go").textContent = "Cancel";
   state.abort = new AbortController();
   try {
     if (state.mode === "audio" || state.mode === "record") await runAudio();
@@ -391,8 +414,9 @@ async function run() {
     else await runUrl();
   } catch (e) {
     if (e.name !== "AbortError") setError(String(e.message || e));
+    else setStatus("Cancelled");
   } finally {
-    state.busy = false; $("go").disabled = false; setProgress(null);
+    state.busy = false; $("go").textContent = "Translate"; setProgress(null);
   }
 }
 
@@ -451,7 +475,7 @@ async function runVideo() {
       if (!frame.startsWith("data: ")) continue;
       const msg = JSON.parse(frame.slice(6));
       setProgress(msg.progress); setStatus(msg.phase || "");
-      updatePhases(msg.phase);
+      updatePhases(msg.phase, msg.progress);
       if (msg.error) throw new Error(`${msg.error} (${msg.error_id || "?"})`);
       if (msg.result) showVideoResult(msg.result.video, msg.result.transcripts);
     }
@@ -531,13 +555,21 @@ function initDub() {
 $("dub-file").addEventListener("change", () => {
   const f = $("dub-file").files[0];
   $("dub-error").textContent = "";
+  const reject = (msg) => {
+    // clear the stale selection too — otherwise a previously valid video
+    // would be silently submitted while the input shows the rejected one
+    $("dub-error").textContent = msg;
+    dub.file = null;
+    $("dub-file").value = "";
+    $("dub-preview").hidden = true;
+  };
   if (!f) return;
   if (!f.type.startsWith("video/")) {
-    $("dub-error").textContent = "Please upload a valid video file";
+    reject("Please upload a valid video file");
     return;
   }
   if (f.size > 50 * 1024 * 1024) {  // VideoSyncInterface.js 50 MB cap
-    $("dub-error").textContent = "Video file size should be less than 50MB";
+    reject("Video file size should be less than 50MB");
     return;
   }
   dub.file = f;

@@ -81,6 +81,7 @@ class VideoProcessor:
         target_lang: str,
         *,
         filename: str = "input.mp4",
+        use_voice_cloning: bool = True,
     ) -> Generator[str, None, None]:
         """Returns an SSE-frame generator; final frame carries the base64 MP4 +
         transcripts. Validation happens eagerly (before the 200 is committed)."""
@@ -91,10 +92,12 @@ class VideoProcessor:
         req_dir = self._request_dir()
         req_id = new_request_id()
         return self._stream(video_bytes, backend, source_lang, target_lang,
-                            filename=filename, req_dir=req_dir, req_id=req_id)
+                            filename=filename, req_dir=req_dir, req_id=req_id,
+                            use_voice_cloning=use_voice_cloning)
 
     def _stream(
-        self, video_bytes, backend, source_lang, target_lang, *, filename, req_dir, req_id
+        self, video_bytes, backend, source_lang, target_lang, *, filename,
+        req_dir, req_id, use_voice_cloning=True,
     ) -> Generator[str, None, None]:
         phase = "Starting"
 
@@ -116,7 +119,9 @@ class VideoProcessor:
             audio16 = AudioProcessor().process_audio(audio, orig_sr=sr)
 
             yield _ev("translate", "Translating speech")
-            result = backend.translate_speech(audio16, source_lang, target_lang)
+            result = backend.translate_speech(
+                audio16, source_lang, target_lang,
+                use_voice_cloning=use_voice_cloning)
             dubbed = result["audio"][0]
 
             yield _ev("watermark", "Adding watermark")
