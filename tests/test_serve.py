@@ -396,3 +396,37 @@ def test_spa_serves_all_reference_views(client):
     # common-first + 26 alphabetical)
     assert len(codes) == 35, f"expected 35 dubbing languages, got {len(codes)}"
     assert {"fra", "cmn_Hant", "vie", "cym", "uzn"} <= set(codes)
+
+
+def test_use_voice_cloning_flag_reaches_tts(client):
+    """The dub view's toggle is functional end-to-end: with
+    use_voice_cloning=false the TTS engine receives NO cloning reference
+    (app.py:358 form-flag parity, wired through the cascaded backend)."""
+    from expressive_speech_translation_tpu.pipeline.backend import TranslationManager
+
+    calls = []
+    app = client.application if hasattr(client, "application") else None
+    # fresh app so we can spy on the tts engine
+    from expressive_speech_translation_tpu.core.config import AppConfig, EngineConfig
+    from expressive_speech_translation_tpu.serve.app import create_app
+
+    app = create_app(config=AppConfig(engines=EngineConfig(mode="fake")),
+                     video_io=FakeVideoIO())
+    tts = app.manager.get_backend("cascaded").engines.tts
+    orig = tts.synthesize
+
+    def spy(text, **kw):
+        calls.append(kw.get("reference_audio_16k") is not None)
+        return orig(text, **kw)
+
+    tts.synthesize = spy
+    c = Client(app)
+    for flag, expect_ref in (("false", False), ("true", True)):
+        calls.clear()
+        resp = c.post("/process-video", data={
+            "file": (io.BytesIO(b"v" * 100), "c.mp4"),
+            "target_language": "fra", "use_voice_cloning": flag,
+        })
+        assert resp.status_code == 200
+        resp.get_data()  # drain the SSE stream so the pipeline runs
+        assert calls and calls[0] is expect_ref, (flag, calls)
