@@ -344,8 +344,29 @@ def _bench_stages(scale: str, repeats: int) -> dict:
     return {"stage_sum_rtf": round(total / audio_seconds, 5), "stage_xrt": xrt}
 
 
+def _probe_device(timeout_s: float = 180.0) -> bool:
+    """Bounded TPU-availability probe in a SUBPROCESS: when the axon relay
+    is down, in-process backend init can HANG rather than error, and a hung
+    bench burns the driver's whole timeout producing nothing. A subprocess
+    can be killed; in-process jax cannot."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0 and (r.stdout or b"").strip().isdigit()
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
     import traceback
+
+    if not _probe_device():
+        print("bench: TPU backend unavailable (device probe failed/timed out)"
+              " — failing fast instead of hanging", file=sys.stderr)
+        return 1
 
     _enable_compile_cache()
     t_start = time.monotonic()
