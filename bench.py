@@ -344,29 +344,35 @@ def _bench_stages(scale: str, repeats: int) -> dict:
     return {"stage_sum_rtf": round(total / audio_seconds, 5), "stage_xrt": xrt}
 
 
-def _probe_device(timeout_s: float = 180.0) -> bool:
-    """Bounded TPU-availability probe in a SUBPROCESS: when the axon relay
-    is down, in-process backend init can HANG rather than error, and a hung
-    bench burns the driver's whole timeout producing nothing. A subprocess
-    can be killed; in-process jax cannot."""
-    import subprocess
+def _arm_init_watchdog(timeout_s: float = 240.0):
+    """Fail fast when the axon relay is down: in-process backend init HANGS
+    rather than erroring there, and a hung bench burns the driver's whole
+    timeout producing nothing. A daemon timer hard-exits unless the first
+    device touch completes within ``timeout_s`` — zero cost on the happy
+    path (no extra subprocess init). Returns a disarm() callback."""
+    import threading
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
-            capture_output=True, timeout=timeout_s)
-        return r.returncode == 0 and (r.stdout or b"").strip().isdigit()
-    except subprocess.TimeoutExpired:
-        return False
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print("bench: TPU backend init exceeded "
+                  f"{timeout_s:.0f}s (relay down?) — failing fast instead of "
+                  "hanging", file=sys.stderr, flush=True)
+            os._exit(1)
+
+    threading.Thread(target=watchdog, daemon=True, name="init-watchdog").start()
+    return done.set
 
 
 def main() -> int:
     import traceback
 
-    if not _probe_device():
-        print("bench: TPU backend unavailable (device probe failed/timed out)"
-              " — failing fast instead of hanging", file=sys.stderr)
-        return 1
+    disarm = _arm_init_watchdog()
+    import jax
+
+    jax.devices()       # first backend touch, guarded by the watchdog
+    disarm()
 
     _enable_compile_cache()
     t_start = time.monotonic()

@@ -211,11 +211,11 @@ def translate_s2st(
 
     # -- unit vocoder: embed units → HiFi-GAN (hop 320 → 16 kHz at 50 u/s).
     # Post-EOS pad slots (pad_token=0) must contribute SILENCE, not the
-    # embedding of real unit id 0 — zero their features so the fixed-length
-    # waveform's tail is quiet instead of a sustained unit-0 sound, and
+    # embedding of real unit id 0 — mask POSITIONALLY (pre-EOS, after the
+    # BOS slot) so a genuine mid-sequence unit 0 still synthesizes, and
     # report the valid-unit count so callers can trim.
     valid = jnp.cumsum((units == cfg.unit_eos).astype(jnp.int32), axis=1) == 0
-    valid = valid & (units != 0)
+    valid = valid & (jnp.arange(units.shape[1])[None, :] > 0)   # skip BOS
     unit_feats = udec["embed"][units] * valid[..., None]
     audio = vocode(params["vocoder"], cfg.vocoder, unit_feats)
     n_units = jnp.sum(valid.astype(jnp.int32), axis=1)

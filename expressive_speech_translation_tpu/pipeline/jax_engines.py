@@ -416,24 +416,29 @@ class JaxWhisperAsr:
             (b for b in self.context_buckets
              if max(len(r) for r in rows) <= 16_000 * b),
             self.context_buckets[-1])
-        nb = bucket_batch(len(rows), (1, 2, 4, 8, 16, 32))
-        audio = np.zeros((nb, 16_000 * window_s), np.float32)
-        for j, rrow in enumerate(rows):
-            audio[j, : len(rrow)] = rrow[: 16_000 * window_s]
-        prompt = np.tile(np.asarray(prompts[0], np.int32), (nb, 1))
-        prompt[: len(prompts)] = np.asarray(prompts, np.int32)
-        audio, prompt = _dp_shard(self.mesh, audio, prompt)
-        tokens_a, aligns_a = self._fn_b(self.params, audio, prompt)
-        tokens_np, aligns_np = jax.device_get((tokens_a, aligns_a))
-        p_len = prompt.shape[1]
+        from ..core.buckets import row_slices
+
         results = [{"text": [], "words": []} for _ in requests]
-        for row, (ri, offset, seconds) in enumerate(specs):
-            t, w, _ = self._decode_chunk_host(
-                tokens_np[row], aligns_np[row], p_len, offset, seconds,
-                window_seconds=window_s)
-            if t:
-                results[ri]["text"].append(t)
-            results[ri]["words"].extend(w)
+        # bounded dispatches: an unbounded burst (a 1 h podcast alone is 120
+        # chunk rows) must not allocate one arbitrarily large device batch
+        for lo, hi in row_slices(len(rows), 32):
+            nb = bucket_batch(hi - lo, (1, 2, 4, 8, 16, 32))
+            audio = np.zeros((nb, 16_000 * window_s), np.float32)
+            for j, rrow in enumerate(rows[lo:hi]):
+                audio[j, : len(rrow)] = rrow[: 16_000 * window_s]
+            prompt = np.tile(np.asarray(prompts[lo], np.int32), (nb, 1))
+            prompt[: hi - lo] = np.asarray(prompts[lo:hi], np.int32)
+            audio, prompt = _dp_shard(self.mesh, audio, prompt)
+            tokens_a, aligns_a = self._fn_b(self.params, audio, prompt)
+            tokens_np, aligns_np = jax.device_get((tokens_a, aligns_a))
+            p_len = prompt.shape[1]
+            for row, (ri, offset, seconds) in enumerate(specs[lo:hi]):
+                t, w, _ = self._decode_chunk_host(
+                    tokens_np[row], aligns_np[row], p_len, offset, seconds,
+                    window_seconds=window_s)
+                if t:
+                    results[ri]["text"].append(t)
+                results[ri]["words"].extend(w)
         return [
             {
                 "text": " ".join(res["text"]),
@@ -551,6 +556,11 @@ class JaxNllbNmt:
         target). Entries: {"text", "source_lang", "target_lang"}."""
         if not requests:
             return []
+        if len(requests) > 16:   # bounded dispatches for oversized bursts
+            out: List[str] = []
+            for s in range(0, len(requests), 16):
+                out.extend(self.translate_batch(requests[s:s + 16]))
+            return out
         from ..serve.batching import bucket_batch
 
         results: List[Optional[str]] = [None] * len(requests)
@@ -828,6 +838,11 @@ class JaxCosyVoiceTts:
         if not requests:
             return []
         n = len(requests)
+        if n > 16:               # bounded dispatches for oversized bursts
+            outs: List[np.ndarray] = []
+            for s in range(0, n, 16):
+                outs.extend(self.synthesize_batch(requests[s:s + 16]))
+            return outs
         from ..serve.batching import bucket_batch
 
         nb = bucket_batch(n)

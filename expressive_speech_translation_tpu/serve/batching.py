@@ -25,18 +25,14 @@ log = logging.getLogger(__name__)
 
 
 def bucket_batch(n: int, buckets: Sequence[int] = (1, 2, 4, 8, 16)) -> int:
-    """Smallest bucket ≥ n (callers pad to this so XLA sees few shapes).
+    """Smallest bucket ≥ n (callers pad to this so XLA sees few shapes);
+    doubles above the top bucket (never returns < n — shared policy,
+    core/buckets.py). Callers that can receive unbounded bursts should
+    split rows with :func:`core.buckets.row_slices` first so one dispatch
+    never allocates an arbitrarily large device batch."""
+    from ..core.buckets import bucket_size
 
-    Above the top bucket, keep doubling: callers allocate batch arrays at
-    the returned size, so returning less than ``n`` (the old behaviour)
-    made e.g. 40 flattened ASR chunk rows index past a 32-row array."""
-    for b in buckets:
-        if n <= b:
-            return b
-    b = buckets[-1]
-    while b < n:
-        b *= 2
-    return b
+    return bucket_size(n, buckets)
 
 
 class MicroBatcher:

@@ -127,17 +127,21 @@ def _open_pinned(url: str, ip: str, timeout: float):
     if parts.query:
         path += "?" + parts.query
     t = urllib3.Timeout(connect=min(timeout, 30.0), read=timeout)
+    default_port = 443 if parts.scheme == "https" else 80
+    port = parts.port or default_port
+    # http.client appends non-default ports automatically; a hand-built
+    # Host header must do the same or port-based virtual hosts misroute
+    host_hdr = host if port == default_port else f"{host}:{port}"
     if parts.scheme == "https":
         import certifi
 
         pool = urllib3.HTTPSConnectionPool(
-            ip, parts.port or 443, server_hostname=host,
+            ip, port, server_hostname=host,
             assert_hostname=host, cert_reqs="CERT_REQUIRED",
             ca_certs=certifi.where(), timeout=t, maxsize=1)
     else:
-        pool = urllib3.HTTPConnectionPool(ip, parts.port or 80,
-                                          timeout=t, maxsize=1)
-    resp = pool.urlopen("GET", path, headers={"Host": host},
+        pool = urllib3.HTTPConnectionPool(ip, port, timeout=t, maxsize=1)
+    resp = pool.urlopen("GET", path, headers={"Host": host_hdr},
                         redirect=False, preload_content=False,
                         retries=False)
     return pool, resp

@@ -63,9 +63,21 @@ class PodcastStore:
                 json.dumps(meta), encoding="utf-8")
         return meta
 
+    def _sidecars(self):
+        """Current-scheme sidecars plus legacy ``{id}_{fname}.json`` ones
+        (pre-rename uploads must stay visible after an upgrade — the store's
+        restart-survival contract). Legacy matches exclude current-scheme
+        files and anything that does not parse as JSON."""
+        for sidecar in sorted(self.root.glob("*.meta.json")):
+            yield sidecar
+        for sidecar in sorted(self.root.glob("*_*.json")):
+            if sidecar.name.endswith(".meta.json"):
+                continue
+            yield sidecar
+
     def list(self) -> List[Dict]:
         out = []
-        for sidecar in sorted(self.root.glob("*.meta.json")):
+        for sidecar in self._sidecars():
             try:
                 out.append(json.loads(sidecar.read_text(encoding="utf-8")))
             except (OSError, ValueError):
@@ -77,6 +89,17 @@ class PodcastStore:
             raise ValidationError("invalid podcast id")
         sidecar = self.root / f"{podcast_id}.meta.json"
         if not sidecar.exists():
+            # legacy scheme: {id}_{fname}.json next to {id}_{fname}
+            legacy = [p for p in self.root.glob(f"{podcast_id}_*.json")
+                      if not p.name.endswith(".meta.json")]
+            for cand in legacy:
+                try:
+                    meta = json.loads(cand.read_text(encoding="utf-8"))
+                except (OSError, ValueError):
+                    continue
+                audio_path = Path(str(cand)[: -len(".json")])
+                if audio_path.exists():
+                    return meta, audio_path
             raise ValidationError(f"unknown podcast id {podcast_id}")
         meta = json.loads(sidecar.read_text(encoding="utf-8"))
         audio_path = self.root / f"{podcast_id}_{meta['filename']}"

@@ -53,18 +53,13 @@ def sort_buffer(
 
 
 def bucket_length(n: int, buckets: Sequence[int]) -> int:
-    """Smallest bucket ≥ n (static-shape compilation). Above the top bucket,
-    keep doubling — returning less than ``n`` made pad_batch silently
-    TRUNCATE long admitted samples (filter_samples allows up to 2000 frames
-    vs a 512 top bucket) while marking every position valid, training the
-    LM on corrupted supervision."""
-    for b in buckets:
-        if n <= b:
-            return b
-    b = buckets[-1]
-    while b < n:
-        b *= 2
-    return b
+    """Smallest bucket ≥ n (static-shape compilation); doubles above the
+    top bucket — returning less than ``n`` made pad_batch silently TRUNCATE
+    long admitted samples while marking every position valid (corrupted EOS
+    supervision). Shared policy: core/buckets.py."""
+    from ..core.buckets import bucket_size
+
+    return bucket_size(n, buckets)
 
 
 class DynamicFrameBatcher:

@@ -574,3 +574,31 @@ def test_batched_wrappers_forward_weightless_and_weights_info():
     )
     assert eng_wl.nmt.weightless is True
     assert eng_wl.weights_info() == "random"
+
+
+def test_asr_batch_rows_are_bounded_per_dispatch():
+    """An oversized burst (one long file alone can flatten to >32 chunk
+    rows) is split into bounded dispatches instead of allocating one
+    arbitrarily large device batch — and every chunk's text still lands on
+    the right request."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import whisper as wj
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxWhisperAsr
+
+    wcfg = wj.WhisperConfig(n_mels=80, d_model=64, encoder_layers=1,
+                            decoder_layers=1, heads=4, ffn_dim=128,
+                            vocab_size=51865)
+    asr = JaxWhisperAsr(wcfg, dtype=jnp.float32, max_new_tokens=4,
+                        context_buckets=(4,))
+    g = np.random.default_rng(0)
+    # 33 four-second chunks across two requests: 120 s + 12 s
+    reqs = [
+        {"audio_16k": (0.2 * g.standard_normal(16000 * 120)).astype(np.float32),
+         "language": "eng"},
+        {"audio_16k": (0.2 * g.standard_normal(16000 * 12)).astype(np.float32),
+         "language": "eng"},
+    ]
+    out = asr.transcribe_batch(reqs)
+    assert len(out) == 2
+    assert all(r["language"] == "eng" for r in out)
