@@ -197,6 +197,9 @@ function drawWave(canvas, data, playedFrac = 0) {
 async function showAudioResult(b64, transcripts) {
   freeBlob();
   const blob = b64ToBlob(b64, "audio/wav");
+  // Empty-result guard before handing the blob to the player
+  // (Frontend/src/utils/audioUtils.js:1-4, useTranslation.js:259-260).
+  if (blob.size === 0) throw new Error("Received empty audio data");
   state.blobUrl = URL.createObjectURL(blob);
   $("compare").hidden = true;
   $("player-solo").innerHTML = `<audio controls id="audioel" src="${state.blobUrl}"></audio>`;
@@ -427,7 +430,27 @@ function requireFile() {
   }
   const f = $("file").files[0];
   if (!f) throw new Error("Choose a file first");
+  if (state.mode === "audio") validateAudioUpload(f);
   return f;
+}
+
+// Client-side audio upload validation matching the reference studio flow
+// (Frontend/src/hooks/useTranslation.js:111-133, utils/audioUtils.js:35-54):
+// extension allow-list, MIME warning (non-fatal), 50 MB cap.
+const AUDIO_EXTENSIONS = [".mp3", ".wav", ".ogg", ".m4a"];
+const AUDIO_MIME_TYPES = [
+  "audio/mp3", "audio/mpeg", "audio/wav", "audio/wave", "audio/x-wav",
+  "audio/ogg", "audio/x-m4a", "audio/mp4", "audio/aac",
+];
+function validateAudioUpload(f) {
+  const ext = f.name.toLowerCase().slice(f.name.lastIndexOf("."));
+  if (!AUDIO_EXTENSIONS.includes(ext)) {
+    throw new Error(`Invalid file extension. Please upload a file with extension: ${AUDIO_EXTENSIONS.join(", ")}`);
+  }
+  if (!AUDIO_MIME_TYPES.includes(f.type) && f.type !== "") {
+    console.warn(`Warning: Unexpected MIME type ${f.type}`);
+  }
+  if (f.size > 50 * 1024 * 1024) throw new Error("File size exceeds 50MB limit");
 }
 
 async function postForm(url, form) {
@@ -485,6 +508,11 @@ async function runVideo() {
 async function runUrl() {
   const url = $("url").value.trim();
   if (!url) throw new Error("Enter a URL first");
+  // Client-side Spotify guidance before the request, matching the reference's
+  // LinkSection (Frontend/src/components/ui/LinkSection.js:22-28,61-67).
+  if (url.includes("spotify.com")) {
+    throw new Error("Spotify tracks aren't currently supported. Try YouTube or TikTok instead!");
+  }
   setStatus("Fetching and translating…");
   const resp = await fetch("/process-audio-url", {
     method: "POST", headers: { "Content-Type": "application/json" },

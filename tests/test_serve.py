@@ -396,6 +396,10 @@ def test_spa_serves_all_reference_views(client):
     # common-first + 26 alphabetical)
     assert len(codes) == 35, f"expected 35 dubbing languages, got {len(codes)}"
     assert {"fra", "cmn_Hant", "vie", "cym", "uzn"} <= set(codes)
+    # client-side upload validation + link guidance (useTranslation.js:111-133,
+    # audioUtils.js, LinkSection.js:22-28)
+    assert "AUDIO_EXTENSIONS" in js and "File size exceeds 50MB limit" in js
+    assert "spotify.com" in js and "Received empty audio data" in js
 
 
 def test_use_voice_cloning_flag_reaches_tts(client):
