@@ -460,16 +460,44 @@ async function postForm(url, form) {
   return body;
 }
 
+// Staged progress messages for the non-SSE audio path, matching the
+// reference studio flow (useTranslation.js:26-33 thresholds; simulated
+// 2 s interval capped at 90% until the response lands, :202-213).
+function progressMessage(p) {
+  if (p < 20) return "Preparing your audio for translation...";
+  if (p < 40) return "Analyzing speech patterns...";
+  if (p < 60) return "Converting to target language...";
+  if (p < 80) return "Generating natural speech...";
+  if (p < 100) return "Finalizing your translation...";
+  return "Translation complete!";
+}
+
+function startSimulatedProgress() {
+  let p = 10;
+  setProgress(p); setStatus(progressMessage(p));
+  const iv = setInterval(() => {
+    if (p >= 90) { clearInterval(iv); return; }
+    p = Math.min(p + Math.random() * 15, 90);
+    setProgress(p); setStatus(progressMessage(p));
+  }, 2000);
+  return () => clearInterval(iv);
+}
+
 async function runAudio() {
   const form = new FormData();
   form.append("file", requireFile());
   form.append("source_language", $("src").value);
   form.append("target_language", $("tgt").value);
   form.append("backend", $("backend").value);
-  setStatus("Translating…");
-  const body = await postForm("/translate", form);
-  setStatus(`Done (request ${body.request_id})`);
-  await showAudioResult(body.audio, body.transcripts);
+  const stopProgress = startSimulatedProgress();
+  try {
+    const body = await postForm("/translate", form);
+    setProgress(100);
+    setStatus(`${progressMessage(100)} (request ${body.request_id})`);
+    await showAudioResult(body.audio, body.transcripts);
+  } finally {
+    stopProgress();
+  }
 }
 
 async function runVideo() {

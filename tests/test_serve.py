@@ -400,6 +400,8 @@ def test_spa_serves_all_reference_views(client):
     # audioUtils.js, LinkSection.js:22-28)
     assert "AUDIO_EXTENSIONS" in js and "File size exceeds 50MB limit" in js
     assert "spotify.com" in js and "Received empty audio data" in js
+    # staged progress messages on the non-SSE audio path (useTranslation.js:26-33)
+    assert "Analyzing speech patterns..." in js and "Translation complete!" in js
 
 
 def test_use_voice_cloning_flag_reaches_tts(client):
