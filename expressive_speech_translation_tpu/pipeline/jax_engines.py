@@ -557,9 +557,10 @@ class JaxNllbNmt:
         if not requests:
             return []
         if len(requests) > 16:   # bounded dispatches for oversized bursts
+            from ..core.buckets import row_slices
             out: List[str] = []
-            for s in range(0, len(requests), 16):
-                out.extend(self.translate_batch(requests[s:s + 16]))
+            for lo, hi in row_slices(len(requests), 16):
+                out.extend(self.translate_batch(requests[lo:hi]))
             return out
         from ..serve.batching import bucket_batch
 
@@ -839,9 +840,10 @@ class JaxCosyVoiceTts:
             return []
         n = len(requests)
         if n > 16:               # bounded dispatches for oversized bursts
+            from ..core.buckets import row_slices
             outs: List[np.ndarray] = []
-            for s in range(0, n, 16):
-                outs.extend(self.synthesize_batch(requests[s:s + 16]))
+            for lo, hi in row_slices(n, 16):
+                outs.extend(self.synthesize_batch(requests[lo:hi]))
             return outs
         from ..serve.batching import bucket_batch
 

@@ -51,8 +51,10 @@ class PodcastStore:
                 "podcast_id": unique_id,            # round-2 response alias
                 "title": title or Path(fname).stem,
                 "filename": fname,
-                # episode number = folder count, podcast_routes.py:79
-                "episode": str(len(list(self.root.glob("*.meta.json"))) + 1),
+                # episode number = folder count, podcast_routes.py:79 —
+                # counted over the same enumeration list() surfaces, so
+                # legacy-sidecar podcasts don't collide with new numbers
+                "episode": str(sum(1 for _ in self._sidecars()) + 1),
                 "duration": f"{minutes:02d}:{seconds:02d}",
                 "duration_seconds": round(duration_seconds, 2),
                 "sample_rate": sample_rate,
@@ -63,15 +65,23 @@ class PodcastStore:
                 json.dumps(meta), encoding="utf-8")
         return meta
 
+    _LEGACY_SIDECAR = re.compile(r"[0-9a-f]{32}_.+\.json$")
+
     def _sidecars(self):
         """Current-scheme sidecars plus legacy ``{id}_{fname}.json`` ones
         (pre-rename uploads must stay visible after an upgrade — the store's
-        restart-survival contract). Legacy matches exclude current-scheme
-        files and anything that does not parse as JSON."""
+        restart-survival contract). A legacy sidecar must carry the 32-hex
+        id prefix AND sit next to its audio file ``{id}_{fname}`` — that
+        second check keeps current-scheme AUDIO uploads whose sanitized
+        name happens to end in ``.json`` from being read as metadata."""
         for sidecar in sorted(self.root.glob("*.meta.json")):
             yield sidecar
         for sidecar in sorted(self.root.glob("*_*.json")):
             if sidecar.name.endswith(".meta.json"):
+                continue
+            if not self._LEGACY_SIDECAR.fullmatch(sidecar.name):
+                continue
+            if not Path(str(sidecar)[: -len(".json")]).exists():
                 continue
             yield sidecar
 

@@ -492,6 +492,10 @@ async function runAudio() {
   const stopProgress = startSimulatedProgress();
   try {
     const body = await postForm("/translate", form);
+    // stop the ticker BEFORE the (async) result render — a pending tick
+    // firing during decodeAudioData would roll the status back to an
+    // earlier staged message and leave it there
+    stopProgress();
     setProgress(100);
     setStatus(`${progressMessage(100)} (request ${body.request_id})`);
     await showAudioResult(body.audio, body.transcripts);

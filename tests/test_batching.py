@@ -599,6 +599,17 @@ def test_asr_batch_rows_are_bounded_per_dispatch():
         {"audio_16k": (0.2 * g.standard_normal(16000 * 12)).astype(np.float32),
          "language": "eng"},
     ]
+    # sentinel decode: tag each chunk with its (offset, seconds) so the
+    # routing of rows→requests across the 32-row slice boundary is observable
+    def fake_decode(tokens, aligns, p_len, offset, seconds, window_seconds):
+        return f"c{offset:g}", [{"t": offset}], 0.0
+
+    asr._decode_chunk_host = fake_decode
     out = asr.transcribe_batch(reqs)
     assert len(out) == 2
     assert all(r["language"] == "eng" for r in out)
+    # request 0: 30 four-second chunks at offsets 0,4,...,116;
+    # request 1: 3 chunks at 0,4,8 — row 33 crosses into the second dispatch
+    assert out[0]["text"].split() == [f"c{4 * k:g}" for k in range(30)]
+    assert out[1]["text"].split() == ["c0", "c4", "c8"]
+    assert [w["t"] for w in out[1]["words"]] == [0, 4, 8]

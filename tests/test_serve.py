@@ -347,6 +347,32 @@ def test_podcast_store_json_named_upload(tmp_path):
     assert episodes[0]["episode"] == "1"
 
 
+def test_podcast_store_legacy_sidecars(tmp_path):
+    """Pre-rename uploads ({id}_{fname}.json next to {id}_{fname}) stay
+    listed after an upgrade, and new episode numbers count them — no
+    duplicate episode numbers across schemes."""
+    import json as _json
+
+    from expressive_speech_translation_tpu.serve.podcasts import PodcastStore
+
+    legacy_id = "a" * 32
+    (tmp_path / f"{legacy_id}_old.wav").write_bytes(b"RIFFlegacy")
+    (tmp_path / f"{legacy_id}_old.wav.json").write_text(
+        _json.dumps({"id": legacy_id, "episode": "1", "filename": "old.wav"}))
+    # a stray non-podcast json (no 32-hex prefix / no audio twin) is ignored
+    (tmp_path / "random_notes.json").write_text("{}")
+
+    store = PodcastStore(tmp_path)
+    listed = store.list()
+    assert [p["id"] for p in listed] == [legacy_id]
+    meta = store.save(b"\x00new", "new.wav", duration_seconds=1.0)
+    assert meta["episode"] == "2"  # counts the legacy entry
+    ids = {p["id"] for p in store.list()}
+    assert ids == {legacy_id, meta["id"]}
+    got, audio = store.get(legacy_id)
+    assert audio.read_bytes() == b"RIFFlegacy"
+
+
 def test_translate_text_route(client):
     """Text-mode TranslateTool endpoint: NLLB translation + optional TTS
     (simple_translate_tts.py capability over HTTP, SURVEY §2.18)."""
@@ -408,10 +434,7 @@ def test_use_voice_cloning_flag_reaches_tts(client):
     """The dub view's toggle is functional end-to-end: with
     use_voice_cloning=false the TTS engine receives NO cloning reference
     (app.py:358 form-flag parity, wired through the cascaded backend)."""
-    from expressive_speech_translation_tpu.pipeline.backend import TranslationManager
-
     calls = []
-    app = client.application if hasattr(client, "application") else None
     # fresh app so we can spy on the tts engine
     from expressive_speech_translation_tpu.core.config import AppConfig, EngineConfig
     from expressive_speech_translation_tpu.serve.app import create_app
