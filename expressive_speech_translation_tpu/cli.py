@@ -330,6 +330,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    from .core.platform import pin_platform_from_env
+
+    pin_platform_from_env()
     return args.fn(args)
 
 

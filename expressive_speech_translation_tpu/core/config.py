@@ -209,6 +209,7 @@ _ENV_PREFIX = "EST_"
 # crashed every load_config() call at startup with "unknown config key".
 _RUNTIME_ENV_VARS = frozenset({
     "EST_MODELS_DIR", "EST_TOKENIZER", "EST_SER_MODEL", "EST_COMPILE_CACHE",
+    "EST_PLATFORM",  # JAX platform pin for CLI smoke runs (core/platform.py)
 })
 
 

@@ -474,7 +474,9 @@ def main() -> None:
 
     from ..core import enable_persistent_compilation_cache
     from ..core.config import load_config
+    from ..core.platform import pin_platform_from_env
 
+    pin_platform_from_env()
     enable_persistent_compilation_cache()
     config = load_config()
     setup_logging(config.log_dir)

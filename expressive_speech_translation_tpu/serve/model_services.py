@@ -317,7 +317,9 @@ def run_service(name: str, port: Optional[int] = None) -> None:
     from werkzeug.serving import run_simple
 
     from ..core import enable_persistent_compilation_cache
+    from ..core.platform import pin_platform_from_env
 
+    pin_platform_from_env()
     enable_persistent_compilation_cache()
 
     services = {

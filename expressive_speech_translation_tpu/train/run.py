@@ -171,10 +171,18 @@ def main(argv: Optional[list] = None) -> int:
     parser.add_argument("--max-epochs", type=int)
     parser.add_argument("--tiny", action="store_true",
                         help="tiny model (smoke runs without 0.5B init cost)")
+    parser.add_argument("--export-dir",
+                        help="after training, export the speech LM as a "
+                             "native tts_llm checkpoint servable via "
+                             "EST_MODELS_DIR")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")
+
+    from ..core.platform import pin_platform_from_env
+
+    pin_platform_from_env()
 
     from ..core.config import load_config
     from ..models import cosyvoice as cv, qwen2 as q2
@@ -229,6 +237,16 @@ def main(argv: Optional[list] = None) -> int:
     state = executor.train(state, epoch_batches, cv_batches=cv_batches,
                            metric_sink=sink)
     log.info("training done at step %d", int(state.step))
+
+    if args.export_dir:
+        # close the train→serve loop: write the fine-tuned speech LM as the
+        # native tts_llm checkpoint the server consumes via EST_MODELS_DIR
+        # (same format `est bake --tts` produces from the official llm.pt)
+        from ..models.loaders import save_converted
+
+        params = jax.device_get(state.params)
+        save_converted(params, lm_cfg, Path(args.export_dir) / "tts_llm")
+        log.info("exported serving checkpoint to %s/tts_llm", args.export_dir)
     return 0
 
 

@@ -122,14 +122,28 @@ def test_train_run_tiny_end_to_end(tmp_path, caplog):
     assert "CV info" in text
     assert any(ckpt.iterdir())
 
-    # resume: second run restores from the checkpoint (step > 0 at start)
+    # resume: second run restores from the checkpoint (step > 0 at start),
+    # and --export-dir writes a serving-format tts_llm checkpoint
     caplog.clear()
+    export = tmp_path / "export"
     with caplog.at_level(logging.INFO):
         rc = main(["--data-dir", str(tmp_path / "data"), "--checkpoint-dir", str(ckpt),
-                   "--max-epochs", "1", "--tiny"])
+                   "--max-epochs", "1", "--tiny", "--export-dir", str(export)])
     assert rc == 0
     m = re.search(r"starting at step (\d+)", caplog.text)
     assert m and int(m.group(1)) > 0, caplog.text
+
+    # the export loads back through the same native-checkpoint loader the
+    # server uses for EST_MODELS_DIR/tts_llm
+    from expressive_speech_translation_tpu.models import cosyvoice as cv
+    from expressive_speech_translation_tpu.models.loaders import load_converted
+
+    params, lm_cfg = load_converted(export / "tts_llm", cv.SpeechLMConfig)
+    assert lm_cfg.backbone.hidden == 64  # the --tiny config round-tripped
+    import jax
+
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(params))
 
 
 def test_cli_embed(tmp_path, wav_file, capsys):
