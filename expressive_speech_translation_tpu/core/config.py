@@ -143,6 +143,12 @@ class MeshConfig:
     dp: int = -1
     tp: int = 1
     use_bf16: bool = True
+    # multi-host pod wiring (deploy/docker-compose.tpu-pod.yml →
+    # parallel.mesh.maybe_initialize_distributed). Empty/defaults = single
+    # host, no jax.distributed bootstrap.
+    coordinator: str = ""      # "<worker0-host>:<port>"
+    num_processes: int = 0
+    process_id: int = -1
 
 
 @dataclass(frozen=True)
@@ -314,12 +320,15 @@ def load_config(
         cfg = _merge_mapping(cfg, raw)
 
     env = os.environ if env is None else env
+    # empty values count as unset: compose files export `${VAR:-}` defaults,
+    # which reach the process as "" — those must not override (or crash on
+    # non-string fields)
     for name, dotted in _LEGACY_ENV_ALIASES.items():
-        if name in env:
+        if env.get(name, "") != "":
             cfg = _replace_path(cfg, dotted, env[name])
     for name, value in env.items():
         if name.startswith(_ENV_PREFIX) and name not in _RUNTIME_ENV_VARS \
-                and not name.startswith("EST_BENCH_"):
+                and not name.startswith("EST_BENCH_") and value != "":
             dotted = name[len(_ENV_PREFIX):].lower().replace("__", ".")
             cfg = _replace_path(cfg, dotted, value)
 

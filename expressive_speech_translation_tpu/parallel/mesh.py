@@ -94,15 +94,29 @@ def host_cpu_mesh(n_devices: int) -> Mesh:
     return make_mesh(MeshSpec(dp=-1, tp=1), devices=cpus[:n_devices])
 
 
-def maybe_initialize_distributed() -> None:
+def maybe_initialize_distributed(mesh_cfg=None) -> None:
     """Multi-host bootstrap (replaces the reference's MPI rank/port exchange,
-    diff2lip/guided_diffusion/dist_util.py:20-42). No-op single-host."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
-        log.info(
-            "jax.distributed initialized: process %d/%d",
-            jax.process_index(), jax.process_count(),
+    diff2lip/guided_diffusion/dist_util.py:20-42). No-op single-host.
+
+    Wiring comes from ``MeshConfig`` (``EST_MESH__COORDINATOR`` /
+    ``NUM_PROCESSES`` / ``PROCESS_ID`` — deploy/docker-compose.tpu-pod.yml)
+    or, as a fallback, the standard ``JAX_COORDINATOR_ADDRESS`` env that
+    ``jax.distributed.initialize()`` reads on its own."""
+    if mesh_cfg is not None and getattr(mesh_cfg, "coordinator", ""):
+        jax.distributed.initialize(
+            coordinator_address=mesh_cfg.coordinator,
+            num_processes=mesh_cfg.num_processes or None,
+            process_id=(mesh_cfg.process_id
+                        if mesh_cfg.process_id >= 0 else None),
         )
+    elif os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    else:
+        return
+    log.info(
+        "jax.distributed initialized: process %d/%d",
+        jax.process_index(), jax.process_count(),
+    )
 
 
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:

@@ -480,6 +480,11 @@ def main() -> None:
     enable_persistent_compilation_cache()
     config = load_config()
     setup_logging(config.log_dir)
+    # multi-host pod serving: bootstrap jax.distributed BEFORE any engine
+    # compiles (no-op single host; deploy/docker-compose.tpu-pod.yml wiring)
+    from ..parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed(config.mesh)
     # the server defaults to real compiled engines (mode jax; EST_ENGINES__MODE
     # overrides); weightless state is surfaced via /health/model + responses
     app = create_app(config=config, default_engine_mode="jax")

@@ -190,6 +190,9 @@ def main(argv: Optional[list] = None) -> int:
     from .executor import Executor, batches_from_samples
 
     cfg = load_config(args.config)
+    from ..parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed(cfg.mesh)
     train_cfg = cfg.train
     if args.max_epochs:
         import dataclasses

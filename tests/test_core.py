@@ -118,6 +118,36 @@ def test_runtime_env_vars_are_not_config_keys(tmp_path):
     assert cfg.serve.port == 8123
 
 
+def test_mesh_multihost_env_wiring():
+    """The tpu-pod compose exports EST_MESH__COORDINATOR / NUM_PROCESSES /
+    PROCESS_ID (with `${VAR:-}` empty-string defaults) — values must land in
+    MeshConfig, and empty strings must count as unset instead of crashing
+    (regression: unknown-key ConfigError killed the orchestrator at boot)."""
+    cfg = load_config(env={
+        "EST_MESH__COORDINATOR": "worker0:8476",
+        "EST_MESH__NUM_PROCESSES": "4",
+        "EST_MESH__PROCESS_ID": "2",
+    })
+    assert cfg.mesh.coordinator == "worker0:8476"
+    assert cfg.mesh.num_processes == 4 and cfg.mesh.process_id == 2
+
+    # compose empty-string defaults = single host
+    cfg = load_config(env={
+        "EST_MESH__COORDINATOR": "",
+        "EST_MESH__NUM_PROCESSES": "",
+        "EST_MESH__PROCESS_ID": "",
+        "COSYVOICE_API_URL": "",            # empty legacy alias too
+    })
+    assert cfg.mesh.coordinator == "" and cfg.mesh.num_processes == 0
+
+    # no coordinator → the bootstrap is a no-op (must not try to connect)
+    from expressive_speech_translation_tpu.parallel.mesh import (
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed(cfg.mesh)
+
+
 def test_yaml_sequences_become_tuples(tmp_path):
     """Tuple-annotated fields must hold tuples even when set from a YAML
     sequence (frozen-config hashability / tuple-concatenation contract)."""
