@@ -28,7 +28,6 @@ from ..models import nllb as njm
 from ..models import whisper as wjm
 from ..models.common import cast_floats, host_init
 from ..ops.pallas_mel import whisper_log_mel_pallas
-from .languages import whisper_lang_token
 from .tokenizer import ByteTokenizer, Tokenizer
 
 log = logging.getLogger(__name__)
@@ -156,6 +155,11 @@ class JaxWhisperAsr:
         # bucket (no padding): context lengths in PREV_CTX_BUCKETS, so at most
         # len(buckets) x len(ctx_buckets) compiled programs
         self.condition_on_previous_text = condition_on_previous_text
+        # mutable per-instance state created HERE, not lazily at use sites:
+        # lazy hasattr/getattr init widens the read-modify-write race window
+        # under the threaded serving batcher
+        self._seed = 0
+        self._prompt_cache: Dict[str, Any] = {}
         self.PREV_CTX_BUCKETS = (8, 16, 32)
 
         @jax.jit
@@ -181,13 +185,21 @@ class JaxWhisperAsr:
         @jax.jit
         def _transcribe_b(params, audio, prompt):
             """Batched context chunks [N, samples] (zero-padded) in one
-            dispatch. Uses the XLA mel (batch-native); the fused Pallas mel is
-            per-row and its win (~7 ms/30 s) is noise next to batched decode."""
+            dispatch, with the SAME decode safeguards as the single path
+            (token suppression, sot-indexed no-speech prob, per-row logprobs
+            for host-side gating). Batch prompts are always the bare 4-token
+            row, so SOT sits at index 0. Uses the XLA mel (batch-native); the
+            fused Pallas mel is per-row and its win (~7 ms/30 s) is noise
+            next to batched decode."""
             from ..ops import whisper_log_mel
 
             mel = whisper_log_mel(audio, chunk_samples=audio.shape[-1]).astype(dtype)
-            return wjm.greedy_decode_with_alignment(
-                params, self.cfg, mel, prompt, max_new_tokens=max_new_tokens
+            return wjm.decode_with_alignment(
+                params, self.cfg, mel, prompt,
+                max_new_tokens=max_new_tokens,
+                suppress_tokens=self._suppress[0],
+                suppress_first_tokens=self._suppress[1],
+                sot_index=0,
             )
 
         self._fn_b = _transcribe_b
@@ -200,6 +212,17 @@ class JaxWhisperAsr:
             return ids[0], probs[0]
 
         self._detect_fn = _detect
+
+        @jax.jit
+        def _detect_b(params, audio):
+            """Batched language id: [N, samples] → one dispatch (the batched
+            path must not pay N serial detect round-trips)."""
+            from ..ops import whisper_log_mel
+
+            mel = whisper_log_mel(audio, chunk_samples=audio.shape[-1]).astype(dtype)
+            return wjm.detect_language(params, self.cfg, mel)
+
+        self._detect_b_fn = _detect_b
 
     def _prompt_row(self, language: Optional[str]) -> List[int]:
         from .languages import whisper_lang_index
@@ -227,7 +250,8 @@ class JaxWhisperAsr:
         cross-attention alignment (whisper find_alignment parity) + word
         splitting. ``window_seconds`` is the encoder-context span the
         alignment's frame axis covers (= the bucket size; the audio may fill
-        only ``chunk_seconds`` of it). Returns (text, words)."""
+        only ``chunk_seconds`` of it). Returns (text, words, kept_token_ids)
+        — the kept ids feed previous-text conditioning in ``transcribe``."""
         gen = tokens[p_len:]
         keep = [(i, int(t)) for i, t in enumerate(gen)
                 if t != self.cfg.eos_token and t < self._special_floor]
@@ -243,16 +267,20 @@ class JaxWhisperAsr:
         word_start = float(token_times[0]) if len(token_times) else 0.0
         for (i, tok), t_sec in zip(keep, token_times):
             piece = self.tokenizer.decode([tok])
-            if piece.isspace() or piece == "":
-                if current:
-                    words.append({
-                        "word": self.tokenizer.decode(current).strip(),
-                        "start": round(chunk_offset + word_start, 3),
-                        "end": round(chunk_offset + float(t_sec), 3),
-                    })
-                    current = []
+            # word boundary = whitespace piece OR a piece that BEGINS with
+            # whitespace (byte-level BPE emits " hello"-style tokens; whisper
+            # split_tokens_on_spaces semantics) — byte tokenizers hit the
+            # pure-whitespace branch, subword tokenizers the prefix one
+            boundary = piece == "" or piece.isspace() or piece[:1].isspace()
+            if boundary and current:
+                words.append({
+                    "word": self.tokenizer.decode(current).strip(),
+                    "start": round(chunk_offset + word_start, 3),
+                    "end": round(chunk_offset + float(t_sec), 3),
+                })
+                current = []
                 word_start = float(t_sec)
-            else:
+            if piece != "" and not piece.isspace():
                 if not current:
                     word_start = float(t_sec)
                 current.append(tok)
@@ -287,23 +315,61 @@ class JaxWhisperAsr:
         padded[: len(seg)] = seg[: 16_000 * bucket_s]
         return padded, bucket_s
 
+    def _gated_chunk(self, tokens, aligns, p_len, offset_s, chunk_s, bucket_s,
+                     *, avg_logprob, no_speech_prob, seg, prompt_row):
+        """Apply the single-path decode gates to one batch-decoded chunk:
+        no-speech suppression, then compression/logprob gating with the
+        failing row re-run through the temperature ladder (the greedy rung
+        already ran in the batch dispatch, so the ladder starts above it)."""
+        import zlib
+
+        text, words, _ = self._decode_chunk_host(
+            tokens, aligns, p_len, offset_s, chunk_s, window_seconds=bucket_s)
+        if (no_speech_prob > self.no_speech_threshold
+                and avg_logprob < self.logprob_threshold):
+            log.info("no-speech gate (batch): chunk at %.1fs suppressed "
+                     "(p=%.2f, avg_logprob=%.2f)", offset_s, no_speech_prob,
+                     avg_logprob)
+            return "", []
+        raw = text.encode("utf-8")
+        compression_ratio = (len(raw) / len(zlib.compress(raw))) if raw else 0.0
+        if (compression_ratio <= self.compression_ratio_threshold
+                and avg_logprob >= self.logprob_threshold):
+            return text, words
+        if len(self.temperatures) <= 1:
+            return text, words   # no higher rung to try
+        log.info("temperature fallback (batch): chunk at %.1fs rejected "
+                 "(compression %.2f, avg_logprob %.2f)", offset_s,
+                 compression_ratio, avg_logprob)
+        padded, pb = self._pad_to_bucket(np.asarray(seg, np.float32))
+        prompt = jnp.asarray([prompt_row], jnp.int32)
+        t, w, _, _ = self._decode_chunk_fallback(
+            padded, prompt, len(prompt_row), offset_s, chunk_s, pb,
+            temperatures=self.temperatures[1:])
+        return t, w
+
     def _decode_chunk_fallback(self, padded, prompt, p_len,
                                offset_s, chunk_s, bucket_s,
-                               prompt_bare=None, p_len_bare=None):
+                               prompt_bare=None, p_len_bare=None,
+                               temperatures=None):
         """whisper.transcribe's temperature-fallback ladder (the decoding
         behavior the reference gets from openai-whisper,
         cascaded_backend.py:158): decode at each temperature in
         ``self.temperatures`` until the compression-ratio and avg-logprob
-        gates pass; the last rung is accepted unconditionally."""
+        gates pass; the last rung is accepted unconditionally.
+        ``temperatures`` overrides the ladder (the batch path starts above
+        the greedy rung its dispatch already ran)."""
         import zlib
 
-        for i, temp in enumerate(self.temperatures):
+        temperatures = (self.temperatures if temperatures is None
+                        else temperatures)
+        for i, temp in enumerate(temperatures):
             # whisper drops previous-text conditioning for rungs above 0.5
             # (transcribe: prompt reset when temperature > 0.5)
             use_prompt, use_plen = (
                 (prompt_bare, p_len_bare)
                 if temp > 0.5 and prompt_bare is not None else (prompt, p_len))
-            self._seed = getattr(self, "_seed", 0) + 1
+            self._seed += 1
             # the prompt row always ends [sot, lang, task, no_timestamps]
             # (_prompt_row), so SOT sits 4 back from the prompt end
             tokens_a, aligns, slp, ngen, nsp = self._fn(
@@ -328,7 +394,7 @@ class JaxWhisperAsr:
                          "(p=%.2f, avg_logprob=%.2f)", offset_s,
                          float(nsp_h[0]), avg_logprob)
                 return "", [], [], temp
-            if i == len(self.temperatures) - 1:
+            if i == len(temperatures) - 1:
                 return text, words, kept_ids, temp
             raw = text.encode("utf-8")
             compression_ratio = (len(raw) / len(zlib.compress(raw))) if raw else 0.0
@@ -343,8 +409,6 @@ class JaxWhisperAsr:
         x = np.asarray(audio_16k, np.float32).reshape(-1)
         if language is None:
             language = self.detect_language(x)
-        if not hasattr(self, "_prompt_cache"):
-            self._prompt_cache = {}
         prompt = self._prompt_cache.get(language)
         if prompt is None:  # cache the tiny device array (upload = a full
             # relay round-trip per request otherwise)
@@ -391,20 +455,42 @@ class JaxWhisperAsr:
         Chunks are flattened across requests (a 70 s file contributes 3 rows),
         zero-padded to the 30 s window, and the row count padded to a bucket —
         so concurrent callers of any duration mix share compiled graphs.
+
+        Decode-safeguard parity with :meth:`transcribe`: token suppression and
+        the no-speech gate apply per row, and rows failing the compression/
+        logprob gates re-run through the single-path temperature ladder
+        (skipping the greedy rung this dispatch already ran). The one
+        deliberate divergence: chunks decode independently, so previous-text
+        conditioning does not thread across a request's chunks (serializing
+        chunks would defeat the batching).
         """
         if not requests:
             return []
         from ..serve.batching import bucket_batch
 
         chunk = 16_000 * self.context_buckets[-1]
+        langs = [r.get("language") for r in requests]
+        # language id for language-less requests: ONE batched dispatch, not
+        # N serial detect round-trips
+        need = [i for i, l in enumerate(langs) if l is None]
+        if need:
+            from .languages import whisper_token_to_app
+
+            det = np.zeros((len(need), 16_000 * 30), np.float32)
+            for j, i in enumerate(need):
+                x = np.asarray(requests[i]["audio_16k"], np.float32).reshape(-1)
+                seg = x[: 16_000 * 30]
+                det[j, : len(seg)] = seg
+            ids, _ = jax.device_get(self._detect_b_fn(self.params, det))
+            for j, i in enumerate(need):
+                langs[i] = whisper_token_to_app(
+                    int(ids[j]) - self.cfg.lang_token_start + 50_259)
+
         specs = []   # (request index, chunk offset seconds, chunk seconds)
         rows: List[np.ndarray] = []
         prompts: List[List[int]] = []
-        langs = [r.get("language") for r in requests]
         for i, r in enumerate(requests):
             x = np.asarray(r["audio_16k"], np.float32).reshape(-1)
-            if langs[i] is None:
-                langs[i] = self.detect_language(x)
             prow = self._prompt_row(langs[i])
             for start in range(0, max(len(x), 1), chunk):
                 seg = x[start:start + chunk]
@@ -429,13 +515,16 @@ class JaxWhisperAsr:
             prompt = np.tile(np.asarray(prompts[lo], np.int32), (nb, 1))
             prompt[: hi - lo] = np.asarray(prompts[lo:hi], np.int32)
             audio, prompt = _dp_shard(self.mesh, audio, prompt)
-            tokens_a, aligns_a = self._fn_b(self.params, audio, prompt)
-            tokens_np, aligns_np = jax.device_get((tokens_a, aligns_a))
+            out = self._fn_b(self.params, audio, prompt)
+            tokens_np, aligns_np, slp_np, ngen_np, nsp_np = jax.device_get(out)
             p_len = prompt.shape[1]
             for row, (ri, offset, seconds) in enumerate(specs[lo:hi]):
-                t, w, _ = self._decode_chunk_host(
+                t, w = self._gated_chunk(
                     tokens_np[row], aligns_np[row], p_len, offset, seconds,
-                    window_seconds=window_s)
+                    window_s,
+                    avg_logprob=float(slp_np[row]) / max(int(ngen_np[row]), 1),
+                    no_speech_prob=float(nsp_np[row]),
+                    seg=rows[lo + row], prompt_row=prompts[lo + row])
                 if t:
                     results[ri]["text"].append(t)
                 results[ri]["words"].extend(w)
@@ -532,6 +621,15 @@ class JaxNllbNmt:
             )
         return arr
 
+    def _src_bucket(self, n: int) -> int:
+        """Source width: smallest bucket ≥ n, doubling above the top bucket
+        (core.buckets policy) so transcripts longer than TEXT_BUCKETS[-1]
+        ride a wider compiled program instead of crashing the row-assign;
+        clamped to the encoder's positional capacity."""
+        from ..core.buckets import bucket_size
+
+        return min(bucket_size(n, TEXT_BUCKETS), self.cfg.max_positions)
+
     def _encode_src(self, text: str, source_lang: str) -> List[int]:
         """NLLB source layout: ``[src_lang] tokens … [eos]`` (HF NllbTokenizer
         non-legacy convention the reference's generate call assumes)."""
@@ -543,7 +641,7 @@ class JaxNllbNmt:
 
     def translate(self, text: str, source_lang: str, target_lang: str) -> str:
         src = self._encode_src(text, source_lang)
-        bucket = _bucket(len(src), TEXT_BUCKETS)
+        bucket = self._src_bucket(len(src))
         padded = np.full((1, bucket), self.cfg.pad_token, np.int32)
         padded[0, : len(src)] = self._fit_ids(src)
         out = np.asarray(self._fn(self.params, jnp.asarray(padded), self._lang_id(target_lang)))[0]
@@ -573,7 +671,7 @@ class JaxNllbNmt:
                 self._encode_src(requests[i]["text"], requests[i]["source_lang"])
                 for i in idxs
             ]
-            bucket = _bucket(max(len(s) for s in srcs), TEXT_BUCKETS)
+            bucket = self._src_bucket(max(len(s) for s in srcs))
             nb = bucket_batch(len(idxs))
             padded = np.full((nb, bucket), self.cfg.pad_token, np.int32)
             for row, s in enumerate(srcs):
@@ -686,11 +784,12 @@ class JaxCosyVoiceTts:
             @functools.partial(jax.jit, static_argnums=(8,))
             def _synth(params, seed, text, tmask, spk, pmel, pmm, psp, max_new):
                 key = jax.random.fold_in(jax.random.PRNGKey(42), seed)
-                return com.synthesize_official(
+                out = com.synthesize_official(
                     params, ocfg, key, text, tmask,
                     psp, jnp.ones_like(psp, bool), spk, pmel,
                     max_new_tokens=max_new,
-                )["audio"]
+                )
+                return out["audio"], out["token_lengths"]
 
             @functools.partial(jax.jit, static_argnums=(9,))
             def _synth_b(params, seed, text, tmask, spk, pmel, pmm, psp, psm, max_new):
@@ -704,11 +803,12 @@ class JaxCosyVoiceTts:
             @functools.partial(jax.jit, static_argnums=(8,))
             def _synth(params, seed, text, tmask, spk, pmel, pmm, psp, max_new):
                 key = jax.random.fold_in(jax.random.PRNGKey(42), seed)
-                return cvm.synthesize(
+                out = cvm.synthesize(
                     params, self.cfg, key, text, tmask,
                     psp, jnp.ones_like(psp, bool), spk, pmel, pmm,
                     max_new_tokens=max_new,
-                )["audio"]
+                )
+                return out["audio"], out["token_lengths"]
 
             # dp-sharded batches GSPMD-partition the program; the fused
             # Pallas vocoder stage cannot be auto-sharded, so the batched
@@ -777,6 +877,25 @@ class JaxCosyVoiceTts:
 
         self._cond_b_fn = _cond_b
 
+    def _text_ids(self, text: str, style_prompt: str,
+                  reference_audio_16k) -> List[int]:
+        """Token layout for the speech LM: with a cloning reference, the
+        prompt transcription precedes the tts text (inference_zero_shot
+        semantics); prompt share capped so the tts text is never starved."""
+        ids = self.tokenizer.encode(text)[:256]
+        if style_prompt and reference_audio_16k is not None:
+            room = 256 - len(ids)  # tts text has priority over the prompt
+            ids = self.tokenizer.encode(style_prompt)[: min(room, 128)] + ids
+        return ids
+
+    def _samples_per_token(self) -> int:
+        """Samples per speech token from the ACTIVE vocoder geometry: the
+        official-mode cfg view keeps the default VocoderConfig, whose hop
+        need not match the loaded HiFT checkpoint's upsample stack."""
+        hop = (self.official_cfg.hift.hop if self.official is not None
+               else self.cfg.vocoder.hop)
+        return self.cfg.flow.token_mel_ratio * hop
+
     def _fit_text_ids(self, ids: List[int]) -> np.ndarray:
         arr = np.asarray(ids, np.int32)
         if self.weightless:
@@ -788,9 +907,15 @@ class JaxCosyVoiceTts:
             )
         return arr
 
-    def _prepare_conditioning(self, text: str, reference_audio_16k):
-        """Shared text/voice-prompt prep for batch and streaming synthesis."""
-        ids = self.tokenizer.encode(text)[:256]
+    def _prepare_conditioning(self, text: str, reference_audio_16k,
+                              style_prompt: str = ""):
+        """Shared text/voice-prompt prep for batch and streaming synthesis.
+
+        ``style_prompt`` (the reference audio's transcription) rides in the
+        text tokens AHEAD of the tts text — CosyVoice2's
+        ``inference_zero_shot`` contract (prompt_text ⧺ tts_text), so the LM
+        sees matching text for the prompt speech tokens it conditions on."""
+        ids = self._text_ids(text, style_prompt, reference_audio_16k)
         bucket = _bucket(max(len(ids), 1), TEXT_BUCKETS)
         toks = np.zeros((1, bucket), np.int32)
         toks[0, : len(ids)] = self._fit_text_ids(ids)
@@ -819,11 +944,16 @@ class JaxCosyVoiceTts:
         reference_audio_16k: Optional[np.ndarray] = None, language: str = "en",
     ) -> np.ndarray:
         toks, tmask, spk, pmel, pmm, psp, max_new = self._prepare_conditioning(
-            text, reference_audio_16k)
+            text, reference_audio_16k, style_prompt)
         self._call_count += 1
-        audio = self._fn(self.params, jnp.uint32(self._call_count),
-                         toks, tmask, spk, pmel, pmm, psp, max_new)
-        return np.asarray(audio, np.float32)[0]
+        audio, lengths = self._fn(self.params, jnp.uint32(self._call_count),
+                                  toks, tmask, spk, pmel, pmm, psp, max_new)
+        # trim to the EOS-determined token length — post-EOS frames are
+        # vocoded from zeroed tokens (artifact tail), exactly what the
+        # batched path already cuts
+        spt = self._samples_per_token()
+        n = max(int(np.asarray(lengths)[0]), 1) * spt
+        return np.asarray(audio, np.float32)[0, :n]
 
     def synthesize_batch(self, requests: List[Dict[str, Any]]) -> List[np.ndarray]:
         """Batched synthesis: N concurrent requests → ONE compiled dispatch.
@@ -849,7 +979,9 @@ class JaxCosyVoiceTts:
 
         nb = bucket_batch(n)
         # text packing: pure numpy (shared bucket width across the batch)
-        enc = [self.tokenizer.encode(r["text"])[:256] for r in requests]
+        enc = [self._text_ids(r["text"], r.get("style_prompt", ""),
+                              r.get("reference_audio_16k"))
+               for r in requests]
         t_w = _bucket(max(max(len(e) for e in enc), 1), TEXT_BUCKETS)
         toks = np.zeros((nb, t_w), np.int32)
         tmask = np.zeros((nb, t_w), bool)
@@ -865,9 +997,14 @@ class JaxCosyVoiceTts:
                 refs[i] = np.resize(
                     np.asarray(ra, np.float32).reshape(-1)[: 16_000 * 10], 16_000 * 10)
                 has_ref[i] = 1.0
+        has_ref_host = has_ref.copy()
         refs, has_ref = _dp_shard(self.mesh, refs, has_ref)
         spk, pmel, psp, psm = self._cond_b_fn(self._ecapa, self._st, refs, has_ref)
-        pmm = np.ones((nb, pmel.shape[1]), bool)
+        # prompt-mel mask parity with the single-request path: rows WITH a
+        # reference attend over the full prompt window; rows without keep
+        # only 4 live (zero) frames — the same conditioning synthesize() uses
+        frames = np.arange(pmel.shape[1])[None, :]
+        pmm = (has_ref_host[:, None] > 0) | (frames < 4)
         seconds = max(
             float(np.clip(len(r["text"]) * self.seconds_per_char, 0.6, 30.0))
             for r in requests
@@ -881,12 +1018,7 @@ class JaxCosyVoiceTts:
         )
         audio = np.asarray(audio, np.float32)
         lengths = np.asarray(lengths)
-        # samples/token from the ACTIVE vocoder geometry: the official-mode
-        # cfg view keeps the default VocoderConfig, whose hop need not match
-        # the loaded HiFT checkpoint's upsample stack
-        hop = (self.official_cfg.hift.hop if self.official is not None
-               else self.cfg.vocoder.hop)
-        spt = self.cfg.flow.token_mel_ratio * hop
+        spt = self._samples_per_token()
         return [audio[i, : max(int(lengths[i]), 1) * spt] for i in range(n)]
 
     def synthesize_streaming(
@@ -899,7 +1031,7 @@ class JaxCosyVoiceTts:
         declares (chunk_size 25, greek_sft.yaml:20-21) but whose API threw
         away (first generator chunk only, Docker/cosyvoice_api.py:129)."""
         toks, tmask, spk, pmel, pmm, psp, max_new = self._prepare_conditioning(
-            text, reference_audio_16k)
+            text, reference_audio_16k, style_prompt)
         self._call_count += 1
         k = jax.random.fold_in(jax.random.PRNGKey(42), self._call_count)
         if self.official is not None:

@@ -222,6 +222,119 @@ def test_jax_nmt_translate_batch_matches_single():
         BatchedNmt(object())
 
 
+def test_nmt_long_source_does_not_crash():
+    """Sources longer than TEXT_BUCKETS[-1] ride a doubled bucket (clamped to
+    max_positions) instead of crashing the padded-row assignment
+    (regression: 259-token source raised a numpy broadcast ValueError)."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import nllb as njm
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxNllbNmt
+
+    ncfg = njm.NLLBConfig(d_model=32, encoder_layers=1, decoder_layers=1,
+                          heads=4, ffn_dim=64, vocab_size=384)
+    nmt = JaxNllbNmt(ncfg, dtype=jnp.float32, max_new_tokens=4)
+    long_text = "a long transcript sentence " * 20   # >256 byte tokens
+    assert len(nmt.tokenizer.encode(long_text)) > 256
+    out = nmt.translate(long_text, "eng", "fra")
+    assert isinstance(out, str)
+    outs = nmt.translate_batch([
+        {"text": long_text, "source_lang": "eng", "target_lang": "fra"},
+        {"text": "short", "source_lang": "eng", "target_lang": "fra"},
+    ])
+    assert len(outs) == 2 and all(isinstance(t, str) for t in outs)
+    # bucket clamps to the encoder's positional capacity
+    assert nmt._src_bucket(10_000) == ncfg.max_positions
+
+
+def test_tts_single_path_trims_budget_tail():
+    """synthesize() must cut the waveform at the EOS-determined token length
+    like synthesize_batch does — post-EOS frames are vocoded from zeroed
+    tokens (regression: the single path returned the full decode budget)."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import cosyvoice as cvm
+    from expressive_speech_translation_tpu.models import qwen2 as q2
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxCosyVoiceTts
+
+    cfg = cvm.CosyVoiceConfig(
+        lm=cvm.SpeechLMConfig(
+            backbone=q2.Qwen2Config(hidden=32, layers=1, heads=4, kv_heads=2,
+                                    ffn_dim=64, max_positions=512),
+            text_vocab=128, speech_token_size=61),
+        flow=cvm.FlowConfig(token_vocab=64, dim=32, layers=1, heads=4, n_steps=2),
+        vocoder=cvm.VocoderConfig(base_channels=32),
+    )
+    tts = JaxCosyVoiceTts(cfg, dtype=jnp.float32, seconds_per_char=0.02)
+    captured = {}
+    orig = tts._fn
+
+    def spy(*a):
+        audio, lengths = orig(*a)
+        captured["len"] = int(np.asarray(lengths)[0])
+        return audio, lengths
+
+    tts._fn = spy
+    audio = tts.synthesize("hello trimmed world")
+    assert len(audio) == max(captured["len"], 1) * tts._samples_per_token()
+
+
+def test_tts_style_prompt_rides_in_text_tokens():
+    """With a cloning reference, the prompt transcription precedes the tts
+    text in the LM's text tokens (inference_zero_shot contract); without a
+    reference the prompt is ignored; tts text keeps priority for the budget."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import cosyvoice as cvm
+    from expressive_speech_translation_tpu.models import qwen2 as q2
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxCosyVoiceTts
+
+    cfg = cvm.CosyVoiceConfig(
+        lm=cvm.SpeechLMConfig(
+            backbone=q2.Qwen2Config(hidden=32, layers=1, heads=4, kv_heads=2,
+                                    ffn_dim=64, max_positions=512),
+            text_vocab=128, speech_token_size=61),
+        flow=cvm.FlowConfig(token_vocab=64, dim=32, layers=1, heads=4, n_steps=2),
+        vocoder=cvm.VocoderConfig(base_channels=32),
+    )
+    tts = JaxCosyVoiceTts(cfg, dtype=jnp.float32)
+    ref = np.ones(16_000, np.float32)
+    enc = tts.tokenizer.encode
+    assert tts._text_ids("hi there", "", ref) == enc("hi there")
+    assert tts._text_ids("hi there", "the prompt", None) == enc("hi there")
+    with_prompt = tts._text_ids("hi there", "the prompt", ref)
+    assert with_prompt == enc("the prompt") + enc("hi there")
+    # text priority: a full-budget text leaves no room for the prompt
+    long = "x" * 300
+    assert tts._text_ids(long, "the prompt", ref) == enc(long)[:256]
+
+
+def test_asr_batch_language_detection_is_batched():
+    """Language-less batch requests must NOT pay one serial detect dispatch
+    per request — detection rides one batched program."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import whisper as wj
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxWhisperAsr
+
+    wcfg = wj.WhisperConfig(n_mels=80, d_model=64, encoder_layers=1,
+                            decoder_layers=1, heads=4, ffn_dim=128,
+                            vocab_size=51865)
+    asr = JaxWhisperAsr(wcfg, dtype=jnp.float32, max_new_tokens=4,
+                        context_buckets=(4,))
+
+    def boom(*a):
+        raise AssertionError("single-row detect used on the batch path")
+
+    asr._detect_fn = boom
+    g = np.random.default_rng(0)
+    reqs = [{"audio_16k": (0.2 * g.standard_normal(16000 * 2)).astype(np.float32),
+             "language": None} for _ in range(3)]
+    out = asr.transcribe_batch(reqs)
+    assert len(out) == 3 and all(isinstance(r["language"], str) and r["language"]
+                                 for r in out)
+
+
 def test_quantized_asr_nmt_engines_run():
     """quantize=True engines (int8 decoder weights) produce results of the
     same shape/type as float engines."""
