@@ -26,6 +26,7 @@ prompt_speech_16k)``) with three in-process jit-compiled submodels:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -92,19 +93,26 @@ def build_prompt_embeddings(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Assemble ``[sos] text [task] prompt_speech`` embeddings, right-padded.
 
-    Static shapes: output length = 2 + Tt + Ts; invalid slots carry zeros and a
-    False mask (attention masks them out via prefill's length_mask).
+    Static shapes: output length = 2 + Tt + Ts. Valid entries are COMPACTED
+    to a contiguous prefix per row (stable argsort on the mask): text shorter
+    than its bucket would otherwise leave masked holes mid-sequence, breaking
+    every downstream "last valid position = sum(mask)-1" gather, the decode
+    steps' ``positions < prompt_len`` keep-mask, and RoPE distances across
+    the hole — the official (unpadded, dynamic-length) concatenation has no
+    holes, and after compaction neither does this one.
     """
     b = text_tokens.shape[0]
     sos = params["speech_embed"][cfg.sos_index][None, None, :].repeat(b, 0)
     task = params["speech_embed"][cfg.task_index][None, None, :].repeat(b, 0)
     text_e = params["text_embed"][text_tokens] * text_mask[..., None]
     sp_e = params["speech_embed"][prompt_speech] * prompt_speech_mask[..., None]
-    # Keep layout compact: [sos, text..., task, speech...] — padded text slots
-    # are masked, so the task/speech block position is static per bucket.
     emb = jnp.concatenate([sos, text_e, task, sp_e], axis=1)
     ones = jnp.ones((b, 1), bool)
     mask = jnp.concatenate([ones, text_mask, ones, prompt_speech_mask], axis=1)
+    # stable sort: valid slots first, original order preserved within groups
+    order = jnp.argsort(~mask, axis=1, stable=True)
+    emb = jnp.take_along_axis(emb, order[..., None], axis=1)
+    mask = jnp.take_along_axis(mask, order, axis=1)
     return emb, mask
 
 
@@ -440,8 +448,16 @@ def flow_matching_loss(
     mel: jnp.ndarray, speech_tokens: jnp.ndarray, token_mask: jnp.ndarray,
     spk_embedding: jnp.ndarray,
 ) -> jnp.ndarray:
-    """OT-CFM training loss: E_t ||v(x_t, t) − (x_1 − (1−σ_min) x_0)||²."""
-    k1, k2 = jax.random.split(key)
+    """OT-CFM training loss: E_t ||v(x_t, t) − (x_1 − (1−σ_min) x_0)||².
+
+    Conditioning parity with the official flow training
+    (MaskedDiffWithXvec.forward): per row, with p=0.5, a random prefix
+    (≤30 % of the valid frames) of the target mel is exposed as ``mel_cond``
+    — so the prompt-mel pathway :func:`tokens_to_mel` uses at inference is
+    actually trained; and all conditioning drops with the matcha
+    ``training_cfg_rate`` (0.2) so the unconditional mode CFG extrapolates
+    against exists."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     b, t_frames, _ = mel.shape
     x0 = jax.random.normal(k1, mel.shape, mel.dtype)
     t = jax.random.uniform(k2, (b,), mel.dtype)
@@ -449,11 +465,31 @@ def flow_matching_loss(
     target = mel - (1 - cfg.sigma_min) * x0
 
     tok = params["token_embed"][speech_tokens] * token_mask[..., None]
-    up = jnp.repeat(tok, cfg.token_mel_ratio, axis=1)[:, :t_frames]
-    up_mask = jnp.repeat(token_mask, cfg.token_mel_ratio, axis=1)[:, :t_frames]
+    up = jnp.repeat(tok, cfg.token_mel_ratio, axis=1)
+    up_mask = jnp.repeat(token_mask, cfg.token_mel_ratio, axis=1)
+    # align to the mel frame count: STFT framing can yield a frame more or
+    # less than token_mel_ratio·T_tok — pad or slice instead of relying on
+    # slicing alone (which cannot lengthen and then broadcast-crashes)
+    if up.shape[1] < t_frames:
+        up = jnp.pad(up, ((0, 0), (0, t_frames - up.shape[1]), (0, 0)))
+        up_mask = jnp.pad(up_mask, ((0, 0), (0, t_frames - up_mask.shape[1])))
+    else:
+        up = up[:, :t_frames]
+        up_mask = up_mask[:, :t_frames]
+
+    # official "conds": random target-prefix visible as the mel conditioning
+    n_valid = jnp.sum(up_mask.astype(jnp.int32), axis=1)
+    use_prompt = jax.random.uniform(k3, (b,)) < 0.5
+    frac = jax.random.uniform(k4, (b,)) * 0.3
+    prefix = (frac * n_valid).astype(jnp.int32) * use_prompt.astype(jnp.int32)
+    pos = jnp.arange(t_frames)[None, :]
+    mel_cond = jnp.where((pos < prefix[:, None])[..., None], mel, 0.0)
+    # matcha training_cfg_rate=0.2: drop ALL conditioning on those rows
+    keep = (jax.random.uniform(k5, (b,)) >= 0.2).astype(mel.dtype)
     v = flow_estimator(
-        params, cfg, x_t, t, up, spk_embedding,
-        jnp.zeros_like(mel), up_mask,
+        params, cfg, x_t, t,
+        up * keep[:, None, None], spk_embedding * keep[:, None],
+        mel_cond * keep[:, None, None], up_mask,
     )
     sq = jnp.sum((v - target) ** 2, axis=-1) * up_mask
     return jnp.sum(sq) / (jnp.sum(up_mask) * cfg.n_mels + 1e-8)
@@ -602,8 +638,6 @@ def vocode_sp(params: Params, cfg: VocoderConfig, mel: jnp.ndarray,
     chip running fused kernels ~3×. No reference counterpart — the
     reference's HiFT runs single-GPU per request (Docker/cosyvoice_api.py).
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     n = mesh.shape[axis]
     t = mel.shape[1]
     pad = (-t) % n
@@ -614,13 +648,22 @@ def vocode_sp(params: Params, cfg: VocoderConfig, mel: jnp.ndarray,
         # axis size are bit-comparable to single-device vocode. Long-audio
         # callers should round their mel length to the axis size.
         mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)))
-    fn = jax.jit(
+    wave = _vocode_sp_jit(cfg, mesh, axis)(params, mel)
+    return wave[:, : t * cfg.hop] if pad else wave
+
+
+@functools.lru_cache(maxsize=16)
+def _vocode_sp_jit(cfg: VocoderConfig, mesh, axis: str):
+    """Cached jit per (cfg, mesh, axis): building a fresh jit-wrapped lambda
+    per call would recompile the 8-way GSPMD conv stack on every invocation
+    even at identical shapes."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.jit(
         lambda p, m: vocode(p, cfg, m, fused=False),
         in_shardings=(NamedSharding(mesh, P()),
                       NamedSharding(mesh, P(None, axis, None))),
     )
-    wave = fn(params, mel)
-    return wave[:, : t * cfg.hop] if pad else wave
 
 
 # ============================================================== full model
@@ -865,7 +908,12 @@ def synthesize_streaming(
     total_tok = n_chunks * c_tok
     # ONE eager RNG op for the whole stream (per-chunk splits are relay RPCs);
     # staged to host so per-chunk indexing is numpy, not a device gather.
-    all_keys = np.asarray(jax.random.split(key, 2 * n_chunks)).reshape(n_chunks, 2, 2)
+    # keep split keys as a key array (typed new-style keys from
+    # jax.random.key() have no buffer protocol, so np.asarray would raise);
+    # indexing a key array per chunk works for both key styles — old-style
+    # rows are [2] uint32, typed entries are scalar keys
+    _ks = jax.random.split(key, 2 * n_chunks)
+    all_keys = _ks.reshape(n_chunks, 2, *_ks.shape[1:])
 
     lm_state = _lm_stream_start_j(
         params["lm"], cfg.lm, text_tokens, text_mask,
@@ -1004,6 +1052,13 @@ def from_cosyvoice_llm_state_dict(state: Dict[str, Any], cfg: SpeechLMConfig) ->
     """
     from .common import linear_from_torch, t2j
 
+    if cfg.mtp > 1:
+        # synthesize() would dispatch to generate_speech_tokens_mtp, whose
+        # params["mtp_heads"] this checkpoint does not carry — fail with the
+        # config mismatch instead of a KeyError at trace time
+        raise ValueError(
+            "official llm.pt has no MTP heads; use SpeechLMConfig(mtp=1) "
+            f"(got mtp={cfg.mtp})")
     backbone_state = {
         k[len("llm.model."):]: v for k, v in state.items()
         if k.startswith("llm.model.")
