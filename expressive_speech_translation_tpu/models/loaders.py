@@ -82,6 +82,17 @@ def load_whisper(path: str | Path, cfg=None):
     p = Path(path)
     if cfg is None and (p / "config.json").exists():
         hf = json.loads((p / "config.json").read_text())
+        if hf["vocab_size"] == 51_864:
+            # English-only (.en) checkpoints use a different special-token
+            # layout (sot 50257, eot 50256, no language block) that the
+            # multilingual prompt builder does not speak — refuse loudly
+            # instead of decoding garbage through clamped token gathers
+            # (tiny test configs with small vocabs stay loadable: their
+            # special ids come from config.json below)
+            raise WeightsNotFoundError(
+                f"whisper checkpoint at {p} has the English-only (.en) "
+                "vocab layout (51864): unsupported — use a multilingual "
+                "checkpoint")
         cfg = wj.WhisperConfig(
             n_mels=hf.get("num_mel_bins", 80),
             d_model=hf["d_model"],
@@ -92,6 +103,10 @@ def load_whisper(path: str | Path, cfg=None):
             vocab_size=hf["vocab_size"],
             max_source_positions=hf.get("max_source_positions", 1500),
             max_target_positions=hf.get("max_target_positions", 448),
+            # special ids from the checkpoint when present (future-proof
+            # against layout changes; defaults are the multilingual layout)
+            bos_token=hf.get("decoder_start_token_id", 50258),
+            eos_token=hf.get("eos_token_id", 50257),
         )
     cfg = cfg or wj.WhisperConfig.medium()
     return wj.from_hf_state_dict(load_state_dict(p), cfg), cfg

@@ -35,10 +35,8 @@ from .common import (
     AttnConfig,
     Params,
     attention_kv,
-    dense,
     gelu,
     init_attention,
-    init_dense,
     init_layer_norm,
     init_mlp,
     layer_norm,
@@ -238,7 +236,7 @@ def decode_step_with_attn(
     [B, T_enc] — the alignment signal for word timestamps (openai-whisper
     computes these via DTW over cross-attention; cascaded_backend.py:146-191
     consumes the resulting word times for pause analysis)."""
-    from .common import _merge_heads, _split_heads, dense as _dense
+    from .common import _merge_heads, _split_heads, dense as _dense  # local: keeps the module namespace free of the raw op
 
     dec = params["decoder"]
     x = dec["embed"][token][:, None, :] + jax.lax.dynamic_slice_in_dim(dec["pos"], pos, 1, 0)[None]
@@ -310,6 +308,13 @@ def decode_with_alignment(
     the no-speech id) cannot zero the signal.
     """
     b, p_len = prompt.shape
+    if p_len + max_new_tokens > cfg.max_target_positions:
+        # past the ceiling the position-embedding dynamic_slice would clamp
+        # and silently reuse the last row (frozen position signal) — refuse,
+        # the way openai-whisper refuses overlong sequences
+        raise ValueError(
+            f"prompt ({p_len}) + max_new_tokens ({max_new_tokens}) exceeds "
+            f"max_target_positions ({cfg.max_target_positions})")
     enc_out = encode(params, cfg, mel)
     cross_kv = precompute_cross_kv(params, cfg, enc_out)
     t_enc = enc_out.shape[1]
@@ -324,7 +329,10 @@ def decode_with_alignment(
 
     def cond(state):
         pos, tokens, aligns, cache, done, slp, ngen, nsp, key = state
-        return (pos < total - 1) & ~jnp.all(done)
+        # runs through pos == total-1: that last iteration writes the FINAL
+        # generated token's alignment row (budget-exhausted chunks would
+        # otherwise leave it all-zero and its word timestamp DTW-artifactual)
+        return (pos < total) & ~jnp.all(done)
 
     def body(state):
         pos, tokens, aligns, cache, done, slp, ngen, nsp, key = state
@@ -332,44 +340,69 @@ def decode_with_alignment(
         logits, cache, alignment = decode_step_with_attn(params, cfg, tok, pos, cache, cross_kv)
         aligns = jax.lax.dynamic_update_slice(aligns, alignment[:, None, :], (0, pos, 0))
         logits32 = logits.astype(jnp.float32)
-        # no-speech signal: pre-suppression softmax at the SOT step
+        # no-speech signal: pre-suppression softmax at the SOT step ONLY
+        # (lax.cond skips the full-vocab softmax on every other step)
         nsp_tok = min(cfg.no_speech_token, cfg.vocab_size - 1)
-        step_nsp = jax.nn.softmax(logits32, axis=-1)[:, nsp_tok]
-        nsp = jnp.where(pos == jnp.asarray(sot_index, jnp.int32), step_nsp, nsp)
+        nsp = jax.lax.cond(
+            pos == jnp.asarray(sot_index, jnp.int32),
+            lambda l: jax.nn.softmax(l, axis=-1)[:, nsp_tok],
+            lambda l: nsp,
+            logits32)
         neg = jnp.float32(-1e9)
         if min_new_tokens:
+            # clamp like every other special-id use here: an out-of-range
+            # scatter index is silently DROPPED by JAX, which would turn
+            # min_new_tokens into a no-op on tiny-vocab configs
+            eos_idx = min(cfg.eos_token, cfg.vocab_size - 1)
             logits32 = jnp.where(
                 pos + 1 < p_len + min_new_tokens,
-                logits32.at[:, cfg.eos_token].set(neg),
+                logits32.at[:, eos_idx].set(neg),
                 logits32,
             )
         if suppress_tokens:
+            # drop out-of-range ids (a standard whisper suppress list against
+            # a smaller vocab) — the old modulo wrap remapped them onto
+            # unrelated legitimate tokens
             mask = np.zeros((cfg.vocab_size,), bool)
-            mask[np.asarray(suppress_tokens) % cfg.vocab_size] = True
+            keep_ids = [i for i in suppress_tokens if 0 <= i < cfg.vocab_size]
+            if keep_ids:
+                mask[np.asarray(keep_ids)] = True
             logits32 = jnp.where(jnp.asarray(mask), neg, logits32)
         if suppress_first_tokens:
             fmask = np.zeros((cfg.vocab_size,), bool)
-            fmask[np.asarray(suppress_first_tokens) % cfg.vocab_size] = True
+            keep_ids = [i for i in suppress_first_tokens if 0 <= i < cfg.vocab_size]
+            if keep_ids:
+                fmask[np.asarray(keep_ids)] = True
             first = pos + 1 == p_len
             logits32 = jnp.where(first & jnp.asarray(fmask), neg, logits32)
         key, sub = jax.random.split(key)
-        gumbel = -jnp.log(-jnp.log(
-            jax.random.uniform(sub, logits32.shape, minval=1e-9, maxval=1.0)))
-        sampled = jnp.argmax(logits32 / jnp.maximum(temp, 1e-6) + gumbel, axis=-1)
-        greedy = jnp.argmax(logits32, axis=-1)
-        nxt = jnp.where(temp > 0.0, sampled, greedy).astype(jnp.int32)
+
+        def _sample(args):
+            l, k = args
+            gumbel = -jnp.log(-jnp.log(
+                jax.random.uniform(k, l.shape, minval=1e-9, maxval=1.0)))
+            return jnp.argmax(l / jnp.maximum(temp, 1e-6) + gumbel,
+                              axis=-1).astype(jnp.int32)
+
+        # greedy steps skip the [B, vocab] Gumbel generation entirely
+        nxt = jax.lax.cond(
+            temp > 0.0, _sample,
+            lambda a: jnp.argmax(a[0], axis=-1).astype(jnp.int32),
+            (logits32, sub))
 
         logprobs = jax.nn.log_softmax(logits32, axis=-1)
         step_lp = jnp.take_along_axis(logprobs, nxt[:, None], axis=-1)[:, 0]
 
         in_prompt = pos + 1 < p_len
+        past_end = pos + 1 >= total   # final iteration: alignment-only
         cur = jax.lax.dynamic_slice(tokens, (0, jnp.minimum(pos + 1, total - 1)), (b, 1))[:, 0]
-        nxt = jnp.where(in_prompt, cur, jnp.where(done, cfg.eos_token, nxt))
-        counts = (~in_prompt) & ~done
+        nxt = jnp.where(in_prompt | past_end, cur, jnp.where(done, cfg.eos_token, nxt))
+        counts = (~in_prompt) & ~done & ~past_end
         slp = slp + jnp.where(counts, step_lp, 0.0)
         ngen = ngen + counts.astype(jnp.int32)
-        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
-        done = done | (~in_prompt & (nxt == cfg.eos_token))
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, nxt[:, None], (0, jnp.minimum(pos + 1, total - 1)))
+        done = done | (~in_prompt & (nxt == cfg.eos_token)) | past_end
         return pos + 1, tokens, aligns, cache, done, slp, ngen, nsp, key
 
     state = (jnp.asarray(0, jnp.int32), tokens0, align0, kv_cache,
@@ -533,9 +566,11 @@ def greedy_decode(
         tok = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))[:, 0]
         logits, cache = decode_step(params, cfg, tok, pos, cache, cross_kv)
         if min_new_tokens:
+            # clamp: out-of-range scatter indices are silently dropped
+            eos_idx = min(cfg.eos_token, cfg.vocab_size - 1)
             logits = jnp.where(
                 pos + 1 < p_len + min_new_tokens,
-                logits.at[:, cfg.eos_token].set(jnp.finfo(logits.dtype).min),
+                logits.at[:, eos_idx].set(jnp.finfo(logits.dtype).min),
                 logits,
             )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -227,3 +227,60 @@ def test_dtw_vectorized_matches_bruteforce():
 
     np.testing.assert_allclose(
         dtw_token_times(align, 12, 4.0), brute(align, 12, 4.0))
+
+
+def test_budget_exhausted_final_alignment_row_written(hf_pair, mel):
+    """When max_new_tokens is exhausted without EOT, the FINAL generated
+    token's cross-attention row must still be captured (regression: the loop
+    exited before consuming the last position, leaving an all-zero row and a
+    DTW-artifact timestamp for the last word)."""
+    _, cfg, params = hf_pair
+    prompt = jnp.asarray([[998]], jnp.int32)
+    n_new = 5
+    tokens, aligns, slp, ngen, nsp = wj.decode_with_alignment(
+        params, cfg, jnp.asarray(mel[:1]), prompt,
+        max_new_tokens=n_new, min_new_tokens=n_new,  # EOS suppressed: budget exhausts
+    )
+    total = prompt.shape[1] + n_new
+    assert float(jnp.abs(aligns[0, total - 1]).sum()) > 0.0
+    assert int(ngen[0]) == n_new  # the alignment-only extra step adds no count
+
+
+def test_suppress_ids_out_of_range_are_dropped(hf_pair, mel):
+    """A standard whisper suppress list (ids up to 50362) against a smaller
+    vocab must DROP out-of-range ids, not wrap them onto legitimate tokens
+    (regression: modulo remap permanently banned unrelated content ids)."""
+    _, cfg, params = hf_pair
+    prompt = jnp.asarray([[998]], jnp.int32)
+    base, *_ = wj.decode_with_alignment(
+        params, cfg, jnp.asarray(mel[:1]), prompt, max_new_tokens=6)
+    # 50362 % 1024 == 186 — wrapping would suppress token 186
+    supp, *_ = wj.decode_with_alignment(
+        params, cfg, jnp.asarray(mel[:1]), prompt, max_new_tokens=6,
+        suppress_tokens=(50_362,))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(supp))
+
+
+def test_decode_budget_over_position_ceiling_raises(hf_pair, mel):
+    _, cfg, params = hf_pair
+    prompt = jnp.asarray([[998]], jnp.int32)
+    with pytest.raises(ValueError, match="max_target_positions"):
+        wj.decode_with_alignment(
+            params, cfg, jnp.asarray(mel[:1]), prompt,
+            max_new_tokens=cfg.max_target_positions)
+
+
+def test_load_whisper_rejects_english_only_layout(tmp_path):
+    """English-only (.en) checkpoints carry a different special-token layout;
+    the loader must refuse instead of decoding garbage via clamped ids."""
+    import json as _json
+
+    from expressive_speech_translation_tpu.models import loaders
+
+    (tmp_path / "config.json").write_text(_json.dumps({
+        "num_mel_bins": 80, "d_model": 64, "encoder_layers": 1,
+        "decoder_layers": 1, "encoder_attention_heads": 4,
+        "encoder_ffn_dim": 128, "vocab_size": 51_864,
+    }))
+    with pytest.raises(loaders.WeightsNotFoundError, match="English-only"):
+        loaders.load_whisper(tmp_path)
