@@ -15,21 +15,20 @@ tests/test_nllb.py, including beam search (the SeamlessM4T legacy path uses
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Tuple
 
 import jax
+import jax.nn
 import jax.numpy as jnp
 import numpy as np
 
-import functools
-
+from .beam import BeamConfig, beam_search, greedy_search
 from .common import (
     AttnConfig,
     Params,
     attention_kv,
-    dense,
     init_attention,
-    init_dense,
     init_layer_norm,
     init_mlp,
     layer_norm,
@@ -40,11 +39,9 @@ from .common import (
     mlp,
     t2j,
 )
-import jax.nn
 
 # M2M100/NLLB uses ReLU activations (M2M100Config.activation_function default)
 _mlp = functools.partial(mlp, activation=jax.nn.relu)
-from .beam import BeamConfig, beam_search, greedy_search
 
 
 @dataclasses.dataclass(frozen=True)
@@ -203,7 +200,11 @@ def decode_full(
     t = tokens.shape[1]
     pos_ids = position_ids_from_tokens(tokens, cfg.pad_token)
     x = params["embed"][tokens] * scale + params["pos"][pos_ids]
-    causal = jnp.asarray(np.tril(np.ones((t, t), bool))[None, None])
+    # Causal mask combined with the decoder pad *key* mask (HF builds
+    # causal+pad jointly; without it non-pad queries attend to pad keys
+    # whenever padding is not strictly trailing, e.g. left-padded batches).
+    dec_pad = (tokens != cfg.pad_token)[:, None, None, :]
+    causal = jnp.asarray(np.tril(np.ones((t, t), bool))[None, None]) & dec_pad
     enc_pad = (enc_tokens != cfg.pad_token)[:, None, None, :]
     for block in params["decoder"]["layers"]:
         h = layer_norm(block["self_attn_ln"], x)
@@ -233,6 +234,24 @@ def generate(
     """Translate: returns [B, 1 + max_new_tokens] token ids
     (``</s> <lang> ...`` — HF layout: the forced-BOS language token counts
     as the first generated token, so max_len = 1 + max_new_tokens)."""
+    if max_new_tokens < 0:
+        raise ValueError(f"max_new_tokens must be >= 0, got {max_new_tokens}")
+    if max_new_tokens == 0:
+        # HF parity: nothing to generate — return just the decoder start token.
+        return jnp.full((src_tokens.shape[0], 1), cfg.decoder_start_token, jnp.int32)
+    # HF parity: the forced BOS counts as a *generated* token, so the horizon
+    # is decoder_prompt_len (1) + max_new_tokens — not prompt_len + max_new.
+    max_len = 1 + max_new_tokens
+    # The sinusoid table has max_positions+2 rows; decode_step reads row
+    # pos+1+pad_token for pos up to max_len-1.  JAX clamps out-of-range
+    # gathers, which would silently repeat the last row where HF raises.
+    max_pos_id = (max_len - 1) + 1 + cfg.pad_token
+    if max_pos_id >= params["pos"].shape[0]:
+        raise ValueError(
+            f"max_new_tokens={max_new_tokens} needs position id {max_pos_id} "
+            f"but the position table has {params['pos'].shape[0]} rows "
+            f"(max_positions={cfg.max_positions})"
+        )
     enc_out = encode(params, cfg, src_tokens)
     enc_pad_mask = (src_tokens != cfg.pad_token)[:, None, None, :]
     cross_kv = precompute_cross_kv(params, cfg, enc_out)
@@ -244,24 +263,21 @@ def generate(
         axis=1,
     )
 
-    p_len = 2  # decoder_start + forced bos
-
     def step_fn(token, pos, cache, beam_state):
         cross, pad_mask = beam_state
         logits, cache = decode_step(params, cfg, token, pos, cache, cross, pad_mask)
         if min_new_tokens:
-            # HF MinLengthLogitsProcessor parity: no EOS before min_new_tokens
+            # HF MinNewTokensLengthLogitsProcessor parity: the processor skips
+            # only the 1-token decoder prompt (the forced BOS counts as
+            # generated), so EOS is banned while the token being produced
+            # (sequence index pos+1) is <= min_new_tokens.
             logits = jnp.where(
-                pos + 1 < p_len + min_new_tokens,
+                pos + 1 < 1 + min_new_tokens,
                 logits.at[:, cfg.eos_token].set(jnp.finfo(logits.dtype).min),
                 logits,
             )
         return logits, cache
 
-    # HF parity: the forced BOS counts as a *generated* token, so the horizon
-    # is decoder_prompt_len (1) + max_new_tokens — not prompt_len + max_new.
-    max_len = 1 + max_new_tokens
-    cache = init_kv_cache(cfg, src_tokens.shape[0] * max(num_beams, 1), max_len, enc_out.dtype)
     bc = BeamConfig(
         eos_token=cfg.eos_token,
         pad_token=cfg.pad_token,
@@ -272,6 +288,7 @@ def generate(
     if num_beams <= 1:
         cache = init_kv_cache(cfg, src_tokens.shape[0], max_len, enc_out.dtype)
         return greedy_search(step_fn, prompt, cache, (cross_kv, enc_pad_mask), bc)
+    cache = init_kv_cache(cfg, src_tokens.shape[0] * num_beams, max_len, enc_out.dtype)
     return beam_search(step_fn, prompt, cache, (cross_kv, enc_pad_mask), bc)
 
 

@@ -135,3 +135,62 @@ def test_generate_jits(hf_pair, src):
     out = fn(params, jnp.asarray(src))
     assert out.shape[0] == 2
     assert out.dtype == jnp.int32
+
+
+def test_min_new_tokens_matches_hf(hf_pair, src):
+    """HF skips only the 1-token decoder prompt: the forced BOS counts as
+    generated, so EOS must be allowed from sequence index min_new_tokens+1."""
+    model, cfg, params = hf_pair
+    mask = (src != 1).astype(np.int64)
+    forced_bos = 250
+    for m in (2, 4):
+        with torch.no_grad():
+            ref = model.generate(
+                input_ids=torch.from_numpy(src),
+                attention_mask=torch.from_numpy(mask),
+                forced_bos_token_id=forced_bos,
+                max_new_tokens=12, min_new_tokens=m,
+                num_beams=1, do_sample=False,
+            ).numpy()
+        got = np.asarray(
+            nj.generate(
+                params, cfg, jnp.asarray(src), forced_bos,
+                max_new_tokens=12, min_new_tokens=m,
+            )
+        )
+        t = min(ref.shape[1], got.shape[1])
+        np.testing.assert_array_equal(got[:, :t], ref[:, :t])
+
+
+def test_max_new_tokens_zero_returns_prompt(hf_pair, src):
+    _, cfg, params = hf_pair
+    out = np.asarray(nj.generate(params, cfg, jnp.asarray(src), 250, max_new_tokens=0))
+    np.testing.assert_array_equal(out, np.full((2, 1), cfg.decoder_start_token))
+    with pytest.raises(ValueError):
+        nj.generate(params, cfg, jnp.asarray(src), 250, max_new_tokens=-1)
+
+
+def test_generate_rejects_horizon_past_position_table(hf_pair, src):
+    _, cfg, params = hf_pair
+    with pytest.raises(ValueError, match="position"):
+        nj.generate(params, cfg, jnp.asarray(src), 250,
+                    max_new_tokens=cfg.max_positions + 10)
+
+
+def test_decode_full_masks_nontrailing_pad(hf_pair, src):
+    """Left-padded decoder inputs: pad keys must not leak into real positions."""
+    model, cfg, params = hf_pair
+    g = np.random.default_rng(3)
+    dec = np.concatenate(
+        [np.full((2, 1), 2), np.full((2, 1), 250), g.integers(3, 290, size=(2, 5))],
+        axis=1,
+    )
+    dec_left = np.concatenate([np.full((2, 2), 1), dec], axis=1)  # 2 pad cols first
+    enc = nj.encode(params, cfg, jnp.asarray(src))
+    base = np.asarray(nj.decode_full(params, cfg, jnp.asarray(dec), enc, jnp.asarray(src)))
+    padded = np.asarray(
+        nj.decode_full(params, cfg, jnp.asarray(dec_left), enc, jnp.asarray(src))
+    )
+    # Real positions shift right by 2 but keep identical logits (position ids
+    # are pad-aware and pad keys are masked out of self-attention).
+    np.testing.assert_allclose(padded[:, 2:], base, atol=2e-4, rtol=1e-3)
