@@ -124,6 +124,12 @@ class EngineConfig:
     mode: str = ""                       # "" (auto) | "jax" | "fake"
     scale: str = "reference"             # toy | reference (jax mode)
     quantize: bool = False               # weight-only int8 decode paths
+    # Multi-token-prediction decode width for the TTS speech-LM. 0 = follow
+    # the checkpoint (an SFT-exported LM with trained MTP heads serves K
+    # tokens per backbone pass automatically); K>1 forces the width for
+    # random-weight/bench runs. Checkpoints without heads always fall back
+    # to single-token decode. EST_ENGINES__TTS_MTP.
+    tts_mtp: int = 0
     # (30,) = exact whisper semantics (every chunk encodes the padded 30 s
     # window). Restricted-context buckets like (10, 20, 30) are a latency
     # trick with a documented accuracy cost (positional-embedding
@@ -174,6 +180,11 @@ class TrainConfig:
     # structured train/CV metrics JSONL (the reference writes TensorBoard
     # events from its executor; empty = log-lines only)
     metrics_path: str = ""
+    # Multi-token-prediction width: train K-1 extra output heads alongside
+    # the next-token head (train/sft.py adds their losses) so the exported
+    # LM serves K speech tokens per backbone pass (EST_TRAIN__MTP / yaml
+    # train.mtp). 1 = reference-exact single-token objective.
+    mtp: int = 1
 
 
 @dataclass(frozen=True)

@@ -90,7 +90,13 @@ def synthesize_official(
     the flow, official ``feat[:, :, mel_len1:]`` semantics).
     """
     k_lm, k_flow, k_hift = jax.random.split(key, 3)
-    tokens, lengths = cv.generate_speech_tokens(
+    # A fine-tuned LM exported with MTP heads (train/run.py --export-dir,
+    # cfg.lm.mtp > 1) decodes K tokens per backbone pass even when serving
+    # through the official flow+HiFT chain — the reference's own deployment
+    # pattern of swapping just llm.pt (Docker/Dockerfile.cosyvoice:49-52).
+    gen = (cv.generate_speech_tokens_mtp if cfg.lm.mtp > 1
+           else cv.generate_speech_tokens)
+    tokens, lengths = gen(
         params["lm"], cfg.lm, k_lm, text_tokens, text_mask,
         prompt_speech_tokens, prompt_speech_mask,
         max_new_tokens=max_new_tokens, min_new_tokens=min_new_tokens,

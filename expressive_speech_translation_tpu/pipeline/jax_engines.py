@@ -13,6 +13,7 @@ graphs. Each engine:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import logging
 import os
@@ -702,6 +703,7 @@ class JaxCosyVoiceTts:
         mesh=None,
         quantize: bool = False,
         official=None,
+        mtp: int = 0,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — the speech-LM params are
         placed by the tensor-parallel partition rules (models/cosyvoice.py
@@ -711,12 +713,33 @@ class JaxCosyVoiceTts:
         ``official``: optional ``(params, OfficialTtsConfig)`` — converted
         llm.pt/flow.pt/hift.pt triple; synthesis then runs the official
         CosyVoice2 chain (models/cosyvoice_official.synthesize_official)
-        instead of the TPU-native flow/vocoder."""
+        instead of the TPU-native flow/vocoder.
+        ``mtp``: multi-token-prediction decode width. 0 = whatever the
+        config/checkpoint carries (an SFT-exported LM with trained MTP heads
+        decodes K tokens per backbone pass automatically). K>1 forces the
+        width — only honored when the params will actually contain the heads
+        (random init, or a checkpoint trained with cfg.mtp == K); a
+        checkpoint without heads downgrades to single-token with a warning
+        instead of failing the whole server."""
         from ..models import ecapa, qwen2 as q2
 
         self.official = official
         if official is not None:
             oparams, ocfg = official
+            # MTP width is a property of the trained heads: honor the
+            # checkpoint, never a mismatched override.
+            if ocfg.lm.mtp > 1 and "mtp_heads" not in oparams.get("lm", {}):
+                log.warning(
+                    "tts checkpoint config says mtp=%d but carries no "
+                    "mtp_heads — falling back to single-token decode",
+                    ocfg.lm.mtp)
+                ocfg = dataclasses.replace(
+                    ocfg, lm=dataclasses.replace(ocfg.lm, mtp=1))
+            elif mtp > 1 and mtp != ocfg.lm.mtp:
+                log.warning(
+                    "tts_mtp=%d ignored for a converted checkpoint: MTP "
+                    "width is fixed by its trained heads (checkpoint "
+                    "mtp=%d)", mtp, ocfg.lm.mtp)
             self.official_cfg = ocfg
             # config VIEW for the shared conditioning/bucketing code paths
             # (spk_embed_dim / n_mels / text_vocab / samples-per-token)
@@ -739,6 +762,21 @@ class JaxCosyVoiceTts:
                 flow=cvm.FlowConfig(token_vocab=515, dim=256, layers=4, heads=8),
                 vocoder=cvm.VocoderConfig(base_channels=256),
             )
+            if mtp > 1 and self.cfg.lm.mtp != mtp:
+                if params is not None and "mtp_heads" not in params.get("lm", {}):
+                    log.warning(
+                        "tts_mtp=%d requested but the supplied params carry "
+                        "no mtp_heads — keeping single-token decode", mtp)
+                else:
+                    self.cfg = dataclasses.replace(
+                        self.cfg, lm=dataclasses.replace(self.cfg.lm, mtp=mtp))
+            if (self.cfg.lm.mtp > 1 and params is not None
+                    and "mtp_heads" not in params.get("lm", {})):
+                log.warning(
+                    "cfg.lm.mtp=%d but params carry no mtp_heads — falling "
+                    "back to single-token decode", self.cfg.lm.mtp)
+                self.cfg = dataclasses.replace(
+                    self.cfg, lm=dataclasses.replace(self.cfg.lm, mtp=1))
             self.weightless = params is None
             if params is None:
                 log.warning("JaxCosyVoiceTts: random weights (no checkpoint supplied)")
@@ -1123,7 +1161,8 @@ def jax_engines(*, batch_tts: bool = False, batch_asr: bool = False,
     tts: Any = JaxCosyVoiceTts(
         kwargs.get("tts_cfg"), kwargs.get("tts_params"),
         kwargs.get("tts_tokenizer", shared_tok), quantize=quantize,
-        mesh=kwargs.get("mesh"), official=kwargs.get("tts_official"))
+        mesh=kwargs.get("mesh"), official=kwargs.get("tts_official"),
+        mtp=kwargs.get("tts_mtp", 0))
     if batch_tts:
         from ..serve.batching import BatchedTts
 

@@ -436,6 +436,7 @@ def create_app(
                 scale=config.engines.scale,
                 quantize=config.engines.quantize,
                 asr_context_buckets=tuple(config.engines.asr_context_buckets),
+                tts_mtp=config.engines.tts_mtp,
                 batch_tts=config.serve.tts_batching,
                 max_batch=config.serve.tts_max_batch,
                 batch_wait_ms=config.serve.tts_batch_wait_ms,
@@ -450,6 +451,7 @@ def create_app(
                 scale=config.engines.scale,
                 quantize=config.engines.quantize,
                 asr_context_buckets=tuple(config.engines.asr_context_buckets),
+                tts_mtp=config.engines.tts_mtp,
             )
             engines = remote_engines(
                 HttpTransport(config.endpoints.cosyvoice_url),

@@ -207,6 +207,12 @@ def main(argv: Optional[list] = None) -> int:
         )
     else:
         lm_cfg = cv.SpeechLMConfig()
+    if train_cfg.mtp > 1:
+        # MTP heads train alongside the LM and ride the exported checkpoint,
+        # so the served model decodes train.mtp tokens per backbone pass
+        import dataclasses
+
+        lm_cfg = dataclasses.replace(lm_cfg, mtp=train_cfg.mtp)
 
     import jax
 

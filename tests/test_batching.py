@@ -664,6 +664,51 @@ def test_cascade_batched_empty_translation_gate():
     assert "audio" in out
 
 
+def test_batched_tts_with_mtp_engine():
+    """MTP decode under the serving micro-batcher (the combination
+    EST_ENGINES__TTS_MTP=2 + EST_SERVE__TTS_BATCHING=1 runs): a 3-way burst
+    coalesces into the batched K-token-per-pass program and every request
+    gets trimmed, finite audio."""
+    import threading
+
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import cosyvoice as cvm
+    from expressive_speech_translation_tpu.models import qwen2 as q2
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxCosyVoiceTts
+    from expressive_speech_translation_tpu.serve.batching import BatchedTts
+
+    cfg = cvm.CosyVoiceConfig(
+        lm=cvm.SpeechLMConfig(
+            backbone=q2.Qwen2Config(hidden=32, layers=1, heads=4, kv_heads=2,
+                                    ffn_dim=64, max_positions=512),
+            text_vocab=128, speech_token_size=61),
+        flow=cvm.FlowConfig(token_vocab=64, dim=32, layers=1, heads=4, n_steps=2),
+        vocoder=cvm.VocoderConfig(base_channels=32),
+    )
+    tts = BatchedTts(JaxCosyVoiceTts(cfg, dtype=jnp.float32,
+                                     seconds_per_char=0.02, mtp=2),
+                     max_batch=4, max_wait_ms=200.0)
+    assert tts.engine.cfg.lm.mtp == 2
+
+    results, errors = [None] * 3, []
+
+    def worker(i):
+        try:
+            results[i] = tts.synthesize(f"mtp burst request {i}")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, f"batched MTP synth failed: {errors[:1]}"
+    assert all(r is not None and np.isfinite(r).all() and len(r) > 0
+               for r in results)
+
+
 def test_batched_wrappers_forward_weightless_and_weights_info():
     from expressive_speech_translation_tpu.pipeline.engines import Engines
     from expressive_speech_translation_tpu.serve.batching import (

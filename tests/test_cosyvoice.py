@@ -423,3 +423,44 @@ def test_tts_engine_quantized():
     tts = JaxCosyVoiceTts(cfg, dtype=jnp.float32, seconds_per_char=0.02, quantize=True)
     wave = tts.synthesize("int8 hello")
     assert np.isfinite(wave).all() and len(wave) > 0
+
+
+def test_tts_engine_mtp_forced():
+    """tts_mtp=K on random weights (EngineConfig.tts_mtp / EST_BENCH_MTP):
+    the engine initializes MTP heads and synthesize dispatches to the
+    K-token-per-pass decode."""
+    from expressive_speech_translation_tpu.models import qwen2 as q2m
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxCosyVoiceTts
+
+    cfg = cv.CosyVoiceConfig(
+        lm=cv.SpeechLMConfig(
+            backbone=q2m.Qwen2Config(hidden=32, layers=1, heads=4, kv_heads=2,
+                                     ffn_dim=64, max_positions=512),
+            text_vocab=128, speech_token_size=61),
+        flow=cv.FlowConfig(token_vocab=64, dim=32, layers=1, heads=4, n_steps=2),
+        vocoder=cv.VocoderConfig(base_channels=32, upsample_rates=(8, 6, 10),
+                                 upsample_kernels=(16, 12, 20)),
+    )
+    tts = JaxCosyVoiceTts(cfg, dtype=jnp.float32, seconds_per_char=0.02, mtp=2)
+    assert tts.cfg.lm.mtp == 2
+    assert len(tts.params["lm"]["mtp_heads"]) == 1
+    wave = tts.synthesize("two tokens per pass")
+    assert np.isfinite(wave).all() and len(wave) > 0
+
+    # supplied params WITHOUT heads: the force downgrades instead of crashing
+    plain = host_init_params(cfg)
+    tts1 = JaxCosyVoiceTts(cfg, plain, dtype=jnp.float32,
+                           seconds_per_char=0.02, mtp=2)
+    assert tts1.cfg.lm.mtp == 1
+    wave1 = tts1.synthesize("single token decode")
+    assert np.isfinite(wave1).all() and len(wave1) > 0
+
+    # an MTP checkpoint served through the STREAMING route still works (the
+    # chunked LM path decodes single-token off params["head"]; the extra
+    # heads ride along unused)
+    chunks = list(tts.synthesize_streaming("stream with mtp heads"))
+    assert len(chunks) >= 1 and all(np.isfinite(c).all() for c in chunks)
+
+
+def host_init_params(cfg):
+    return cv.init_cosyvoice(jax.random.PRNGKey(9), cfg)

@@ -242,6 +242,61 @@ def test_jax_engines_factory_picks_up_baked_triple(baked_root, monkeypatch):
     assert eng.tts.official_cfg.flow.vocab_size == TINY.flow.vocab_size
 
 
+def test_sft_exported_mtp_llm_serves_through_official_chain(baked_root, tmp_path):
+    """The reference's deployment pattern — swap ONLY the fine-tuned LM on
+    top of the pretrained flow/vocoder (Docker/Dockerfile.cosyvoice:49-52) —
+    with an MTP-trained LM: train/run.py --export-dir writes the LM via
+    save_converted (config carries mtp and params carry mtp_heads); the
+    serving loader + engine then decode K tokens per backbone pass with NO
+    extra configuration."""
+    out, _, _ = baked_root
+    lm_cfg = dataclasses.replace(TINY.lm, mtp=2)
+    lm_params = cv.init_speech_lm(jax.random.PRNGKey(5), lm_cfg)
+    assert len(lm_params["mtp_heads"]) == 1
+
+    root = tmp_path / "models"
+    loaders.save_converted(lm_params, lm_cfg, root / "tts_llm")
+    # pretrained flow/hift stay as baked
+    import shutil
+
+    for sub in ("tts_flow", "tts_hift"):
+        shutil.copytree(out / sub, root / sub)
+
+    params, cfg = loaders.load_official_tts(root)
+    assert cfg.lm.mtp == 2
+    assert "mtp_heads" in params["lm"]
+
+    from expressive_speech_translation_tpu.pipeline.jax_engines import (
+        JaxCosyVoiceTts,
+    )
+
+    tts = JaxCosyVoiceTts(dtype=jnp.float32, seconds_per_char=0.02,
+                          official=(params, cfg))
+    assert tts.official_cfg.lm.mtp == 2     # not downgraded
+    wave = tts.synthesize("mtp served speech")
+    assert np.isfinite(wave).all() and len(wave) > 0
+
+
+def test_official_mtp_config_without_heads_downgrades(baked_root):
+    """A config claiming mtp>1 whose params lack the heads must not crash
+    the server: the engine falls back to single-token decode."""
+    out, _, _ = baked_root
+    params, cfg = loaders.load_official_tts(out)
+    bad_cfg = dataclasses.replace(
+        cfg, lm=dataclasses.replace(cfg.lm, mtp=3))
+    assert "mtp_heads" not in params["lm"]
+
+    from expressive_speech_translation_tpu.pipeline.jax_engines import (
+        JaxCosyVoiceTts,
+    )
+
+    tts = JaxCosyVoiceTts(dtype=jnp.float32, seconds_per_char=0.02,
+                          official=(params, bad_cfg))
+    assert tts.official_cfg.lm.mtp == 1
+    wave = tts.synthesize("downgraded decode")
+    assert np.isfinite(wave).all() and len(wave) > 0
+
+
 def test_load_cosyvoice_flow_infers_config(tmp_path):
     """cfg=None path: structural dims are inferred from the state-dict key
     layout (regression: the mid-block and transformer-block counts parsed
