@@ -1000,6 +1000,11 @@ def speech_lm_partition_rules(tp_axis: str = "tp"):
         (r"head/kernel(_q)?$", P(None, tp_axis)),
         (r"head/scale$", P(None, tp_axis)),
         (r"head/bias$", P(tp_axis)),
+        # MTP heads are extra [H, V] output heads — vocab-parallel like the
+        # main head (paths look like mtp_heads/0/kernel)
+        (r"mtp_heads/\d+/kernel(_q)?$", P(None, tp_axis)),
+        (r"mtp_heads/\d+/scale$", P(None, tp_axis)),
+        (r"mtp_heads/\d+/bias$", P(tp_axis)),
     ))
 
 

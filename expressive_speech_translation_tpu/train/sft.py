@@ -200,19 +200,23 @@ def build_step_fn(
     """The raw (unjitted) train step — for callers that jit with their own
     shardings (e.g. __graft_entry__.dryrun_multichip)."""
 
+    has_mtp = cfg.mtp > 1   # static: decides the scan carry structure
+
     def step_fn(state: TrainState, batch: SFTBatch):
         def micro(carry, mb):
-            grads_acc, loss_acc, acc_acc = carry
+            grads_acc, loss_acc, acc_acc, mtp_acc = carry
             (loss, metrics), grads = jax.value_and_grad(
                 lambda p: lm_loss(p, cfg, mb, compute_dtype=compute_dtype),
                 has_aux=True,
             )(state.params)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-            return (grads_acc, loss_acc + loss, acc_acc + metrics["acc"]), None
+            mtp_acc = mtp_acc + (metrics["mtp_loss"] if has_mtp else 0.0)
+            return (grads_acc, loss_acc + loss, acc_acc + metrics["acc"],
+                    mtp_acc), None
 
         zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-        (grads, loss_sum, acc_sum), _ = jax.lax.scan(
-            micro, (zero_grads, 0.0, 0.0), batch
+        (grads, loss_sum, acc_sum, mtp_sum), _ = jax.lax.scan(
+            micro, (zero_grads, 0.0, 0.0, 0.0), batch
         )
         grads = jax.tree_util.tree_map(lambda g: g / accum_grad, grads)
         gnorm = optax.global_norm(grads)
@@ -224,6 +228,8 @@ def build_step_fn(
             "acc": acc_sum / accum_grad,
             "grad_norm": gnorm,
         }
+        if has_mtp:
+            metrics["mtp_loss"] = mtp_sum / accum_grad
         return new_state, metrics
 
     return step_fn

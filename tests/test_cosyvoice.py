@@ -461,6 +461,14 @@ def test_tts_engine_mtp_forced():
     chunks = list(tts.synthesize_streaming("stream with mtp heads"))
     assert len(chunks) >= 1 and all(np.isfinite(c).all() for c in chunks)
 
+    # composition: MTP × weight-only int8 (quantize_speech_lm covers the
+    # extra heads; dense() dispatches on kernel_q inside sample_k)
+    tts_q = JaxCosyVoiceTts(cfg, dtype=jnp.float32, seconds_per_char=0.02,
+                            mtp=2, quantize=True)
+    assert tts_q.params["lm"]["mtp_heads"][0]["kernel_q"].dtype == jnp.int8
+    wave_q = tts_q.synthesize("int8 mtp decode")
+    assert np.isfinite(wave_q).all() and len(wave_q) > 0
+
 
 def host_init_params(cfg):
     return cv.init_cosyvoice(jax.random.PRNGKey(9), cfg)

@@ -104,6 +104,33 @@ def test_tts_engine_inference_under_tp_mesh():
     assert np.isfinite(wave).all() and len(wave) > 0
 
 
+def test_tts_engine_mtp_under_tp_mesh():
+    """Composition: MTP decode × TP-sharded serving. The MTP heads shard
+    vocab-parallel like the main head and the K-token-per-pass program runs
+    across the mesh."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxCosyVoiceTts
+
+    cfg = cv.CosyVoiceConfig(
+        lm=cv.SpeechLMConfig(
+            backbone=q2.Qwen2Config(hidden=32, layers=1, heads=4, kv_heads=2,
+                                    ffn_dim=64, max_positions=512),
+            text_vocab=128, speech_token_size=61),
+        flow=cv.FlowConfig(token_vocab=64, dim=32, layers=1, heads=4, n_steps=2),
+        vocoder=cv.VocoderConfig(base_channels=32, upsample_rates=(8, 6, 10),
+                                 upsample_kernels=(16, 12, 20)),
+    )
+    mesh = make_mesh(MeshSpec(dp=-1, tp=2))
+    tts = JaxCosyVoiceTts(cfg, dtype=jnp.float32, seconds_per_char=0.02,
+                          mesh=mesh, mtp=2)
+    assert tts.cfg.lm.mtp == 2
+    hk = tts.params["lm"]["mtp_heads"][0]["kernel"]
+    assert hk.sharding.spec == P(None, TP_AXIS)
+    wave = tts.synthesize("tensor parallel mtp")
+    assert np.isfinite(wave).all() and len(wave) > 0
+
+
 def test_tp_rules_cover_quantized_params():
     """int8 layouts (kernel_q + per-channel scale) shard like their float
     counterparts, and the quantized LM runs under a TP mesh."""

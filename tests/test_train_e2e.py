@@ -174,3 +174,72 @@ def test_executor_metric_sink_receives_structured_rows(kaldi_dir, tmp_path):
     assert "train" in phases and "cv" in phases
     tr = next(r for r in rows if r["phase"] == "train")
     assert {"epoch", "step", "loss", "acc", "grad_norm", "it_per_s"} <= set(tr)
+
+
+def test_mtp_train_export_serve_roundtrip(kaldi_dir, tmp_path):
+    """The full MTP production story (train.mtp=2): the SFT loss trains the
+    extra head on real-audio batches, --export-dir's save_converted ships
+    heads + width in the checkpoint, and the serving loader + engine decode
+    2 tokens per backbone pass over pretrained flow/HiFT — the reference's
+    swap-only-llm.pt deployment (Docker/Dockerfile.cosyvoice:49-52)."""
+    import dataclasses
+
+    from expressive_speech_translation_tpu.models import (
+        cosyvoice_official as co,
+        flow_matcha as fm,
+        hift as hm,
+        loaders,
+    )
+    from expressive_speech_translation_tpu.pipeline.jax_engines import (
+        JaxCosyVoiceTts,
+    )
+
+    lm_cfg = dataclasses.replace(TINY_LM, mtp=2)
+    samples = load_kaldi_dir(kaldi_dir)
+    tc = TrainConfig(learning_rate=3e-3, accum_grad=1, max_epochs=1,
+                     log_interval=1, save_per_step=10_000,
+                     max_frames_in_batch=40, shuffle_buffer=8, sort_buffer=4,
+                     mtp=2)
+    ex = Executor(lm_cfg, tc, checkpoint_dir=False)
+    state = ex.init_or_resume()
+    assert "mtp_heads" in state.params
+
+    head0 = np.asarray(state.params["mtp_heads"][0]["kernel"]).copy()
+    for batch in batches_from_samples(iter(samples), tc, accum=1, seed=0):
+        state, metrics = ex.train_step(state, batch)
+    assert "mtp_loss" in metrics and np.isfinite(float(metrics["mtp_loss"]))
+    moved = np.abs(np.asarray(state.params["mtp_heads"][0]["kernel"]) - head0)
+    assert moved.max() > 0, "MTP head did not receive gradients"
+
+    # export exactly like train/run.py --export-dir
+    root = tmp_path / "export"
+    loaders.save_converted(jax.device_get(state.params), lm_cfg,
+                           root / "tts_llm")
+
+    # pretrained (here: random) flow + HiFT complete the serving triple
+    flow_cfg = fm.OfficialFlowConfig(
+        vocab_size=lm_cfg.speech_token_size, input_size=32, output_size=80,
+        spk_embed_dim=192,
+        encoder=fm.UpsampleConformerConfig(size=32, heads=4, linear_units=64,
+                                           blocks=1, up_blocks=1),
+        estimator=fm.CausalDecoderConfig(in_channels=320, out_channels=80,
+                                         channels=32, heads=2, head_dim=16,
+                                         n_blocks=1, num_mid_blocks=1),
+        n_timesteps=2)
+    hift_cfg = hm.HiFTConfig(in_channels=80, base_channels=32, nb_harmonics=2,
+                             f0_cond_channels=16)
+    loaders.save_converted(
+        fm.init_official_flow(jax.random.PRNGKey(1), flow_cfg), flow_cfg,
+        root / "tts_flow")
+    loaders.save_converted(
+        hm.init_hift(jax.random.PRNGKey(2), hift_cfg), hift_cfg,
+        root / "tts_hift")
+
+    params, cfg = loaders.load_official_tts(root)
+    assert cfg.lm.mtp == 2 and "mtp_heads" in params["lm"]
+
+    tts = JaxCosyVoiceTts(dtype=jnp.float32, seconds_per_char=0.02,
+                          official=(params, cfg))
+    assert tts.official_cfg.lm.mtp == 2
+    wave = tts.synthesize("kalimera mtp")
+    assert np.isfinite(wave).all() and len(wave) > 0
