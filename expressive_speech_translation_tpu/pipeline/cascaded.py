@@ -224,47 +224,79 @@ class CascadedBackend(TranslationBackend):
         source_lang: str,
         target_lang: str,
     ):
-        """Streaming S2ST: ASR + NMT run once, then translated speech is
-        yielded incrementally as the TTS engine synthesises it (16 kHz
-        chunks). First yield is a header dict with the transcripts; time to
-        first audio is one TTS chunk instead of the whole utterance. Temporal
+        """Streaming S2ST with a PIPELINED cascade: when the ASR engine
+        exposes ``transcribe_streaming`` (per-30s-window decode), each window
+        flows window-ASR → NMT → streaming TTS as soon as it exists, so time
+        to first audio is O(one ASR window + one TTS chunk) instead of
+        O(whole utterance) — WhisperFlow-style serving of the retrieved
+        technique papers (PAPERS.md). Transcripts events carry ACCUMULATED
+        text (each one supersedes the last; the final one is complete), then
+        16 kHz audio chunks follow per window. Engines without streaming ASR
+        fall back to utterance-level ASR+NMT then streaming TTS; a TTS engine
+        without ``synthesize_streaming`` yields one offline chunk. Temporal
         mapping and loudness normalisation are offline-only post passes and
-        are skipped on this path. Requires a TTS engine with
-        ``synthesize_streaming`` (falls back to one offline chunk otherwise).
+        are skipped on this path.
         """
         if not self.is_language_supported(target_lang):
             raise ValidationError(f"Unsupported target language: {target_lang}")
         x = np.asarray(audio, np.float32).reshape(-1)
-        asr = self.engines.asr.transcribe(x, language=source_lang)
-        source_text = asr.get("text", "")
-        target_text = self.engines.nmt.translate(
-            source_text, NLLB_LANGUAGES.get(source_lang, source_lang),
-            NLLB_LANGUAGES.get(target_lang, target_lang),
-        )
-        yield {"type": "transcripts", "source": source_text, "target": target_text}
-        reference = self.reference_audio_for_cloning(x)
-        kw = dict(style_prompt=source_text, reference_audio_16k=reference,
-                  language=COSYVOICE_LANGUAGES.get(target_lang, "en"))
+        src_nllb = NLLB_LANGUAGES.get(source_lang, source_lang)
+        tgt_nllb = NLLB_LANGUAGES.get(target_lang, target_lang)
         tts = self.engines.tts
         tts_sr = getattr(tts, "sample_rate", 24_000)
-        # gate on the UNWRAPPED engine: micro-batch facades define a
-        # synthesize_streaming method that raises AttributeError when the
-        # inner engine lacks one, so hasattr on the wrapper is always True
-        # and the offline one-chunk fallback would be unreachable
-        inner = getattr(tts, "engine", tts)
-        chunks = (tts.synthesize_streaming(target_text, **kw)
-                  if hasattr(inner, "synthesize_streaming")
-                  else iter([tts.synthesize(target_text, **kw)]))
+        # gate on the UNWRAPPED engines: micro-batch facades define streaming
+        # methods that raise AttributeError when the inner engine lacks one,
+        # so hasattr on the wrapper is always True and the fallbacks would be
+        # unreachable
+        tts_inner = getattr(tts, "engine", tts)
+        asr_inner = getattr(self.engines.asr, "engine", self.engines.asr)
+        tts_streams = hasattr(tts_inner, "synthesize_streaming")
         from ..ops.host_dsp import resample_np
 
-        for chunk in chunks:
-            c = np.asarray(chunk, np.float32)
-            if tts_sr != 16_000:
-                # host-side polyphase: chunk lengths vary per request, the
-                # jitted device op would recompile for every unique length
-                # (the offline path made the same switch, see translate_speech)
-                c = resample_np(c, tts_sr, 16_000)
-            yield {"type": "audio", "chunk": c, "sample_rate": 16_000}
+        def tts_events(text: str, style: str, reference):
+            kw = dict(style_prompt=style, reference_audio_16k=reference,
+                      language=COSYVOICE_LANGUAGES.get(target_lang, "en"))
+            chunks = (tts.synthesize_streaming(text, **kw) if tts_streams
+                      else iter([tts.synthesize(text, **kw)]))
+            for chunk in chunks:
+                c = np.asarray(chunk, np.float32)
+                if tts_sr != 16_000:
+                    # host-side polyphase: chunk lengths vary per request, the
+                    # jitted device op would recompile for every unique length
+                    # (the offline path made the same switch, translate_speech)
+                    c = resample_np(c, tts_sr, 16_000)
+                yield {"type": "audio", "chunk": c, "sample_rate": 16_000}
+
+        if hasattr(asr_inner, "transcribe_streaming"):
+            reference = self.reference_audio_for_cloning(x)
+            src_parts: list = []
+            tgt_parts: list = []
+            for seg in self.engines.asr.transcribe_streaming(
+                    x, language=source_lang):
+                seg_text = seg.get("text", "").strip()
+                if not seg_text:
+                    continue
+                seg_target = self.engines.nmt.translate(
+                    seg_text, src_nllb, tgt_nllb)
+                src_parts.append(seg_text)
+                tgt_parts.append(seg_target)
+                yield {
+                    "type": "transcripts",
+                    "source": " ".join(src_parts),
+                    "target": " ".join(tgt_parts),
+                    "window": [seg.get("start", 0.0), seg.get("end", 0.0)],
+                }
+                yield from tts_events(seg_target, seg_text, reference)
+            if not src_parts:   # silence in, structured empty out
+                yield {"type": "transcripts", "source": "", "target": ""}
+            return
+
+        asr = self.engines.asr.transcribe(x, language=source_lang)
+        source_text = asr.get("text", "")
+        target_text = self.engines.nmt.translate(source_text, src_nllb, tgt_nllb)
+        yield {"type": "transcripts", "source": source_text, "target": target_text}
+        reference = self.reference_audio_for_cloning(x)
+        yield from tts_events(target_text, source_text, reference)
 
     # ------------------------------------------------------------ temporal map
 

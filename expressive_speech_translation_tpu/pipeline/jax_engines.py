@@ -406,7 +406,15 @@ class JaxWhisperAsr:
                      "avg_logprob %.2f)", temp, compression_ratio, avg_logprob)
         return text, words, kept_ids, temp
 
-    def transcribe(self, audio_16k: np.ndarray, language: Optional[str] = None) -> Dict[str, Any]:
+    def transcribe_streaming(self, audio_16k: np.ndarray,
+                             language: Optional[str] = None):
+        """Per-window streaming ASR: yields one dict per context window AS IT
+        DECODES ({"text", "words", "start", "end", "language"}), preserving
+        whisper's sequential condition_on_previous_text semantics exactly —
+        ``transcribe`` is this generator plus aggregation, so the streaming
+        and offline paths cannot diverge. Lets a consumer pipeline downstream
+        work (NMT/TTS) against windows instead of the whole utterance
+        (time-to-first-result O(window), WhisperFlow-style serving)."""
         x = np.asarray(audio_16k, np.float32).reshape(-1)
         if language is None:
             language = self.detect_language(x)
@@ -415,8 +423,6 @@ class JaxWhisperAsr:
             # relay round-trip per request otherwise)
             prompt = jnp.asarray([self._prompt_row(language)], jnp.int32)
             self._prompt_cache[language] = prompt
-        texts: List[str] = []
-        words: List[Dict[str, Any]] = []
         chunk = 16_000 * self.context_buckets[-1]
         p_len = int(prompt.shape[1])
         base_row = self._prompt_row(language)
@@ -443,11 +449,24 @@ class JaxWhisperAsr:
                     start / 16_000.0, len(seg) / 16_000.0, bucket_s)
             # whisper resets the context after a high-temperature fallback
             prev_ids = [] if used_t > 0.5 else prev_ids + kept
-            if chunk_text:
-                texts.append(chunk_text)
-            words.extend(chunk_words)
-        text = " ".join(t for t in texts if t)
-        return {"text": text, "language": language or "eng", "words": words}
+            yield {
+                "text": chunk_text,
+                "words": chunk_words,
+                "start": start / 16_000.0,
+                "end": (start + len(seg)) / 16_000.0,
+                "language": language or "eng",
+            }
+
+    def transcribe(self, audio_16k: np.ndarray, language: Optional[str] = None) -> Dict[str, Any]:
+        texts: List[str] = []
+        words: List[Dict[str, Any]] = []
+        language_out = language or "eng"
+        for seg in self.transcribe_streaming(audio_16k, language=language):
+            if seg["text"]:
+                texts.append(seg["text"])
+            words.extend(seg["words"])
+            language_out = seg["language"]
+        return {"text": " ".join(texts), "language": language_out, "words": words}
 
     def transcribe_batch(self, requests: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
         """Batched ASR: every 30 s chunk of every request rides ONE dispatch.

@@ -248,14 +248,19 @@ class App:
                 # truncate the stream (reference video_routes.py catches and
                 # emits data:{error, phase})
                 phase = "Translating speech"
+                prog = 50
                 try:
                     for ev in backend.translate_speech_streaming(processed, source, target):
                         if ev["type"] == "transcripts":
+                            # pipelined cascades emit ACCUMULATED transcripts
+                            # per ASR window (each frame supersedes the last);
+                            # progress stays monotonic across them
                             yield generate_progress_event(
-                                50, phase,
+                                prog, phase,
                                 transcripts={"source": ev["source"], "target": ev["target"]},
                                 request_id=req_id)
                             phase = "Synthesizing speech"
+                            prog = 75
                         else:
                             pcm = np.clip(ev["chunk"], -1.0, 1.0)
                             yield generate_progress_event(

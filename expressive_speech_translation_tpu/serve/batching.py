@@ -198,6 +198,15 @@ class BatchedAsr:
     def transcribe(self, audio_16k: Any, language: Optional[str] = None):
         return self._mb({"audio_16k": audio_16k, "language": language})
 
+    def transcribe_streaming(self, *args, **kwargs):
+        # per-window streaming is latency-oriented: it bypasses the batcher
+        # and rides the wrapped engine directly (same pattern as BatchedTts.
+        # synthesize_streaming); raises AttributeError when the inner engine
+        # has no streaming path so callers' hasattr gates stay honest
+        if not hasattr(self.engine, "transcribe_streaming"):
+            raise AttributeError("wrapped engine has no transcribe_streaming")
+        return self.engine.transcribe_streaming(*args, **kwargs)
+
     @property
     def weightless(self):
         return getattr(self.engine, "weightless", None)

@@ -286,6 +286,65 @@ def test_translate_speech_streaming_events():
     assert abs(len(wav) - offline["audio"].shape[1]) / 16_000 < 0.6
 
 
+def test_pipelined_streaming_cascade_interleaves_windows():
+    """With a streaming-capable ASR, the cascade pipelines per window:
+    window-1 audio is yielded BEFORE window-2 even transcribes (TTFA is one
+    window, not the utterance), and transcripts events carry accumulated
+    text with the final one complete."""
+    import numpy as np
+
+    from expressive_speech_translation_tpu.pipeline.cascaded import CascadedBackend
+    from expressive_speech_translation_tpu.pipeline.engines import (
+        Engines, FakeNmt, FakeTts,
+    )
+
+    class StreamingFakeAsr:
+        """Two 2 s windows; records when each window decodes so the test can
+        prove downstream work interleaved."""
+
+        def __init__(self):
+            self.decoded: list = []
+
+        def transcribe(self, audio_16k, language=None):
+            segs = list(self.transcribe_streaming(audio_16k, language))
+            return {"text": " ".join(s["text"] for s in segs),
+                    "language": language or "eng",
+                    "words": [w for s in segs for w in s["words"]]}
+
+        def transcribe_streaming(self, audio_16k, language=None):
+            for i, text in enumerate(["hello one", "hello two"]):
+                self.decoded.append(i)
+                yield {"text": text, "words": [], "start": 2.0 * i,
+                       "end": 2.0 * (i + 1), "language": language or "eng"}
+
+    asr = StreamingFakeAsr()
+    backend = CascadedBackend(Engines(asr=asr, nmt=FakeNmt(), tts=FakeTts()))
+    backend.initialize()
+    asr.decoded.clear()   # initialize()'s warmup transcribe consumed one pass
+    audio = (0.2 * np.sin(np.arange(64_000) * 0.05)).astype(np.float32)
+
+    kinds, first_audio_before_w2 = [], None
+    transcripts = []
+    for ev in backend.translate_speech_streaming(audio, "eng", "fra"):
+        kinds.append(ev["type"])
+        if ev["type"] == "audio" and first_audio_before_w2 is None:
+            first_audio_before_w2 = len(asr.decoded) < 2
+        if ev["type"] == "transcripts":
+            transcripts.append(ev)
+    assert first_audio_before_w2 is True, "window-1 audio must precede window-2 ASR"
+    assert len(transcripts) == 2
+    assert transcripts[0]["source"] == "hello one"
+    assert transcripts[1]["source"] == "hello one hello two"
+    assert transcripts[0]["window"] == [0.0, 2.0]
+    assert "[fra_Latn]" in transcripts[1]["target"]
+    # target accumulates one translation per window
+    assert transcripts[1]["target"].count("[fra_Latn]") == 2
+    # audio chunks for window 1 appear between the two transcripts events
+    i1 = kinds.index("transcripts")
+    i2 = len(kinds) - 1 - kinds[::-1].index("transcripts")
+    assert "audio" in kinds[i1 + 1:i2]
+
+
 def test_vad_host_features_match_jax_ops():
     """TemporalMapper's numpy VAD features must mirror the JAX ops."""
     import jax.numpy as jnp

@@ -199,6 +199,33 @@ def test_detect_language_range_and_engine_autodetect():
     assert out["language"] == asr.detect_language(np.asarray(audio[0]))
 
 
+def test_transcribe_streaming_windows_and_aggregation():
+    """transcribe_streaming yields one dict per context window with correct
+    spans and sequential conditioning; transcribe is exactly its
+    aggregation (shared loop — the streaming and offline paths cannot
+    diverge)."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import whisper as wj
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxWhisperAsr
+
+    cfg = wj.WhisperConfig(d_model=64, encoder_layers=1, decoder_layers=1,
+                           heads=4, ffn_dim=128)
+    asr = JaxWhisperAsr(cfg, dtype=jnp.float32, max_new_tokens=4,
+                        context_buckets=(2,))
+    g = np.random.default_rng(1)
+    audio = (0.1 * g.standard_normal(16_000 * 5)).astype(np.float32)  # 5 s
+
+    segs = list(asr.transcribe_streaming(audio, language="eng"))
+    assert [(s["start"], s["end"]) for s in segs] == [
+        (0.0, 2.0), (2.0, 4.0), (4.0, 5.0)]
+    assert all(s["language"] == "eng" for s in segs)
+
+    out = asr.transcribe(audio, language="eng")
+    assert out["text"] == " ".join(s["text"] for s in segs if s["text"])
+    assert out["words"] == [w for s in segs for w in s["words"]]
+
+
 def test_dtw_vectorized_matches_bruteforce():
     """The O(m) vector row recurrence must equal the literal DP."""
     from expressive_speech_translation_tpu.models.whisper import dtw_token_times
