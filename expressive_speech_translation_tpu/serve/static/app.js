@@ -484,6 +484,7 @@ function startSimulatedProgress() {
 }
 
 async function runAudio() {
+  if ($("stream-toggle") && $("stream-toggle").checked) return runAudioStreaming();
   const form = new FormData();
   form.append("file", requireFile());
   form.append("source_language", $("src").value);
@@ -502,6 +503,107 @@ async function runAudio() {
   } finally {
     stopProgress();
   }
+}
+
+// Build a base64 WAV from float PCM for the standard result player.
+function wavB64FromPcm(f32, rate) {
+  const pcm = new Int16Array(f32.length);
+  for (let i = 0; i < f32.length; i++) {
+    pcm[i] = Math.max(-32768, Math.min(32767, Math.round(f32[i] * 32767)));
+  }
+  const header = new ArrayBuffer(44);
+  const v = new DataView(header);
+  const nBytes = pcm.length * 2;
+  const str = (off, s) => { for (let i = 0; i < s.length; i++) v.setUint8(off + i, s.charCodeAt(i)); };
+  str(0, "RIFF"); v.setUint32(4, 36 + nBytes, true); str(8, "WAVE");
+  str(12, "fmt "); v.setUint32(16, 16, true); v.setUint16(20, 1, true);
+  v.setUint16(22, 1, true); v.setUint32(24, rate, true);
+  v.setUint32(28, rate * 2, true); v.setUint16(32, 2, true); v.setUint16(34, 16, true);
+  str(36, "data"); v.setUint32(40, nBytes, true);
+  const bytes = new Uint8Array(44 + nBytes);
+  bytes.set(new Uint8Array(header), 0);
+  bytes.set(new Uint8Array(pcm.buffer), 44);
+  let bin = "";
+  for (let i = 0; i < bytes.length; i += 0x8000) {
+    bin += String.fromCharCode.apply(null, bytes.subarray(i, i + 0x8000));
+  }
+  return btoa(bin);
+}
+
+// Streaming studio flow: SSE /translate?stream=1 — transcripts frames carry
+// ACCUMULATED text per ASR window (each supersedes the last); PCM16 audio
+// chunks are scheduled on a live AudioContext as they arrive, then the full
+// take lands in the normal player/waveform.
+async function runAudioStreaming() {
+  const form = new FormData();
+  form.append("file", requireFile());
+  form.append("source_language", $("src").value);
+  form.append("target_language", $("tgt").value);
+  form.append("backend", $("backend").value);
+  form.append("stream", "1");
+  setProgress(5); setStatus("Streaming translation…");
+  const resp = await fetch("/translate", { method: "POST", body: form,
+                                           signal: state.abort.signal });
+  const ctype = resp.headers.get("content-type") || "";
+  if (!resp.ok || !ctype.includes("event-stream")) {
+    // server fell back to plain JSON (backend without a streaming path)
+    const body = await resp.json().catch(() => ({}));
+    if (!resp.ok) throw new Error(body.error || `HTTP ${resp.status}`);
+    setProgress(100); setStatus(progressMessage(100));
+    return showAudioResult(body.audio, body.transcripts);
+  }
+  const ctx = new (window.AudioContext || window.webkitAudioContext)();
+  let playhead = 0;                 // ctx time the next chunk starts at
+  const pcmParts = [];
+  let sampleRate = 16000;
+  let lastTranscripts = null;
+  $("result").hidden = false; $("compare").hidden = true; $("wave").hidden = true;
+  $("player-solo").innerHTML = `<div style="color:var(--dim)">● live playback…</div>`;
+  const reader = resp.body.getReader();
+  const decoder = new TextDecoder();
+  let buffer = "";
+  try {
+    for (;;) {
+      const { done, value } = await reader.read();
+      if (done) break;
+      buffer += decoder.decode(value, { stream: true });
+      let idx;
+      while ((idx = buffer.indexOf("\n\n")) >= 0) {
+        const frame = buffer.slice(0, idx); buffer = buffer.slice(idx + 2);
+        if (!frame.startsWith("data: ")) continue;
+        const msg = JSON.parse(frame.slice(6));
+        if (msg.error) throw new Error(`${msg.error} (${msg.error_id || "?"})`);
+        if (msg.progress) setProgress(msg.progress);
+        if (msg.phase) setStatus(msg.phase);
+        if (msg.transcripts) { lastTranscripts = msg.transcripts; showTranscripts(msg.transcripts); }
+        if (msg.audio_chunk) {
+          sampleRate = msg.sample_rate || 16000;
+          const bytes = Uint8Array.from(atob(msg.audio_chunk), (c) => c.charCodeAt(0));
+          const i16 = new Int16Array(bytes.buffer, 0, bytes.byteLength >> 1);
+          const f32 = Float32Array.from(i16, (s) => s / 32768);
+          pcmParts.push(f32);
+          const abuf = ctx.createBuffer(1, f32.length, sampleRate);
+          abuf.copyToChannel(f32, 0);
+          const node = ctx.createBufferSource();
+          node.buffer = abuf; node.connect(ctx.destination);
+          playhead = Math.max(playhead, ctx.currentTime + 0.05);
+          node.start(playhead);
+          playhead += abuf.duration;
+        }
+      }
+    }
+  } finally {
+    // let scheduled audio finish before the context closes
+    const tail = Math.max(0, (playhead - ctx.currentTime) * 1000) + 200;
+    setTimeout(() => ctx.close().catch(() => {}), tail);
+  }
+  const total = pcmParts.reduce((n, p) => n + p.length, 0);
+  if (!total) throw new Error("Received empty audio data");
+  const all = new Float32Array(total);
+  let off = 0;
+  for (const p of pcmParts) { all.set(p, off); off += p.length; }
+  setProgress(100); setStatus(progressMessage(100));
+  await showAudioResult(wavB64FromPcm(all, sampleRate), lastTranscripts);
 }
 
 async function runVideo() {

@@ -425,6 +425,10 @@ def test_spa_serves_all_reference_views(client):
     # client-side upload validation + link guidance (useTranslation.js:111-133,
     # audioUtils.js, LinkSection.js:22-28)
     assert "AUDIO_EXTENSIONS" in js and "File size exceeds 50MB limit" in js
+    # streaming studio flow (SSE stream=1 consumer: live transcripts + audio)
+    assert "stream-toggle" in html
+    assert "runAudioStreaming" in js and "wavB64FromPcm" in js
+    assert js.count("runAudioStreaming") >= 2  # defined AND dispatched
     assert "spotify.com" in js and "Received empty audio data" in js
     # staged progress messages on the non-SSE audio path (useTranslation.js:26-33)
     assert "Analyzing speech patterns..." in js and "Translation complete!" in js
