@@ -81,6 +81,9 @@ $("tabs").addEventListener("click", (ev) => {
   $("input-url").hidden = state.mode !== "url";
   $("input-rec").hidden = state.mode !== "record";
   $("input-file").hidden = state.mode === "url" || state.mode === "record";
+  // streaming applies only to the audio /translate paths (file or mic) —
+  // video and URL flows have their own response shapes
+  $("streamrow").hidden = state.mode !== "audio" && state.mode !== "record";
   $("file-label").textContent = {
     audio: "Audio file (.wav / .mp3 / .ogg / .flac)",
     video: "Video file (.mp4 / .mov, ≤150 MB)",
@@ -554,9 +557,11 @@ async function runAudioStreaming() {
   }
   const ctx = new (window.AudioContext || window.webkitAudioContext)();
   let playhead = 0;                 // ctx time the next chunk starts at
+  const liveNodes = [];             // scheduled sources, stoppable on cancel
   const pcmParts = [];
   let sampleRate = 16000;
   let lastTranscripts = null;
+  let completed = false;
   $("result").hidden = false; $("compare").hidden = true; $("wave").hidden = true;
   $("player-solo").innerHTML = `<div style="color:var(--dim)">● live playback…</div>`;
   const reader = resp.body.getReader();
@@ -589,16 +594,33 @@ async function runAudioStreaming() {
           playhead = Math.max(playhead, ctx.currentTime + 0.05);
           node.start(playhead);
           playhead += abuf.duration;
+          liveNodes.push(node);
         }
       }
     }
+    completed = true;
   } finally {
-    // let scheduled audio finish before the context closes
-    const tail = Math.max(0, (playhead - ctx.currentTime) * 1000) + 200;
-    setTimeout(() => ctx.close().catch(() => {}), tail);
+    if (completed) {
+      // success: let the scheduled tail finish before the context closes
+      const tail = Math.max(0, (playhead - ctx.currentTime) * 1000) + 200;
+      setTimeout(() => ctx.close().catch(() => {}), tail);
+    } else {
+      // cancel / mid-stream error: silence immediately — nothing buffered
+      // should keep playing after the UI says Cancelled/Error
+      for (const n of liveNodes) { try { n.stop(); } catch {} }
+      ctx.close().catch(() => {});
+    }
   }
   const total = pcmParts.reduce((n, p) => n + p.length, 0);
-  if (!total) throw new Error("Received empty audio data");
+  if (!total) {
+    // "silence in, structured empty out": the server's contract for
+    // no-speech input is a successful stream with transcripts and zero
+    // audio chunks — render that as a result, not an error
+    setProgress(100); setStatus("No speech detected in the input");
+    $("player-solo").innerHTML = "";
+    showTranscripts(lastTranscripts);
+    return;
+  }
   const all = new Float32Array(total);
   let off = 0;
   for (const p of pcmParts) { all.set(p, off); off += p.length; }
