@@ -271,10 +271,15 @@ class CascadedBackend(TranslationBackend):
             reference = self.reference_audio_for_cloning(x)
             src_parts: list = []
             tgt_parts: list = []
+            asr_weightless = getattr(asr_inner, "weightless", True)
             for seg in self.engines.asr.transcribe_streaming(
                     x, language=source_lang):
                 seg_text = seg.get("text", "").strip()
-                if not seg_text:
+                # real weights: a silent window stays silent. Weightless/
+                # structural runs keep the full pipeline exercised (random
+                # weights decode empty text constantly; the offline path
+                # likewise still translates+synthesizes in that mode)
+                if not seg_text and asr_weightless is False:
                     continue
                 seg_target = self.engines.nmt.translate(
                     seg_text, src_nllb, tgt_nllb)
@@ -282,8 +287,8 @@ class CascadedBackend(TranslationBackend):
                 tgt_parts.append(seg_target)
                 yield {
                     "type": "transcripts",
-                    "source": " ".join(src_parts),
-                    "target": " ".join(tgt_parts),
+                    "source": " ".join(p for p in src_parts if p),
+                    "target": " ".join(p for p in tgt_parts if p),
                     "window": [seg.get("start", 0.0), seg.get("end", 0.0)],
                 }
                 yield from tts_events(seg_target, seg_text, reference)

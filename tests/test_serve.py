@@ -267,6 +267,47 @@ def test_translate_streaming_sse():
     assert frames[-1].get("done") is True
 
 
+def test_translate_streaming_sse_concurrent():
+    """Two simultaneous stream=1 requests must not cross wires: each SSE
+    stream carries its own transcripts and audio, fully framed (threaded
+    serving is the production mode, app.py:523 parity)."""
+    import json as jsonlib
+    import threading
+
+    from expressive_speech_translation_tpu.serve.app import create_app
+
+    app = create_app()
+    results, errors = [None, None], []
+
+    def one(i):
+        try:
+            client = Client(app)
+            resp = client.post("/translate", data={
+                "target_language": "fra",
+                "stream": "true",
+                "audio": (io.BytesIO(wav_bytes()), f"in{i}.wav"),
+            })
+            assert resp.status_code == 200
+            frames = [jsonlib.loads(line[len("data: "):])
+                      for line in resp.get_data(as_text=True).splitlines()
+                      if line.startswith("data: ")]
+            results[i] = frames
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors[:1]
+    for frames in results:
+        assert frames is not None
+        assert any("transcripts" in f for f in frames)
+        assert any("audio_chunk" in f for f in frames)
+        assert frames[-1].get("done") is True
+
+
 def test_engine_config_wiring(monkeypatch):
     """create_app builds engines per config.engines; the server entrypoint
     default is jax, embedded default stays fake (hermetic tests)."""
