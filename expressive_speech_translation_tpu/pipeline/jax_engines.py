@@ -796,6 +796,19 @@ class JaxCosyVoiceTts:
                     "back to single-token decode", self.cfg.lm.mtp)
                 self.cfg = dataclasses.replace(
                     self.cfg, lm=dataclasses.replace(self.cfg.lm, mtp=1))
+            if self.cfg.lm.mtp > 1 and params is not None:
+                # MTP width is fixed by the trained heads: a forced/config
+                # width that disagrees with the checkpoint's head count would
+                # index past the heads list at decode time — downgrade to the
+                # checkpoint's own width instead of failing every request.
+                have = len(params["lm"]["mtp_heads"]) + 1
+                if have != self.cfg.lm.mtp:
+                    log.warning(
+                        "cfg.lm.mtp=%d but the checkpoint carries %d MTP "
+                        "head(s) — using mtp=%d", self.cfg.lm.mtp,
+                        have - 1, have)
+                    self.cfg = dataclasses.replace(
+                        self.cfg, lm=dataclasses.replace(self.cfg.lm, mtp=have))
             self.weightless = params is None
             if params is None:
                 log.warning("JaxCosyVoiceTts: random weights (no checkpoint supplied)")

@@ -470,5 +470,43 @@ def test_tts_engine_mtp_forced():
     assert np.isfinite(wave_q).all() and len(wave_q) > 0
 
 
+def test_tts_engine_mtp_width_mismatch_downgrades():
+    """A forced/config MTP width that disagrees with the checkpoint's head
+    count must downgrade to the checkpoint's own width (heads+1), not index
+    past the heads list at decode time."""
+    from expressive_speech_translation_tpu.models import qwen2 as q2m
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxCosyVoiceTts
+
+    cfg = cv.CosyVoiceConfig(
+        lm=cv.SpeechLMConfig(
+            backbone=q2m.Qwen2Config(hidden=32, layers=1, heads=4, kv_heads=2,
+                                     ffn_dim=64, max_positions=512),
+            text_vocab=128, speech_token_size=61, mtp=2),
+        flow=cv.FlowConfig(token_vocab=64, dim=32, layers=1, heads=4, n_steps=2),
+        vocoder=cv.VocoderConfig(base_channels=32, upsample_rates=(8, 6, 10),
+                                 upsample_kernels=(16, 12, 20)),
+    )
+    params = host_init_params(cfg)   # carries exactly 1 MTP head (width 2)
+    assert len(params["lm"]["mtp_heads"]) == 1
+
+    # force a wider decode than the checkpoint supports → downgrade to 2
+    tts = JaxCosyVoiceTts(cfg, params, dtype=jnp.float32,
+                          seconds_per_char=0.02, mtp=3)
+    assert tts.cfg.lm.mtp == 2
+    wave = tts.synthesize("downgraded to checkpoint width")
+    assert np.isfinite(wave).all() and len(wave) > 0
+
+    # config narrower than the checkpoint (mtp=1 cfg, 1-head params is NOT
+    # a mismatch the engine can detect without cfg.mtp>1 — but a cfg that
+    # says 3 while params carry 1 head must also land on 2)
+    cfg3 = dataclasses.replace(
+        cfg, lm=dataclasses.replace(cfg.lm, mtp=3))
+    tts3 = JaxCosyVoiceTts(cfg3, params, dtype=jnp.float32,
+                           seconds_per_char=0.02)
+    assert tts3.cfg.lm.mtp == 2
+    wave3 = tts3.synthesize("config width reconciled")
+    assert np.isfinite(wave3).all() and len(wave3) > 0
+
+
 def host_init_params(cfg):
     return cv.init_cosyvoice(jax.random.PRNGKey(9), cfg)
