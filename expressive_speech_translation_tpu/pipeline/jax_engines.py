@@ -705,6 +705,34 @@ class JaxNllbNmt:
         return results  # type: ignore[return-value]
 
 
+def _reconcile_mtp(cfg_mtp: int, forced: int, params) -> int:
+    """Decode width = the MTP width the params can actually serve.
+
+    One rule shared by the native and official-checkpoint TTS paths: the
+    requested width (a forced override wins over the config) is honored only
+    up to the number of heads trained into the params — a wider width would
+    index past the heads list at decode time, a params set with no heads can
+    only decode single-token. ``params=None`` (random init to come) honors
+    the request as-is since the heads will be initialized at that width.
+    """
+    wanted = forced if forced > 1 else cfg_mtp
+    if wanted <= 1:
+        return 1
+    if params is None:
+        return wanted
+    heads = params.get("lm", {}).get("mtp_heads")
+    have = (len(heads) + 1) if heads else 1
+    if have == 1:
+        log.warning(
+            "mtp=%d requested but the params carry no mtp_heads — "
+            "falling back to single-token decode", wanted)
+    elif have != wanted:
+        log.warning(
+            "mtp=%d requested but the checkpoint carries %d MTP head(s) — "
+            "using mtp=%d", wanted, have - 1, have)
+    return have
+
+
 class JaxCosyVoiceTts:
     """TTS engine: CosyVoice synthesize with speaker conditioning from the
     reference audio (kaldi-fbank prompt mel + ECAPA speaker embedding)."""
@@ -746,19 +774,11 @@ class JaxCosyVoiceTts:
         if official is not None:
             oparams, ocfg = official
             # MTP width is a property of the trained heads: honor the
-            # checkpoint, never a mismatched override.
-            if ocfg.lm.mtp > 1 and "mtp_heads" not in oparams.get("lm", {}):
-                log.warning(
-                    "tts checkpoint config says mtp=%d but carries no "
-                    "mtp_heads — falling back to single-token decode",
-                    ocfg.lm.mtp)
+            # checkpoint, never a mismatched config or override.
+            want = _reconcile_mtp(ocfg.lm.mtp, mtp, oparams)
+            if want != ocfg.lm.mtp:
                 ocfg = dataclasses.replace(
-                    ocfg, lm=dataclasses.replace(ocfg.lm, mtp=1))
-            elif mtp > 1 and mtp != ocfg.lm.mtp:
-                log.warning(
-                    "tts_mtp=%d ignored for a converted checkpoint: MTP "
-                    "width is fixed by its trained heads (checkpoint "
-                    "mtp=%d)", mtp, ocfg.lm.mtp)
+                    ocfg, lm=dataclasses.replace(ocfg.lm, mtp=want))
             self.official_cfg = ocfg
             # config VIEW for the shared conditioning/bucketing code paths
             # (spk_embed_dim / n_mels / text_vocab / samples-per-token)
@@ -781,34 +801,10 @@ class JaxCosyVoiceTts:
                 flow=cvm.FlowConfig(token_vocab=515, dim=256, layers=4, heads=8),
                 vocoder=cvm.VocoderConfig(base_channels=256),
             )
-            if mtp > 1 and self.cfg.lm.mtp != mtp:
-                if params is not None and "mtp_heads" not in params.get("lm", {}):
-                    log.warning(
-                        "tts_mtp=%d requested but the supplied params carry "
-                        "no mtp_heads — keeping single-token decode", mtp)
-                else:
-                    self.cfg = dataclasses.replace(
-                        self.cfg, lm=dataclasses.replace(self.cfg.lm, mtp=mtp))
-            if (self.cfg.lm.mtp > 1 and params is not None
-                    and "mtp_heads" not in params.get("lm", {})):
-                log.warning(
-                    "cfg.lm.mtp=%d but params carry no mtp_heads — falling "
-                    "back to single-token decode", self.cfg.lm.mtp)
+            want = _reconcile_mtp(self.cfg.lm.mtp, mtp, params)
+            if want != self.cfg.lm.mtp:
                 self.cfg = dataclasses.replace(
-                    self.cfg, lm=dataclasses.replace(self.cfg.lm, mtp=1))
-            if self.cfg.lm.mtp > 1 and params is not None:
-                # MTP width is fixed by the trained heads: a forced/config
-                # width that disagrees with the checkpoint's head count would
-                # index past the heads list at decode time — downgrade to the
-                # checkpoint's own width instead of failing every request.
-                have = len(params["lm"]["mtp_heads"]) + 1
-                if have != self.cfg.lm.mtp:
-                    log.warning(
-                        "cfg.lm.mtp=%d but the checkpoint carries %d MTP "
-                        "head(s) — using mtp=%d", self.cfg.lm.mtp,
-                        have - 1, have)
-                    self.cfg = dataclasses.replace(
-                        self.cfg, lm=dataclasses.replace(self.cfg.lm, mtp=have))
+                    self.cfg, lm=dataclasses.replace(self.cfg.lm, mtp=want))
             self.weightless = params is None
             if params is None:
                 log.warning("JaxCosyVoiceTts: random weights (no checkpoint supplied)")

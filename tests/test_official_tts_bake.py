@@ -297,6 +297,38 @@ def test_official_mtp_config_without_heads_downgrades(baked_root):
     assert np.isfinite(wave).all() and len(wave) > 0
 
 
+def test_official_mtp_width_mismatch_reconciles_to_heads(baked_root, tmp_path):
+    """A config whose mtp width disagrees with the head count the LM params
+    actually carry (e.g. a new llm.pt copied into a dir whose config came
+    from a different-width export) must serve at the params' own width, not
+    IndexError on every request."""
+    out, _, _ = baked_root
+    lm_cfg = dataclasses.replace(TINY.lm, mtp=2)
+    lm_params = cv.init_speech_lm(jax.random.PRNGKey(6), lm_cfg)
+    assert len(lm_params["mtp_heads"]) == 1   # width 2
+
+    root = tmp_path / "models"
+    loaders.save_converted(lm_params, lm_cfg, root / "tts_llm")
+    import shutil
+
+    for sub in ("tts_flow", "tts_hift"):
+        shutil.copytree(out / sub, root / sub)
+
+    params, cfg = loaders.load_official_tts(root)
+    wide_cfg = dataclasses.replace(
+        cfg, lm=dataclasses.replace(cfg.lm, mtp=4))   # claims 3 heads
+
+    from expressive_speech_translation_tpu.pipeline.jax_engines import (
+        JaxCosyVoiceTts,
+    )
+
+    tts = JaxCosyVoiceTts(dtype=jnp.float32, seconds_per_char=0.02,
+                          official=(params, wide_cfg))
+    assert tts.official_cfg.lm.mtp == 2
+    wave = tts.synthesize("width reconciled to the trained heads")
+    assert np.isfinite(wave).all() and len(wave) > 0
+
+
 def test_load_cosyvoice_flow_infers_config(tmp_path):
     """cfg=None path: structural dims are inferred from the state-dict key
     layout (regression: the mid-block and transformer-block counts parsed
