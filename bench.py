@@ -393,9 +393,12 @@ def _arm_watchdog(timeout_s: float, what: str):
                   file=sys.stderr, flush=True)
             _emit_recorded_fallback(
                 f"{what} hung >{timeout_s:.0f}s, relay presumed down")
-            # rc=0: the bench's contract (one parseable, honestly-labeled
-            # headline JSON line) was met; the outage is in the label.
-            os._exit(0 if _HEADLINE_EMITTED else 1)
+            # rc=0 unconditionally: a headline line has now been printed —
+            # either a fresh measurement earlier in the run or the labeled
+            # recorded-fallback line the call above just guaranteed — so the
+            # bench's contract (one parseable, honestly-labeled headline)
+            # is met; the outage lives in the label.
+            os._exit(0)
 
     threading.Thread(target=watchdog, daemon=True, name="watchdog").start()
     return done.set

@@ -906,14 +906,26 @@ def synthesize_streaming(
     c_tok = stream.chunk_tokens
     n_chunks = -(-max_new_tokens // c_tok)
     total_tok = n_chunks * c_tok
-    # ONE eager RNG op for the whole stream (per-chunk splits are relay RPCs);
-    # staged to host so per-chunk indexing is numpy, not a device gather.
-    # keep split keys as a key array (typed new-style keys from
-    # jax.random.key() have no buffer protocol, so np.asarray would raise);
-    # indexing a key array per chunk works for both key styles — old-style
-    # rows are [2] uint32, typed entries are scalar keys
+    # ONE eager RNG op for the whole stream (per-chunk splits are relay RPCs),
+    # then ONE device read stages the key material to host numpy — per-chunk
+    # indexing of a device array would be an eager gather RPC per chunk.
+    # Typed new-style keys (jax.random.key()) have no buffer protocol, so
+    # they stage via key_data and re-wrap per chunk; old-style [2]-uint32
+    # rows pass straight into the jitted chunk programs (the transfer rides
+    # the dispatch, like the mel/wave buffers already shuttled).
     _ks = jax.random.split(key, 2 * n_chunks)
-    all_keys = _ks.reshape(n_chunks, 2, *_ks.shape[1:])
+    if jnp.issubdtype(_ks.dtype, jax.dtypes.prng_key):
+        _impl = jax.random.key_impl(key)
+        _kd = np.asarray(jax.random.key_data(_ks))
+        _kd = _kd.reshape(n_chunks, 2, *_kd.shape[1:])
+
+        def _chunk_key(ci: int, j: int):
+            return jax.random.wrap_key_data(_kd[ci, j], impl=_impl)
+    else:
+        _kd = np.asarray(_ks).reshape(n_chunks, 2, *_ks.shape[1:])
+
+        def _chunk_key(ci: int, j: int):
+            return _kd[ci, j]
 
     lm_state = _lm_stream_start_j(
         params["lm"], cfg.lm, text_tokens, text_mask,
@@ -942,7 +954,7 @@ def synthesize_streaming(
     spk = jnp.asarray(spk_embedding)
     for ci in range(n_chunks):
         tokens, lm_state = _lm_stream_chunk_j(
-            params["lm"], cfg.lm, all_keys[ci, 0], lm_state,
+            params["lm"], cfg.lm, _chunk_key(ci, 0), lm_state,
             chunk_tokens=c_tok, min_new_tokens=min_new_tokens, p_len=p_len,
         )
         tok_np = np.asarray(tokens[0])                     # host sync (needed)
@@ -952,7 +964,7 @@ def synthesize_streaming(
             break
         # ONE fused dispatch: masking + flow matching + vocoder
         gen_dev, wav_dev = _flow_vocode_chunk_j(
-            params, cfg.flow, cfg.vocoder, all_keys[ci, 1], tokens,
+            params, cfg.flow, cfg.vocoder, _chunk_key(ci, 1), tokens,
             np.int32(n_valid), spk, ctx_mel, ctx_mask, voc_hist[None],
         )
         gen_valid = np.asarray(gen_dev[0, : r * n_valid], np.float32)

@@ -37,11 +37,15 @@ AUDIO_BUCKETS_S = (5, 10, 30)           # ASR chunk buckets (whisper max 30 s)
 TEXT_BUCKETS = (16, 32, 64, 128, 256)
 
 
-def _bucket(n: int, buckets) -> int:
-    for b in buckets:
-        if n <= b:
-            return b
-    return buckets[-1]
+def _bucket_capped(n: int, buckets) -> int:
+    """Smallest bucket ≥ n, CLAMPED to the top bucket — only for budgets with
+    an intentional ceiling (TTS decode length from the clipped duration
+    estimate; text ids pre-capped to TEXT_BUCKETS[-1] by _text_ids). Anything
+    that must never silently truncate uses core.buckets.bucket_size, which
+    keeps doubling above the top bucket instead."""
+    from ..core.buckets import bucket_size
+
+    return min(bucket_size(n, buckets), buckets[-1])
 
 
 def _dp_shard(mesh, *arrays):
@@ -943,13 +947,24 @@ class JaxCosyVoiceTts:
 
         self._cond_b_fn = _cond_b
 
+    @staticmethod
+    def _ref_usable(reference_audio_16k) -> bool:
+        """One gate for every cloning decision: a reference engages speaker/
+        prompt-speech conditioning only above 0.1 s (1600 samples @16 kHz).
+        The prompt TEXT must use the same gate — in inference_zero_shot
+        semantics the prompt text is 'already spoken' by the prompt speech
+        tokens, so prepending it without them makes the LM synthesize the
+        style prompt aloud ahead of the translation."""
+        return (reference_audio_16k is not None
+                and np.asarray(reference_audio_16k).reshape(-1).size > 1600)
+
     def _text_ids(self, text: str, style_prompt: str,
                   reference_audio_16k) -> List[int]:
         """Token layout for the speech LM: with a cloning reference, the
         prompt transcription precedes the tts text (inference_zero_shot
         semantics); prompt share capped so the tts text is never starved."""
         ids = self.tokenizer.encode(text)[:256]
-        if style_prompt and reference_audio_16k is not None:
+        if style_prompt and self._ref_usable(reference_audio_16k):
             room = 256 - len(ids)  # tts text has priority over the prompt
             ids = self.tokenizer.encode(style_prompt)[: min(room, 128)] + ids
         return ids
@@ -982,13 +997,13 @@ class JaxCosyVoiceTts:
         ``inference_zero_shot`` contract (prompt_text ⧺ tts_text), so the LM
         sees matching text for the prompt speech tokens it conditions on."""
         ids = self._text_ids(text, style_prompt, reference_audio_16k)
-        bucket = _bucket(max(len(ids), 1), TEXT_BUCKETS)
+        bucket = _bucket_capped(max(len(ids), 1), TEXT_BUCKETS)
         toks = np.zeros((1, bucket), np.int32)
         toks[0, : len(ids)] = self._fit_text_ids(ids)
         tmask = np.zeros((1, bucket), bool)
         tmask[0, : len(ids)] = True
 
-        if reference_audio_16k is not None and len(np.asarray(reference_audio_16k).reshape(-1)) > 1600:
+        if self._ref_usable(reference_audio_16k):
             # fixed 10 s window (tile-pad short refs) → static shapes, one
             # compiled conditioning program for every request
             ref = np.asarray(reference_audio_16k, np.float32).reshape(-1)[: 16_000 * 10]
@@ -1001,7 +1016,7 @@ class JaxCosyVoiceTts:
         pmm = jnp.ones(pmel.shape[:2], bool)
 
         seconds = float(np.clip(len(text) * self.seconds_per_char, 0.6, 30.0))
-        max_new = _bucket(int(seconds * 25), (64, 128, 256, 512, 768))
+        max_new = _bucket_capped(int(seconds * 25), (64, 128, 256, 512, 768))
         return (jnp.asarray(toks), jnp.asarray(tmask), jnp.asarray(spk, self.dtype),
                 pmel, pmm, jnp.asarray(psp), max_new)
 
@@ -1048,7 +1063,7 @@ class JaxCosyVoiceTts:
         enc = [self._text_ids(r["text"], r.get("style_prompt", ""),
                               r.get("reference_audio_16k"))
                for r in requests]
-        t_w = _bucket(max(max(len(e) for e in enc), 1), TEXT_BUCKETS)
+        t_w = _bucket_capped(max(max(len(e) for e in enc), 1), TEXT_BUCKETS)
         toks = np.zeros((nb, t_w), np.int32)
         tmask = np.zeros((nb, t_w), bool)
         for i, e in enumerate(enc):
@@ -1059,7 +1074,7 @@ class JaxCosyVoiceTts:
         has_ref = np.zeros((nb,), np.float32)
         for i, r in enumerate(requests):
             ra = r.get("reference_audio_16k")
-            if ra is not None and len(np.asarray(ra).reshape(-1)) > 1600:
+            if self._ref_usable(ra):
                 refs[i] = np.resize(
                     np.asarray(ra, np.float32).reshape(-1)[: 16_000 * 10], 16_000 * 10)
                 has_ref[i] = 1.0
@@ -1075,7 +1090,7 @@ class JaxCosyVoiceTts:
             float(np.clip(len(r["text"]) * self.seconds_per_char, 0.6, 30.0))
             for r in requests
         )
-        max_new = _bucket(int(seconds * 25), (64, 128, 256, 512, 768))
+        max_new = _bucket_capped(int(seconds * 25), (64, 128, 256, 512, 768))
         self._call_count += 1
         toks, tmask, pmm = _dp_shard(self.mesh, toks, tmask, pmm)
         audio, lengths = self._fn_b(

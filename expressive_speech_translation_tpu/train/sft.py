@@ -75,11 +75,16 @@ def lm_loss(
     )
     logits = hidden @ p["head"]["kernel"] + p["head"]["bias"]  # [B, L, V]
 
-    # Speech block starts at 2 + Tt (sos + text + task); predict token i from
-    # position (start - 1 + i); the slot after the last speech token predicts EOS.
-    tt = batch.text_tokens.shape[1]
-    start = 2 + tt
-    speech_logits = logits[:, start - 1: start + ts, :]      # [B, Ts+1, V]
+    # build_prompt_embeddings COMPACTS valid entries to a contiguous prefix,
+    # so each row reads [sos, text(n_t), task, speech…] with the speech block
+    # starting at 2 + n_t — a per-row offset when texts underfill the bucket,
+    # NOT the static 2 + Tt. Gather the prediction positions per row: speech
+    # token i is predicted from position 1 + n_t + i (the task slot for
+    # i = 0), and EOS from the last speech slot.
+    n_t = jnp.sum(batch.text_mask.astype(jnp.int32), axis=1)        # [B]
+    pred_pos = (1 + n_t)[:, None] + jnp.arange(ts + 1)[None, :]     # [B, Ts+1]
+    speech_logits = jnp.take_along_axis(
+        logits, pred_pos[..., None], axis=1)                        # [B, Ts+1, V]
     lengths = jnp.sum(batch.speech_mask.astype(jnp.int32), axis=1)
     eos_col = jnp.full((b, 1), cfg.eos_speech, jnp.int32)
     targets = jnp.concatenate([batch.speech_tokens, eos_col], axis=1)
@@ -99,7 +104,8 @@ def lm_loss(
     # t+2+j from the hidden state at t, trained jointly with the main head so
     # generate_speech_tokens_mtp can emit K tokens per backbone pass.
     if "mtp_heads" in p:
-        speech_hidden = hidden[:, start - 1: start + ts, :]   # [B, Ts+1, H]
+        speech_hidden = jnp.take_along_axis(
+            hidden, pred_pos[..., None], axis=1)              # [B, Ts+1, H]
         mtp_total = jnp.float32(0.0)
         for j, head in enumerate(p["mtp_heads"]):
             shift = j + 1

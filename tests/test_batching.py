@@ -307,6 +307,11 @@ def test_tts_style_prompt_rides_in_text_tokens():
     # text priority: a full-budget text leaves no room for the prompt
     long = "x" * 300
     assert tts._text_ids(long, "the prompt", ref) == enc(long)[:256]
+    # a reference too short to engage prompt-speech conditioning (≤0.1 s)
+    # must not prepend the prompt TEXT either: prompt text without covering
+    # prompt speech tokens makes the LM speak the style prompt aloud
+    short_ref = np.ones(1600, np.float32)
+    assert tts._text_ids("hi there", "the prompt", short_ref) == enc("hi there")
 
 
 def test_asr_batch_language_detection_is_batched():

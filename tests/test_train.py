@@ -184,6 +184,65 @@ def test_lm_loss_trains_mtp_heads():
         assert float(jnp.abs(head_grad["kernel"]).max()) > 0
 
 
+def test_lm_loss_invariant_to_text_padding_bucket():
+    """build_prompt_embeddings compacts valid entries to a contiguous prefix,
+    so a row whose text underfills its padding bucket has its speech block at
+    2 + n_valid_text, not 2 + Tt (regression: the loss sliced at the static
+    offset, training every underfilled row on shifted logits). The loss for a
+    row padded into a wide bucket must equal the same row at its exact
+    length."""
+    params = cv.init_speech_lm(jax.random.PRNGKey(1), TINY_LM)
+    g = np.random.default_rng(1)
+    n_t, ts = 3, 5
+    text = g.integers(1, 50, (1, n_t))
+    speech = jnp.asarray(g.integers(0, 20, (1, ts)), jnp.int32)
+    smask = jnp.ones((1, ts), bool)
+
+    def loss_at_bucket(tt):
+        padded = np.zeros((1, tt), np.int64)
+        padded[:, :n_t] = text
+        mask = np.zeros((1, tt), bool)
+        mask[:, :n_t] = True
+        batch = SFTBatch(jnp.asarray(padded, jnp.int32), jnp.asarray(mask),
+                         speech, smask)
+        return lm_loss(params, TINY_LM, batch, compute_dtype=jnp.float32)
+
+    exact, m_exact = loss_at_bucket(n_t)
+    padded, m_padded = loss_at_bucket(n_t + 5)
+    np.testing.assert_allclose(float(padded), float(exact), rtol=1e-5)
+    np.testing.assert_allclose(float(m_padded["acc"]), float(m_exact["acc"]))
+
+
+def test_lm_loss_mtp_invariant_to_text_padding_bucket():
+    """Same invariance for the MTP auxiliary heads (they gather the same
+    per-row speech block)."""
+    cfg = cv.SpeechLMConfig(
+        backbone=q2.Qwen2Config(hidden=32, layers=1, heads=4, kv_heads=2,
+                                ffn_dim=64, max_positions=64),
+        text_vocab=50, speech_token_size=20, mtp=2,
+    )
+    params = cv.init_speech_lm(jax.random.PRNGKey(2), cfg)
+    g = np.random.default_rng(2)
+    n_t, ts = 2, 6
+    text = g.integers(1, 50, (1, n_t))
+    speech = jnp.asarray(g.integers(0, 20, (1, ts)), jnp.int32)
+
+    def loss_at_bucket(tt):
+        padded = np.zeros((1, tt), np.int64)
+        padded[:, :n_t] = text
+        mask = np.zeros((1, tt), bool)
+        mask[:, :n_t] = True
+        batch = SFTBatch(jnp.asarray(padded, jnp.int32), jnp.asarray(mask),
+                         speech, jnp.ones((1, ts), bool))
+        _, m = lm_loss(params, cfg, batch, compute_dtype=jnp.float32)
+        return m
+
+    m_exact = loss_at_bucket(n_t)
+    m_padded = loss_at_bucket(n_t + 4)
+    np.testing.assert_allclose(float(m_padded["mtp_loss"]),
+                               float(m_exact["mtp_loss"]), rtol=1e-5)
+
+
 def test_bucket_length_never_truncates():
     """Above the top bucket, lengths double (regression: a 700-token sample
     admitted by filter_samples was silently clipped to 512 with an all-valid
