@@ -243,6 +243,71 @@ def test_lm_loss_mtp_invariant_to_text_padding_bucket():
                                float(m_exact["mtp_loss"]), rtol=1e-5)
 
 
+def test_lm_loss_matches_unpadded_torch_mirror():
+    """Golden parity for the SFT objective: lm_loss on a PADDED, bucketed,
+    variable-length batch must equal a torch mirror that computes the CE on
+    each row's exact unpadded [sos] text [task] speech sequence (HF
+    Qwen2Model backbone with shared weights, dynamic lengths, no compaction
+    anywhere) — the reference semantics the padding/compaction machinery
+    exists to reproduce (train_greek.sh --model llm objective)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config as HFConfig, Qwen2Model
+
+    hf_cfg = HFConfig(
+        vocab_size=100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
+        max_position_embeddings=128, rope_theta=1_000_000.0,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(3)
+    model = Qwen2Model(hf_cfg).eval()
+    params = cv.init_speech_lm(jax.random.PRNGKey(3), TINY_LM)
+    params["backbone"] = q2.from_hf_state_dict(model.state_dict(), TINY_LM.backbone)
+
+    text_e = torch.from_numpy(np.asarray(params["text_embed"], np.float32))
+    speech_e = torch.from_numpy(np.asarray(params["speech_embed"], np.float32))
+    head_k = torch.from_numpy(np.asarray(params["head"]["kernel"], np.float32))
+    head_b = torch.from_numpy(np.asarray(params["head"]["bias"], np.float32))
+
+    g = np.random.default_rng(3)
+    rows = [(3, 4), (5, 2), (1, 6)]            # (n_text, n_speech) per row
+    tt, ts = 6, 7                              # padding buckets
+    texts = [g.integers(1, 50, n) for n, _ in rows]
+    speeches = [g.integers(0, 20, n) for _, n in rows]
+
+    # --- torch mirror: exact-length rows, global token-weighted mean CE ---
+    nll_sum, n_tok = 0.0, 0
+    for txt, sp in zip(texts, speeches):
+        emb = torch.cat([
+            speech_e[TINY_LM.sos_index][None],
+            text_e[torch.from_numpy(txt)],
+            speech_e[TINY_LM.task_index][None],
+            speech_e[torch.from_numpy(sp)],
+        ])[None]
+        with torch.no_grad():
+            hidden = model(inputs_embeds=emb).last_hidden_state[0]
+        logits = hidden @ head_k + head_b
+        start = 1 + len(txt)                    # task slot predicts speech_0
+        tgt = torch.from_numpy(np.append(sp, TINY_LM.eos_speech))
+        lp = torch.log_softmax(logits[start: start + len(tgt)], dim=-1)
+        nll_sum += float(-lp.gather(1, tgt[:, None]).sum())
+        n_tok += len(tgt)
+    ref_loss = nll_sum / n_tok
+
+    # --- jax side: one padded bucketed batch through lm_loss ---
+    text_tok = np.zeros((len(rows), tt), np.int64)
+    text_m = np.zeros((len(rows), tt), bool)
+    sp_tok = np.zeros((len(rows), ts), np.int64)
+    sp_m = np.zeros((len(rows), ts), bool)
+    for i, (txt, sp) in enumerate(zip(texts, speeches)):
+        text_tok[i, : len(txt)], text_m[i, : len(txt)] = txt, True
+        sp_tok[i, : len(sp)], sp_m[i, : len(sp)] = sp, True
+    batch = SFTBatch(jnp.asarray(text_tok, jnp.int32), jnp.asarray(text_m),
+                     jnp.asarray(sp_tok, jnp.int32), jnp.asarray(sp_m))
+    loss, _ = lm_loss(params, TINY_LM, batch, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=2e-5)
+
+
 def test_bucket_length_never_truncates():
     """Above the top bucket, lengths double (regression: a 700-token sample
     admitted by filter_samples was silently clipped to 512 with an all-valid
