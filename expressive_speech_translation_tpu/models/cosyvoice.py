@@ -67,7 +67,7 @@ class SpeechLMConfig:
 
 
 def init_speech_lm(key, cfg: SpeechLMConfig) -> Params:
-    ks = jax.random.split(key, 4)
+    ks = jax.random.split(key, 5)
     h = cfg.backbone.hidden
     params: Params = {
         "backbone": q2.init_qwen2(ks[0], cfg.backbone),
@@ -76,7 +76,9 @@ def init_speech_lm(key, cfg: SpeechLMConfig) -> Params:
         "head": init_dense(ks[3], h, cfg.speech_token_size + 3),
     }
     if cfg.mtp > 1:
-        mtp_keys = jax.random.split(ks[3], cfg.mtp - 1)
+        # ks[4], NOT ks[3]: the main head already consumed ks[3]; deriving
+        # the MTP-head keys from the same key would correlate their draws
+        mtp_keys = jax.random.split(ks[4], cfg.mtp - 1)
         params["mtp_heads"] = [
             init_dense(k, h, cfg.speech_token_size + 3) for k in mtp_keys
         ]
@@ -141,6 +143,32 @@ def _ras_sample(
     return jnp.where(rep >= cfg.tau_r, resampled, cand).astype(jnp.int32)
 
 
+def _mask_control_logits(logits: jnp.ndarray, cfg: SpeechLMConfig,
+                         step, min_new_tokens: int) -> jnp.ndarray:
+    """Forbid control tokens always; forbid EOS before ``min_new_tokens``.
+    The ONE masking contract for every decode variant (batch, MTP, stream) —
+    a forbidden token added here reaches all three."""
+    neg = jnp.finfo(logits.dtype).min
+    logits = logits.at[:, cfg.sos_index].set(neg).at[:, cfg.task_index].set(neg)
+    return jnp.where(step < min_new_tokens,
+                     logits.at[:, cfg.eos_speech].set(neg), logits)
+
+
+def _sample_next(params: Params, cfg: SpeechLMConfig, sk, h: jnp.ndarray,
+                 recent: jnp.ndarray, done: jnp.ndarray, step,
+                 min_new_tokens: int):
+    """One single-token decode sample, shared by the batch and streaming
+    loops: control masking, min-new-tokens gate, RAS, EOS hold for finished
+    rows, recent-window roll. h [B, 1, H] → (nxt [B], recent, done)."""
+    logits = _mask_control_logits(
+        dense(params["head"], h[:, 0, :]), cfg, step, min_new_tokens)
+    nxt = _ras_sample(sk, logits, recent, cfg)
+    nxt = jnp.where(done, cfg.eos_speech, nxt)
+    recent = jnp.concatenate([recent[:, 1:], nxt[:, None]], axis=1)
+    done = done | (nxt == cfg.eos_speech)
+    return nxt, recent, done
+
+
 def generate_speech_tokens(
     params: Params,
     cfg: SpeechLMConfig,
@@ -179,18 +207,9 @@ def generate_speech_tokens(
     def body(state):
         i, h, cache, tokens, recent, key, done = state
         key, sk = jax.random.split(key)
-        logits = dense(params["head"], h[:, 0, :])
-        # forbid control tokens; forbid eos before min_new_tokens
-        neg = jnp.finfo(logits.dtype).min
-        logits = logits.at[:, cfg.sos_index].set(neg).at[:, cfg.task_index].set(neg)
-        logits = jnp.where(
-            (i < min_new_tokens), logits.at[:, cfg.eos_speech].set(neg), logits
-        )
-        nxt = _ras_sample(sk, logits, recent, cfg)
-        nxt = jnp.where(done, cfg.eos_speech, nxt)
+        nxt, recent, done = _sample_next(
+            params, cfg, sk, h, recent, done, i, min_new_tokens)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i))
-        recent = jnp.concatenate([recent[:, 1:], nxt[:, None]], axis=1)
-        done = done | (nxt == cfg.eos_speech)
         # embed the sampled token and advance the backbone one step; the
         # cache slot is the shared p_len+i, but each row attends only to its
         # VALID prompt K/V and rotates at its true continuation position
@@ -249,22 +268,24 @@ def generate_speech_tokens_mtp(
 
     tokens0 = jnp.full((b, n_iters * k_mtp), cfg.eos_speech, jnp.int32)
     recent0 = jnp.full((b, cfg.win_size), -1, jnp.int32)
-    neg = jnp.finfo(jnp.float32).min
 
     def sample_k(key, h, recent, step_base):
-        """K tokens from one hidden state: head (RAS) + mtp heads (nucleus)."""
+        """K tokens from one hidden state: head 0 and every MTP head sample
+        with RAS against a LOCALLY rolled window (head j sees heads <j's
+        draws). The local window is conditioning only — the caller rebuilds
+        the persistent window from the post-EOS-propagation tokens, so it
+        never carries tokens that were never emitted."""
         keys = jax.random.split(key, k_mtp)
         toks = []
         for j in range(k_mtp):
             head = params["head"] if j == 0 else params["mtp_heads"][j - 1]
-            logits = dense(head, h).astype(jnp.float32)
-            logits = logits.at[:, cfg.sos_index].set(neg).at[:, cfg.task_index].set(neg)
-            logits = jnp.where(step_base + j < min_new_tokens,
-                               logits.at[:, cfg.eos_speech].set(neg), logits)
+            logits = _mask_control_logits(
+                dense(head, h).astype(jnp.float32), cfg,
+                step_base + j, min_new_tokens)
             nxt = _ras_sample(keys[j], logits, recent, cfg)
             recent = jnp.concatenate([recent[:, 1:], nxt[:, None]], axis=1)
             toks.append(nxt)
-        return jnp.stack(toks, axis=1), recent  # [B, K]
+        return jnp.stack(toks, axis=1)  # [B, K]
 
     def cond(state):
         i, *_, done = state
@@ -273,13 +294,16 @@ def generate_speech_tokens_mtp(
     def body(state):
         i, h, cache, tokens, recent, key, done = state
         key, sk = jax.random.split(key)
-        new_toks, recent = sample_k(sk, h, recent, i * k_mtp)
+        new_toks = sample_k(sk, h, recent, i * k_mtp)
         # EOS propagation inside the block: everything after the first EOS pads
         is_eos = new_toks == cfg.eos_speech
         after_eos = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) - is_eos.astype(jnp.int32) > 0
         new_toks = jnp.where(after_eos | done[:, None], cfg.eos_speech, new_toks)
         tokens = jax.lax.dynamic_update_slice(tokens, new_toks, (0, i * k_mtp))
         done = done | jnp.any(new_toks == cfg.eos_speech, axis=1)
+        # persistent RAS window from the tokens actually EMITTED (post
+        # propagation) — sample_k's local window may contain overwritten ones
+        recent = jnp.concatenate([recent, new_toks], axis=1)[:, -cfg.win_size:]
         # ingest the K tokens in one multi-position pass (per-row RoPE +
         # pad-slot masking — see generate_speech_tokens)
         x = params["speech_embed"][new_toks]
@@ -324,8 +348,12 @@ def _init_dit_block(key, cfg: FlowConfig) -> Params:
         "attn": init_attention(ks[0], AttnConfig(cfg.dim, cfg.heads, k_bias=True)),
         "ln2": init_layer_norm(cfg.dim),
         "mlp": init_mlp(ks[1], cfg.dim, cfg.dim * 4),
-        # AdaLN modulation: time embedding → 6 per-channel (scale, shift, gate)×2
-        "ada": init_dense(ks[2], cfg.dim, 6 * cfg.dim),
+        # AdaLN modulation: time embedding → 6 per-channel (scale, shift, gate)×2.
+        # adaLN-Zero (DiT §3): zero-init so every gate starts at 0 and each
+        # residual branch starts as identity — the documented requirement for
+        # stable diffusion/flow-transformer training at depth
+        "ada": {"kernel": jnp.zeros((cfg.dim, 6 * cfg.dim)),
+                "bias": jnp.zeros((6 * cfg.dim,))},
     }
 
 
@@ -350,6 +378,40 @@ def _time_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
     return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
 
 
+@functools.lru_cache(maxsize=16)
+def _flow_rope_table(t_frames: int, head_dim: int):
+    """cos/sin RoPE tables for the flow estimator's self-attention (host
+    numpy, cached per static shape). Every other op in the estimator is
+    per-frame, so without a positional signal the DiT would be permutation-
+    equivariant over mel frames — unable to represent temporal order at all
+    (the reference estimator gets position from convolution locality;
+    Docker/api usage of matcha's conv U-Net). RoPE, being relative, also
+    keeps streaming windows consistent: a window starting mid-utterance sees
+    the same pairwise distances the full sequence would."""
+    inv = 1.0 / (10_000.0 ** (np.arange(0, head_dim, 2) / head_dim))
+    fr = np.outer(np.arange(t_frames), inv)
+    emb = np.concatenate([fr, fr], axis=-1)
+    return np.cos(emb).astype(np.float32), np.sin(emb).astype(np.float32)
+
+
+def _flow_rope_mha(p: Params, heads: int, x: jnp.ndarray,
+                   mask: jnp.ndarray) -> jnp.ndarray:
+    """Self-attention with RoPE on q/k (the flow DiT's temporal signal)."""
+    from .common import _merge_heads, _split_heads
+
+    head_dim = x.shape[-1] // heads
+    cos_np, sin_np = _flow_rope_table(x.shape[1], head_dim)
+    cos = jnp.asarray(cos_np, x.dtype)
+    sin = jnp.asarray(sin_np, x.dtype)
+    q = q2.apply_rope(_split_heads(dense(p["q"], x), heads), cos, sin)
+    k = q2.apply_rope(_split_heads(dense(p["k"], x), heads), cos, sin)
+    v = _split_heads(dense(p["v"], x), heads)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * (head_dim ** -0.5), k)
+    logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    return dense(p["o"], _merge_heads(jnp.einsum("bhqk,bkhd->bqhd", w, v)))
+
+
 def flow_estimator(
     params: Params,
     cfg: FlowConfig,
@@ -360,21 +422,21 @@ def flow_estimator(
     mel_cond: jnp.ndarray,     # [B, T, n_mels] prompt mel (zeros beyond prompt)
     mask: jnp.ndarray,         # [B, T] valid frames
 ) -> jnp.ndarray:
-    """DiT estimator: v(x_t, t | tokens, speaker, prompt-mel) → [B, T, n_mels]."""
-    from .common import AttnConfig, mha
+    """DiT estimator: v(x_t, t | tokens, speaker, prompt-mel) → [B, T, n_mels].
 
+    Temporal order enters through RoPE in the self-attention
+    (:func:`_flow_rope_mha`); everything else is per-frame."""
     h = dense(params["in_proj"], jnp.concatenate([x_t, mel_cond], axis=-1))
     temb_dtype = h.dtype
     h = h + token_cond + dense(params["spk_proj"], spk)[:, None, :]
     temb = mlp(params["time_mlp"], _time_embedding(t, cfg.dim).astype(temb_dtype))  # [B, dim]
-    attn_cfg = AttnConfig(cfg.dim, cfg.heads, k_bias=True)
     attn_mask = mask[:, None, None, :]
 
     for blk in params["blocks"]:
         mod = dense(blk["ada"], jax.nn.silu(temb))[:, None, :]
         s1, b1, g1, s2, b2, g2 = jnp.split(mod, 6, axis=-1)
         a_in = layer_norm(blk["ln1"], h) * (1 + s1) + b1
-        h = h + g1 * mha(blk["attn"], attn_cfg, a_in, a_in, mask=attn_mask)
+        h = h + g1 * _flow_rope_mha(blk["attn"], cfg.heads, a_in, attn_mask)
         m_in = layer_norm(blk["ln2"], h) * (1 + s2) + b2
         h = h + g2 * mlp(blk["mlp"], m_in)
     return dense(params["out_proj"], layer_norm(params["ln_out"], h)) * mask[..., None]
@@ -389,11 +451,18 @@ def tokens_to_mel(
     spk_embedding: jnp.ndarray,   # [B, 192]
     prompt_mel: jnp.ndarray,      # [B, T_prompt, n_mels] (continuation prefix)
     prompt_mel_mask: jnp.ndarray, # [B, T_prompt]
+    prompt_tokens: Optional[jnp.ndarray] = None,       # [B, T_ptok]
+    prompt_token_mask: Optional[jnp.ndarray] = None,   # [B, T_ptok]
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """OT-CFM inference: Euler-integrate dx/dt = v(x,t|c) from x_0 ~ N(0,I).
 
     The prompt mel occupies the first frames as teacher-forced conditioning
-    (zero-shot continuation, as in CosyVoice's prompt mel concat). Returns
+    (zero-shot continuation, as in CosyVoice's prompt mel concat). When the
+    prompt's speech tokens are supplied they condition the prompt frames too
+    — training (:func:`flow_matching_loss`, like the official
+    MaskedDiffWithXvec.forward) always pairs exposed mel with its token
+    encodings, so (mel_cond ≠ 0, token_cond = 0) on the prompt frames would
+    be an out-of-distribution combination. Returns
     (mel [B, T_frames, n_mels], frame_mask) with
     T_frames = token_mel_ratio * T_tok + T_prompt.
     """
@@ -404,9 +473,19 @@ def tokens_to_mel(
     up_mask = jnp.repeat(token_mask, r, axis=1)
 
     t_prompt = prompt_mel.shape[1]
-    token_cond = jnp.concatenate(
-        [jnp.zeros((b, t_prompt, cfg.dim), up.dtype), up], axis=1
-    )
+    if prompt_tokens is not None:
+        ptok = params["token_embed"][prompt_tokens] * prompt_token_mask[..., None]
+        pup = jnp.repeat(ptok, r, axis=1)
+        # align to the prompt-mel frame count (fbank framing need not give
+        # exactly r frames per token) — pad or slice, then mask
+        if pup.shape[1] < t_prompt:
+            pup = jnp.pad(pup, ((0, 0), (0, t_prompt - pup.shape[1]), (0, 0)))
+        else:
+            pup = pup[:, :t_prompt]
+        prompt_cond = pup * prompt_mel_mask[..., None]
+    else:
+        prompt_cond = jnp.zeros((b, t_prompt, cfg.dim), up.dtype)
+    token_cond = jnp.concatenate([prompt_cond, up], axis=1)
     frame_mask = jnp.concatenate([prompt_mel_mask, up_mask], axis=1)
     total_frames = t_prompt + r * t_tok
     mel_cond = jnp.concatenate(
@@ -722,6 +801,8 @@ def synthesize(
     mel, frame_mask = tokens_to_mel(
         params["flow"], cfg.flow, k_flow, safe_tokens, token_mask,
         spk_embedding, prompt_mel, prompt_mel_mask,
+        prompt_tokens=jnp.where(prompt_speech_mask, prompt_speech_tokens, 0),
+        prompt_token_mask=prompt_speech_mask,
     )
     # Drop the prompt frames before vocoding (output = new speech only)
     t_prompt = prompt_mel.shape[1]
@@ -806,16 +887,9 @@ def lm_stream_chunk(
     def body(j, carry):
         h, cache, tokens, recent, key, done, step = carry
         key, sk = jax.random.split(key)
-        logits = dense(params["head"], h[:, 0, :])
-        neg = jnp.finfo(logits.dtype).min
-        logits = logits.at[:, cfg.sos_index].set(neg).at[:, cfg.task_index].set(neg)
-        logits = jnp.where(step < min_new_tokens,
-                           logits.at[:, cfg.eos_speech].set(neg), logits)
-        nxt = _ras_sample(sk, logits, recent, cfg)
-        nxt = jnp.where(done, cfg.eos_speech, nxt)
+        nxt, recent, done = _sample_next(
+            params, cfg, sk, h, recent, done, step, min_new_tokens)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, j))
-        recent = jnp.concatenate([recent[:, 1:], nxt[:, None]], axis=1)
-        done = done | (nxt == cfg.eos_speech)
         x = params["speech_embed"][nxt][:, None, :]
         h, cache = q2.decode_step(
             params["backbone"], cfg.backbone, x, p_len + step, cache,
@@ -833,7 +907,10 @@ def lm_stream_chunk(
 
 
 def flow_vocode_chunk(
-    params: Params,             # full CosyVoice params ({"flow":…, "vocoder":…})
+    params: Params,             # ONLY {"flow": …, "vocoder": …} — passing the
+                                # full CosyVoice tree would flatten the 0.5B
+                                # LM pytree into every chunk dispatch and
+                                # retrace on unrelated LM structure changes
     flow_cfg: FlowConfig,
     voc_cfg: VocoderConfig,
     key,
@@ -842,6 +919,8 @@ def flow_vocode_chunk(
     spk: jnp.ndarray,
     ctx_mel: jnp.ndarray,       # [1, F, n_mels] flow left-context buffer
     ctx_mask: jnp.ndarray,      # [1, F]
+    ctx_tok: jnp.ndarray,       # [1, F//r] tokens behind the context frames
+    ctx_tok_mask: jnp.ndarray,  # [1, F//r]
     voc_hist: jnp.ndarray,      # [1, V, n_mels] vocoder warm-up frames
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One fused tokens→waveform streaming step (single dispatch per chunk:
@@ -851,7 +930,8 @@ def flow_vocode_chunk(
     tok_mask = jnp.arange(c)[None, :] < n_valid
     safe = jnp.where(tok_mask, tokens, 0)
     mel, _ = tokens_to_mel(
-        params["flow"], flow_cfg, key, safe, tok_mask, spk, ctx_mel, ctx_mask
+        params["flow"], flow_cfg, key, safe, tok_mask, spk, ctx_mel, ctx_mask,
+        prompt_tokens=ctx_tok, prompt_token_mask=ctx_tok_mask,
     )
     gen = mel[:, ctx_mel.shape[1]:]                        # [1, r*C, n_mels]
     r = flow_cfg.token_mel_ratio
@@ -946,12 +1026,27 @@ def synthesize_streaming(
         ctx_mel[0, f_ctx - take:] = pm_valid[len(pm_valid) - take:]
         ctx_mask[0, f_ctx - take:] = True
 
+    # Tokens behind the context frames (flow conditioning parity with
+    # training: exposed mel always pairs with its token encodings). One
+    # token covers r frames; right-aligned like ctx_mel. Seed from the
+    # prompt's speech-token tail.
+    w_tok = max(f_ctx // r, 1)
+    ctx_tok = np.zeros((1, w_tok), np.int32)
+    ctx_tok_mask = np.zeros((1, w_tok), bool)
+    psp_valid = np.asarray(prompt_speech_tokens[0])[
+        np.asarray(prompt_speech_mask[0], bool)]
+    tk = min(len(psp_valid), w_tok)
+    if tk:
+        ctx_tok[0, w_tok - tk:] = psp_valid[len(psp_valid) - tk:]
+        ctx_tok_mask[0, w_tok - tk:] = True
+
     # Vocoder state: mel history for left-edge warm-up + crossfade holdback.
     v_ctx = stream.vocoder_context
     voc_hist = np.zeros((v_ctx, n_mels), np.float32)
     held: Optional[np.ndarray] = None
 
     spk = jnp.asarray(spk_embedding)
+    fv_params = {"flow": params["flow"], "vocoder": params["vocoder"]}
     for ci in range(n_chunks):
         tokens, lm_state = _lm_stream_chunk_j(
             params["lm"], cfg.lm, _chunk_key(ci, 0), lm_state,
@@ -960,12 +1055,16 @@ def synthesize_streaming(
         tok_np = np.asarray(tokens[0])                     # host sync (needed)
         n_valid = int(np.argmax(tok_np == cfg.lm.eos_speech)) \
             if (tok_np == cfg.lm.eos_speech).any() else c_tok
-        if n_valid == 0:
+        # honor the caller's total budget exactly: the last chunk may not be
+        # full (synthesize() with the same max_new_tokens emits no more)
+        n_valid = min(n_valid, max_new_tokens - ci * c_tok)
+        if n_valid <= 0:
             break
         # ONE fused dispatch: masking + flow matching + vocoder
         gen_dev, wav_dev = _flow_vocode_chunk_j(
-            params, cfg.flow, cfg.vocoder, _chunk_key(ci, 1), tokens,
-            np.int32(n_valid), spk, ctx_mel, ctx_mask, voc_hist[None],
+            fv_params, cfg.flow, cfg.vocoder, _chunk_key(ci, 1), tokens,
+            np.int32(n_valid), spk, ctx_mel, ctx_mask,
+            ctx_tok, ctx_tok_mask, voc_hist[None],
         )
         gen_valid = np.asarray(gen_dev[0, : r * n_valid], np.float32)
         wav = np.asarray(wav_dev[0], np.float32)
@@ -976,6 +1075,16 @@ def synthesize_streaming(
             [np.zeros((f_ctx - len(full), n_mels), np.float32), full])
         ctx_mask[0] = True if len(full) >= f_ctx else \
             np.arange(f_ctx) >= f_ctx - len(full)
+        # roll the context-token buffer in step with the frames
+        tok_full = np.concatenate(
+            [ctx_tok[0][ctx_tok_mask[0]], tok_np[:n_valid].astype(np.int32)])
+        if len(tok_full) >= w_tok:
+            ctx_tok[0] = tok_full[-w_tok:]
+            ctx_tok_mask[0] = True
+        else:
+            ctx_tok[0] = np.concatenate(
+                [np.zeros(w_tok - len(tok_full), np.int32), tok_full])
+            ctx_tok_mask[0] = np.arange(w_tok) >= w_tok - len(tok_full)
 
         start, end = v_ctx * hop, (v_ctx + len(gen_valid)) * hop
         fade = min(stream.fade_samples, v_ctx * hop, end - start)

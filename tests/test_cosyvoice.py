@@ -382,6 +382,93 @@ def test_streaming_synthesis_matches_token_budget(params):
         ))
 
 
+def test_streaming_never_exceeds_max_new_tokens(params):
+    """A budget not divisible by chunk_tokens must be honored exactly
+    (regression: the last chunk used to run to its full width, emitting up
+    to chunk_tokens-1 tokens beyond max_new_tokens — more audio than
+    synthesize() with the same budget)."""
+    text, tmask, sp, smask = _prompt(b=1)
+    spk = jnp.zeros((1, TINY_FLOW.spk_embed_dim))
+    pm = jnp.zeros((1, 6, TINY_FLOW.n_mels), jnp.float32)
+    pmm = jnp.ones((1, 6), bool)
+    stream = cv.StreamConfig(chunk_tokens=8, flow_context=6, vocoder_context=4,
+                             fade_samples=128)
+    # min_new_tokens above the budget: EOS can never fire, every chunk is
+    # full — without the cap the stream emits ceil(11/8)*8 = 16 tokens
+    chunks = list(cv.synthesize_streaming(
+        params, TINY, jax.random.PRNGKey(9), text, tmask, sp, smask, spk,
+        pm, pmm, stream=stream, max_new_tokens=11, min_new_tokens=64,
+    ))
+    wav = np.concatenate(chunks)
+    assert len(wav) == 11 * TINY_FLOW.token_mel_ratio * TINY_VOC.hop
+
+
+def test_flow_estimator_is_order_sensitive():
+    """RoPE gives the DiT temporal order: permuting the frames (and every
+    per-frame conditioning) must NOT merely permute the output (regression:
+    with no positional signal anywhere the estimator was permutation-
+    equivariant — structurally unable to represent frame order)."""
+    cfg = TINY_FLOW
+    key = jax.random.PRNGKey(0)
+    p = cv.init_flow(key, cfg)
+    # adaLN-Zero gates start at 0 (identity blocks) — open them so the
+    # attention branch actually contributes
+    for i, blk in enumerate(p["blocks"]):
+        blk["ada"] = {
+            "kernel": jax.random.normal(jax.random.PRNGKey(10 + i),
+                                        blk["ada"]["kernel"].shape) * 0.05,
+            "bias": jnp.zeros_like(blk["ada"]["bias"]),
+        }
+    b, t = 1, 8
+    g = np.random.default_rng(0)
+    x = jnp.asarray(g.standard_normal((b, t, cfg.n_mels)), jnp.float32)
+    tok = jnp.asarray(g.standard_normal((b, t, cfg.dim)), jnp.float32)
+    mel_c = jnp.zeros((b, t, cfg.n_mels), jnp.float32)
+    spk = jnp.zeros((b, cfg.spk_embed_dim), jnp.float32)
+    mask = jnp.ones((b, t), bool)
+    tt = jnp.asarray([0.5], jnp.float32)
+    out = cv.flow_estimator(p, cfg, x, tt, tok, spk, mel_c, mask)
+    perm = np.arange(t)[::-1].copy()
+    out_p = cv.flow_estimator(
+        p, cfg, x[:, perm], tt, tok[:, perm], spk, mel_c[:, perm], mask)
+    # an equivariant estimator would give out_p == out[:, perm] exactly
+    assert not np.allclose(np.asarray(out_p), np.asarray(out)[:, perm],
+                           atol=1e-5)
+
+
+def test_dit_blocks_init_as_identity():
+    """adaLN-Zero: the modulation projections start at zero, so every
+    residual branch is disabled at init (the DiT stability recipe)."""
+    p = cv.init_flow(jax.random.PRNGKey(0), TINY_FLOW)
+    for blk in p["blocks"]:
+        assert float(jnp.abs(blk["ada"]["kernel"]).max()) == 0.0
+        assert float(jnp.abs(blk["ada"]["bias"]).max()) == 0.0
+
+
+def test_tokens_to_mel_prompt_tokens_condition_prompt_frames(params):
+    """Supplying the prompt's speech tokens changes the synthesized mel: the
+    prompt frames' conditioning then matches training, where exposed mel
+    always pairs with its token encodings (official MaskedDiffWithXvec
+    semantics); omitting them keeps the legacy zero conditioning."""
+    g = np.random.default_rng(2)
+    tokens = jnp.asarray(g.integers(0, 97, (1, 6)), jnp.int32)
+    tmask = jnp.ones((1, 6), bool)
+    spk = jnp.zeros((1, TINY_FLOW.spk_embed_dim))
+    pm = jnp.asarray(g.standard_normal((1, 8, TINY_FLOW.n_mels)), jnp.float32)
+    pmm = jnp.ones((1, 8), bool)
+    ptok = jnp.asarray(g.integers(0, 97, (1, 4)), jnp.int32)
+    ptm = jnp.ones((1, 4), bool)
+    key = jax.random.PRNGKey(3)
+    mel_no, _ = cv.tokens_to_mel(
+        params["flow"], TINY_FLOW, key, tokens, tmask, spk, pm, pmm)
+    mel_with, _ = cv.tokens_to_mel(
+        params["flow"], TINY_FLOW, key, tokens, tmask, spk, pm, pmm,
+        prompt_tokens=ptok, prompt_token_mask=ptm)
+    assert mel_no.shape == mel_with.shape
+    assert np.isfinite(np.asarray(mel_with)).all()
+    assert not np.allclose(np.asarray(mel_no), np.asarray(mel_with), atol=1e-6)
+
+
 def test_int8_weight_only_quantization(params):
     """Quantized dense ≈ float dense (per-channel int8, <1% rel error on
     random weights) and the quantized LM still generates valid tokens."""
