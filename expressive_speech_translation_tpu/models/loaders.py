@@ -93,6 +93,13 @@ def load_whisper(path: str | Path, cfg=None):
                 f"whisper checkpoint at {p} has the English-only (.en) "
                 "vocab layout (51864): unsupported — use a multilingual "
                 "checkpoint")
+        # large-v3 (vocab 51866) adds one language token (<|yue|>), shifting
+        # every special id AFTER the language block by +1 — translate becomes
+        # 50359 (the v2 transcribe slot!), so keeping the v2 defaults would
+        # silently translate instead of transcribe and read the no-speech
+        # gate at <|startofprev|>. Shift the whole post-language-block layout.
+        v3 = hf["vocab_size"] == 51_866
+        shift = 1 if v3 else 0
         cfg = wj.WhisperConfig(
             n_mels=hf.get("num_mel_bins", 80),
             d_model=hf["d_model"],
@@ -107,6 +114,12 @@ def load_whisper(path: str | Path, cfg=None):
             # against layout changes; defaults are the multilingual layout)
             bos_token=hf.get("decoder_start_token_id", 50258),
             eos_token=hf.get("eos_token_id", 50257),
+            n_langs=100 if v3 else 99,
+            task_translate=50_358 + shift,
+            task_transcribe=50_359 + shift,
+            sop_token=50_361 + shift,
+            no_speech_token=50_362 + shift,
+            no_timestamps=50_363 + shift,
         )
     cfg = cfg or wj.WhisperConfig.medium()
     return wj.from_hf_state_dict(load_state_dict(p), cfg), cfg

@@ -198,6 +198,55 @@ def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
     ]
 
 
+def _decode_step_impl(
+    params: Params,
+    cfg: WhisperConfig,
+    token: jnp.ndarray,        # [B] int32
+    pos: jnp.ndarray,          # scalar int32
+    kv_cache,
+    cross_kv,
+    *,
+    with_attn: bool,
+):
+    """THE decoder step (single implementation — the plain and alignment
+    variants used to be forked copies and drifted). ``with_attn`` is a
+    Python-static flag: False uses the packed cross-attention; True inlines
+    it so the weights are observable, at identical math. Each value compiles
+    its own program, so the plain path pays nothing for the flag."""
+    from .common import _merge_heads, _split_heads, dense as _dense
+
+    dec = params["decoder"]
+    x = dec["embed"][token][:, None, :] + jax.lax.dynamic_slice_in_dim(dec["pos"], pos, 1, 0)[None]
+    new_cache = []
+    attn_maps = []
+    for block, cache, (ck, cv) in zip(dec["layers"], kv_cache, cross_kv):
+        h = layer_norm(block["self_attn_ln"], x)
+        attn, k, v = mha_step(block["self_attn"], cfg.attn, h, cache["k"], cache["v"], pos)
+        x = x + attn
+        new_cache.append({"k": k, "v": v})
+        h = layer_norm(block["cross_attn_ln"], x)
+        if with_attn:
+            # inline cross-attention so the weights are observable
+            q = _split_heads(_dense(block["cross_attn"]["q"], h), cfg.heads) * (cfg.attn.head_dim ** -0.5)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, ck)
+            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            attn_maps.append(jnp.mean(weights[:, :, 0, :], axis=1))  # [B, T_enc]
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(h.dtype), cv)
+            x = x + _dense(block["cross_attn"]["o"], _merge_heads(out))
+        else:
+            x = x + mha(block["cross_attn"], cfg.attn, h, None, precomputed_kv=(ck, cv))
+        h = layer_norm(block["mlp_ln"], x)
+        x = x + mlp(block["mlp"], h)
+    x = layer_norm(dec["ln"], x)
+    logits = tied_head_logits(dec, x[:, 0, :], dec["embed"])
+    if not with_attn:
+        return logits, new_cache
+    # upper-half layers carry the cleanest alignment (whisper convention)
+    half = len(attn_maps) // 2
+    alignment = jnp.mean(jnp.stack(attn_maps[half:]), axis=0)
+    return logits, new_cache, alignment
+
+
 def decode_step(
     params: Params,
     cfg: WhisperConfig,
@@ -207,21 +256,8 @@ def decode_step(
     cross_kv,
 ) -> Tuple[jnp.ndarray, Any]:
     """One decoder step → (logits [B, vocab], new kv_cache)."""
-    dec = params["decoder"]
-    x = dec["embed"][token][:, None, :] + jax.lax.dynamic_slice_in_dim(dec["pos"], pos, 1, 0)[None]
-    new_cache = []
-    for block, cache, (ck, cv) in zip(dec["layers"], kv_cache, cross_kv):
-        h = layer_norm(block["self_attn_ln"], x)
-        attn, k, v = mha_step(block["self_attn"], cfg.attn, h, cache["k"], cache["v"], pos)
-        x = x + attn
-        new_cache.append({"k": k, "v": v})
-        h = layer_norm(block["cross_attn_ln"], x)
-        x = x + mha(block["cross_attn"], cfg.attn, h, None, precomputed_kv=(ck, cv))
-        h = layer_norm(block["mlp_ln"], x)
-        x = x + mlp(block["mlp"], h)
-    x = layer_norm(dec["ln"], x)
-    logits = tied_head_logits(dec, x[:, 0, :], dec["embed"])
-    return logits, new_cache
+    return _decode_step_impl(params, cfg, token, pos, kv_cache, cross_kv,
+                             with_attn=False)
 
 
 def decode_step_with_attn(
@@ -236,33 +272,8 @@ def decode_step_with_attn(
     [B, T_enc] — the alignment signal for word timestamps (openai-whisper
     computes these via DTW over cross-attention; cascaded_backend.py:146-191
     consumes the resulting word times for pause analysis)."""
-    from .common import _merge_heads, _split_heads, dense as _dense  # local: keeps the module namespace free of the raw op
-
-    dec = params["decoder"]
-    x = dec["embed"][token][:, None, :] + jax.lax.dynamic_slice_in_dim(dec["pos"], pos, 1, 0)[None]
-    new_cache = []
-    attn_maps = []
-    for block, cache, (ck, cv) in zip(dec["layers"], kv_cache, cross_kv):
-        h = layer_norm(block["self_attn_ln"], x)
-        attn, k, v = mha_step(block["self_attn"], cfg.attn, h, cache["k"], cache["v"], pos)
-        x = x + attn
-        new_cache.append({"k": k, "v": v})
-        h = layer_norm(block["cross_attn_ln"], x)
-        # inline cross-attention so the weights are observable
-        q = _split_heads(_dense(block["cross_attn"]["q"], h), cfg.heads) * (cfg.attn.head_dim ** -0.5)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, ck)
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        attn_maps.append(jnp.mean(weights[:, :, 0, :], axis=1))  # [B, T_enc]
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(h.dtype), cv)
-        x = x + _dense(block["cross_attn"]["o"], _merge_heads(out))
-        h = layer_norm(block["mlp_ln"], x)
-        x = x + mlp(block["mlp"], h)
-    x = layer_norm(dec["ln"], x)
-    logits = tied_head_logits(dec, x[:, 0, :], dec["embed"])
-    # upper-half layers carry the cleanest alignment (whisper convention)
-    half = len(attn_maps) // 2
-    alignment = jnp.mean(jnp.stack(attn_maps[half:]), axis=0)
-    return logits, new_cache, alignment
+    return _decode_step_impl(params, cfg, token, pos, kv_cache, cross_kv,
+                             with_attn=True)
 
 
 def decode_with_alignment(
@@ -348,52 +359,63 @@ def decode_with_alignment(
             lambda l: jax.nn.softmax(l, axis=-1)[:, nsp_tok],
             lambda l: nsp,
             logits32)
-        neg = jnp.float32(-1e9)
-        if min_new_tokens:
-            # clamp like every other special-id use here: an out-of-range
-            # scatter index is silently DROPPED by JAX, which would turn
-            # min_new_tokens into a no-op on tiny-vocab configs
-            eos_idx = min(cfg.eos_token, cfg.vocab_size - 1)
-            logits32 = jnp.where(
-                pos + 1 < p_len + min_new_tokens,
-                logits32.at[:, eos_idx].set(neg),
-                logits32,
-            )
-        if suppress_tokens:
-            # drop out-of-range ids (a standard whisper suppress list against
-            # a smaller vocab) — the old modulo wrap remapped them onto
-            # unrelated legitimate tokens
-            mask = np.zeros((cfg.vocab_size,), bool)
-            keep_ids = [i for i in suppress_tokens if 0 <= i < cfg.vocab_size]
-            if keep_ids:
-                mask[np.asarray(keep_ids)] = True
-            logits32 = jnp.where(jnp.asarray(mask), neg, logits32)
-        if suppress_first_tokens:
-            fmask = np.zeros((cfg.vocab_size,), bool)
-            keep_ids = [i for i in suppress_first_tokens if 0 <= i < cfg.vocab_size]
-            if keep_ids:
-                fmask[np.asarray(keep_ids)] = True
-            first = pos + 1 == p_len
-            logits32 = jnp.where(first & jnp.asarray(fmask), neg, logits32)
-        key, sub = jax.random.split(key)
-
-        def _sample(args):
-            l, k = args
-            gumbel = -jnp.log(-jnp.log(
-                jax.random.uniform(k, l.shape, minval=1e-9, maxval=1.0)))
-            return jnp.argmax(l / jnp.maximum(temp, 1e-6) + gumbel,
-                              axis=-1).astype(jnp.int32)
-
-        # greedy steps skip the [B, vocab] Gumbel generation entirely
-        nxt = jax.lax.cond(
-            temp > 0.0, _sample,
-            lambda a: jnp.argmax(a[0], axis=-1).astype(jnp.int32),
-            (logits32, sub))
-
-        logprobs = jax.nn.log_softmax(logits32, axis=-1)
-        step_lp = jnp.take_along_axis(logprobs, nxt[:, None], axis=-1)[:, 0]
-
+        key, sub = jax.random.split(key)   # unconditional: one key stream
         in_prompt = pos + 1 < p_len
+
+        def _generate(args):
+            """Suppression + sampling + stepwise logprob — generation steps
+            only; prompt teacher-forcing steps discard all of it, so lax.cond
+            skips ~p_len full-vocab softmaxes per chunk on the hot path."""
+            logits32, sub = args
+            neg = jnp.float32(-1e9)
+            if min_new_tokens:
+                # clamp like every other special-id use here: an out-of-range
+                # scatter index is silently DROPPED by JAX, which would turn
+                # min_new_tokens into a no-op on tiny-vocab configs
+                eos_idx = min(cfg.eos_token, cfg.vocab_size - 1)
+                logits32 = jnp.where(
+                    pos + 1 < p_len + min_new_tokens,
+                    logits32.at[:, eos_idx].set(neg),
+                    logits32,
+                )
+            if suppress_tokens:
+                # drop out-of-range ids (a standard whisper suppress list
+                # against a smaller vocab) — the old modulo wrap remapped
+                # them onto unrelated legitimate tokens
+                mask = np.zeros((cfg.vocab_size,), bool)
+                keep_ids = [i for i in suppress_tokens if 0 <= i < cfg.vocab_size]
+                if keep_ids:
+                    mask[np.asarray(keep_ids)] = True
+                logits32 = jnp.where(jnp.asarray(mask), neg, logits32)
+            if suppress_first_tokens:
+                fmask = np.zeros((cfg.vocab_size,), bool)
+                keep_ids = [i for i in suppress_first_tokens if 0 <= i < cfg.vocab_size]
+                if keep_ids:
+                    fmask[np.asarray(keep_ids)] = True
+                first = pos + 1 == p_len
+                logits32 = jnp.where(first & jnp.asarray(fmask), neg, logits32)
+
+            def _sample(a):
+                l, k = a
+                gumbel = -jnp.log(-jnp.log(
+                    jax.random.uniform(k, l.shape, minval=1e-9, maxval=1.0)))
+                return jnp.argmax(l / jnp.maximum(temp, 1e-6) + gumbel,
+                                  axis=-1).astype(jnp.int32)
+
+            # greedy steps skip the [B, vocab] Gumbel generation entirely
+            nxt = jax.lax.cond(
+                temp > 0.0, _sample,
+                lambda a: jnp.argmax(a[0], axis=-1).astype(jnp.int32),
+                (logits32, sub))
+            logprobs = jax.nn.log_softmax(logits32, axis=-1)
+            step_lp = jnp.take_along_axis(logprobs, nxt[:, None], axis=-1)[:, 0]
+            return nxt, step_lp
+
+        nxt, step_lp = jax.lax.cond(
+            in_prompt,
+            lambda a: (jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.float32)),
+            _generate,
+            (logits32, sub))
         past_end = pos + 1 >= total   # final iteration: alignment-only
         cur = jax.lax.dynamic_slice(tokens, (0, jnp.minimum(pos + 1, total - 1)), (b, 1))[:, 0]
         nxt = jnp.where(in_prompt | past_end, cur, jnp.where(done, cfg.eos_token, nxt))
@@ -448,28 +470,36 @@ def dtw_token_times(
     acc = np.full((n + 1, m + 1), np.inf)
     acc[0, 0] = 0.0
     for i in range(1, n + 1):
-        # monotonic steps: diagonal (next token) or horizontal (same token
-        # spans more frames); acc[i][j] = cost + min(acc[i-1][j-1], acc[i][j-1]).
-        # The row recurrence f[j] = c[j] + min(p[j-1], f[j-1]) expands to
-        # f[j] = S[j] + min_{k<=j}(p[k-1] - S[k-1]) with S = cumsum(c), so the
-        # whole row is one cumsum + one running min (O(m) vector ops instead
-        # of a 224x3000 Python loop on the serving word-timestamp path).
+        # openai-whisper dtw moves: diagonal (i-1,j-1), vertical (i-1,j)
+        # (several tokens on ONE frame), horizontal (i,j-1) (one token spans
+        # frames): acc[i][j] = c[j] + min(p[j-1], p[j], f[j-1]). The row
+        # recurrence expands to f[j] = S[j] + min_{k<=j}(q[k] - S[k-1]) with
+        # q[k] = min(p[k-1], p[k]) and S = cumsum(c), so the whole row is one
+        # cumsum + one running min (O(m) vector ops instead of a 224x3000
+        # Python loop on the serving word-timestamp path).
         c = cost[i - 1]
         prev = acc[i - 1]
         s = np.concatenate(([0.0], np.cumsum(c)))          # S[0..m]
-        run = np.minimum.accumulate(prev[:m] - s[:m])      # min_k (p[k-1]-S[k-1])
+        q = np.minimum(prev[:m], prev[1:])                 # min(p[k-1], p[k])
+        run = np.minimum.accumulate(q - s[:m])             # min_k (q[k]-S[k-1])
         acc[i, 0] = np.inf
         acc[i, 1:] = s[1:] + run
     # backtrack from the full-path corner (every frame consumed): first frame
-    # where each token becomes active
+    # where each token becomes active. Three-move backtrace (openai
+    # timing.backtrace order: diagonal wins ties, then vertical).
     j = m
     i = n
     first_frame = np.full(n, j - 1)
     while i > 0 and j > 0:
         first_frame[i - 1] = j - 1
-        if acc[i - 1, j - 1] <= acc[i, j - 1]:
+        move = int(np.argmin([acc[i - 1, j - 1], acc[i - 1, j], acc[i, j - 1]]))
+        if move == 0:
             i -= 1
-        j -= 1
+            j -= 1
+        elif move == 1:
+            i -= 1
+        else:
+            j -= 1
     frames_per_second = (m / 30.0) if audio_seconds <= 0 else m / max(audio_seconds, 1e-6)
     return first_frame / frames_per_second
 
@@ -549,6 +579,12 @@ def greedy_decode(
     exactly one program for the whole autoregressive loop.
     """
     b, p_len = prompt.shape
+    if p_len + max_new_tokens > cfg.max_target_positions:
+        # same position-embedding ceiling as decode_with_alignment: past it
+        # the dynamic_slice clamps and silently reuses the last position row
+        raise ValueError(
+            f"prompt ({p_len}) + max_new_tokens ({max_new_tokens}) exceeds "
+            f"max_target_positions ({cfg.max_target_positions})")
     enc_out = encode(params, cfg, mel)
     cross_kv = precompute_cross_kv(params, cfg, enc_out)
 

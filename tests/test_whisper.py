@@ -227,11 +227,11 @@ def test_transcribe_streaming_windows_and_aggregation():
 
 
 def test_dtw_vectorized_matches_bruteforce():
-    """The O(m) vector row recurrence must equal the literal DP."""
+    """The O(m) vector row recurrence must equal the literal three-move DP
+    (openai-whisper timing.dtw: diagonal, vertical — several tokens on one
+    frame — and horizontal moves; regression: the vertical move was missing,
+    forcing every token onto a distinct frame)."""
     from expressive_speech_translation_tpu.models.whisper import dtw_token_times
-
-    g = np.random.default_rng(9)
-    align = g.random((12, 40)) ** 3  # peaky attention-like rows
 
     def brute(alignment, n_tokens, audio_seconds):
         a = np.asarray(alignment[:n_tokens], np.float64)
@@ -242,18 +242,37 @@ def test_dtw_vectorized_matches_bruteforce():
         acc[0, 0] = 0.0
         for i in range(1, n + 1):
             for j in range(1, m + 1):
-                acc[i, j] = cost[i - 1, j - 1] + min(acc[i - 1, j - 1], acc[i, j - 1])
+                acc[i, j] = cost[i - 1, j - 1] + min(
+                    acc[i - 1, j - 1], acc[i - 1, j], acc[i, j - 1])
         j, i = m, n
         first = np.full(n, j - 1)
         while i > 0 and j > 0:
             first[i - 1] = j - 1
-            if acc[i - 1, j - 1] <= acc[i, j - 1]:
+            move = int(np.argmin(
+                [acc[i - 1, j - 1], acc[i - 1, j], acc[i, j - 1]]))
+            if move == 0:
                 i -= 1
-            j -= 1
-        return first / (m / 4.0)
+                j -= 1
+            elif move == 1:
+                i -= 1
+            else:
+                j -= 1
+        return first / (m / audio_seconds)
 
+    g = np.random.default_rng(9)
+    align = g.random((12, 40)) ** 3  # peaky attention-like rows
     np.testing.assert_allclose(
         dtw_token_times(align, 12, 4.0), brute(align, 12, 4.0))
+
+    # more tokens than frames REQUIRES the vertical move (two-move DTW can
+    # only advance the token index diagonally, so n > m had no valid path)
+    dense = np.full((5, 3), 1e-3)
+    dense[0, 0] = dense[1, 0] = dense[2, 1] = dense[3, 2] = dense[4, 2] = 1.0
+    times = dtw_token_times(dense, 5, 3.0)
+    np.testing.assert_allclose(times, brute(dense, 5, 3.0))
+    assert np.isfinite(times).all()
+    assert (np.diff(times) >= 0).all()          # monotonic
+    assert len(set(times.tolist())) < len(times)  # some tokens share a frame
 
 
 def test_budget_exhausted_final_alignment_row_written(hf_pair, mel):
@@ -295,6 +314,45 @@ def test_decode_budget_over_position_ceiling_raises(hf_pair, mel):
         wj.decode_with_alignment(
             params, cfg, jnp.asarray(mel[:1]), prompt,
             max_new_tokens=cfg.max_target_positions)
+
+
+def test_greedy_decode_budget_over_position_ceiling_raises(hf_pair, mel):
+    """greedy_decode must refuse over-budget calls like decode_with_alignment
+    does (regression: it silently decoded with a clamped — frozen — position
+    embedding past the ceiling)."""
+    _, cfg, params = hf_pair
+    prompt = jnp.asarray([[998]], jnp.int32)
+    with pytest.raises(ValueError, match="max_target_positions"):
+        wj.greedy_decode(params, cfg, jnp.asarray(mel[:1]), prompt,
+                         max_new_tokens=cfg.max_target_positions)
+
+
+def test_load_whisper_large_v3_layout_shift(tmp_path):
+    """large-v3 (vocab 51866) adds one language token, shifting every special
+    id after the language block by +1 — with v2 defaults the prompt's
+    'transcribe' slot would be v3's <|translate|> (silent wrong task) and the
+    no-speech gate would read <|startofprev|>."""
+    import torch
+    from transformers import WhisperConfig as HFConfig, WhisperModel
+
+    from expressive_speech_translation_tpu.models import loaders
+
+    hf = HFConfig(vocab_size=51_866, num_mel_bins=128, encoder_layers=1,
+                  decoder_layers=1, encoder_attention_heads=2,
+                  decoder_attention_heads=2, d_model=32, encoder_ffn_dim=64,
+                  decoder_ffn_dim=64, max_source_positions=50,
+                  max_target_positions=48)
+    torch.manual_seed(0)
+    model = WhisperModel(hf)
+    torch.save(model.state_dict(), tmp_path / "pytorch_model.bin")
+    (tmp_path / "config.json").write_text(hf.to_json_string())
+    _, cfg = loaders.load_whisper(tmp_path)
+    assert cfg.n_langs == 100
+    assert cfg.task_transcribe == 50_360
+    assert cfg.task_translate == 50_359
+    assert cfg.sop_token == 50_362
+    assert cfg.no_speech_token == 50_363
+    assert cfg.no_timestamps == 50_364
 
 
 def test_load_whisper_rejects_english_only_layout(tmp_path):
