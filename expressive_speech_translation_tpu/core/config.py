@@ -135,6 +135,13 @@ class EngineConfig:
     # trick with a documented accuracy cost (positional-embedding
     # distribution shift) — deployments opt in explicitly (ADVICE r2).
     asr_context_buckets: Tuple[int, ...] = (30,)
+    # Stage-placement parallelism (parallel/stages.py): ASR/NMT/TTS params
+    # on disjoint device groups of the slice, so threaded serving pipelines
+    # concurrent requests across stages (the PP analog of SURVEY §2.19;
+    # remainder chips go to TTS, the heaviest stage). stage_tp applies
+    # tensor parallelism inside each group. EST_ENGINES__STAGE_PARALLEL.
+    stage_parallel: bool = False
+    stage_tp: int = 1
 
 
 @dataclass(frozen=True)

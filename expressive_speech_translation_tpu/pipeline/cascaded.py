@@ -72,6 +72,9 @@ class CascadedBackend(TranslationBackend):
     def weights_info(self) -> str:
         return self.engines.weights_info()
 
+    def placement_info(self):
+        return self.engines.placement_info()
+
     # -------------------------------------------------------------- languages
 
     def is_language_supported(self, lang: str) -> bool:

@@ -65,6 +65,26 @@ class Engines:
             return "random"
         return "fake"
 
+    def placement_info(self) -> Dict[str, List[int]]:
+        """Per-stage device ids the stage's params live on — shows whether
+        stage-placement parallelism (parallel/stages.py) / TP sharding took
+        effect. Surfaced in /health/model. Empty list = host-side engine
+        (fake/remote) with no device-resident params."""
+        out: Dict[str, List[int]] = {}
+        for stage, e in (("asr", self.asr), ("nmt", self.nmt), ("tts", self.tts)):
+            e = getattr(e, "engine", e)  # unwrap serving micro-batchers
+            params = getattr(e, "params", None)
+            devices: set = set()
+            if params is not None:
+                import jax
+
+                jax.tree_util.tree_map(
+                    lambda a: devices.update(
+                        d.id for d in getattr(a, "devices", set)()),
+                    params)
+            out[stage] = sorted(devices)
+        return out
+
 
 # ----------------------------------------------------------------- fake stage
 

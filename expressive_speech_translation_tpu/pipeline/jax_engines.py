@@ -1145,7 +1145,8 @@ def reference_scale_configs() -> Dict[str, Any]:
 def jax_engines(*, batch_tts: bool = False, batch_asr: bool = False,
                 batch_nmt: bool = False, max_batch: int = 8,
                 batch_wait_ms: float = 20.0, scale: str = "toy",
-                quantize: bool = False, **kwargs) -> "Engines":
+                quantize: bool = False, stage_parallel: bool = False,
+                stage_tp: int = 1, **kwargs) -> "Engines":
     """Engines wired to the JAX models (random weights unless supplied).
 
     ``scale="reference"`` serves the reference deployment's model scales
@@ -1155,8 +1156,26 @@ def jax_engines(*, batch_tts: bool = False, batch_asr: bool = False,
     serving micro-batchers so concurrent pipeline requests coalesce into
     single batched device dispatches. Per-stage tokenizers override the shared
     ``tokenizer`` via ``asr_tokenizer``/``nmt_tokenizer``/``tts_tokenizer``.
+
+    ``stage_parallel=True`` places each stage's params on a disjoint device
+    group (parallel/stages.py — the pipeline-parallel analog of SURVEY §2.19)
+    with ``stage_tp``-way tensor parallelism inside each group; an explicit
+    ``stage_meshes={"asr": Mesh, ...}`` overrides both it and ``mesh``
+    per stage.
     """
     from .engines import Engines
+
+    per_stage = kwargs.get("stage_meshes")
+    if stage_parallel and per_stage is None:
+        from ..parallel.stages import placement_report, stage_meshes
+
+        per_stage = stage_meshes(tp=stage_tp)
+        log.info("stage-parallel placement: %s", placement_report(per_stage))
+
+    def _mesh(stage: str):
+        if per_stage is not None and stage in per_stage:
+            return per_stage[stage]
+        return kwargs.get("mesh")
 
     if scale == "reference":
         for k, v in reference_scale_configs().items():
@@ -1195,16 +1214,16 @@ def jax_engines(*, batch_tts: bool = False, batch_asr: bool = False,
         kwargs.get("asr_cfg"), kwargs.get("asr_params"),
         kwargs.get("asr_tokenizer", shared_tok), quantize=quantize,
         context_buckets=kwargs.get("asr_context_buckets", (30,)),
-        mesh=kwargs.get("mesh"))
+        mesh=_mesh("asr"))
     nmt: Any = JaxNllbNmt(
         kwargs.get("nmt_cfg"), kwargs.get("nmt_params"),
         kwargs.get("nmt_tokenizer", shared_tok),
         lang_code_to_id=kwargs.get("lang_code_to_id"), quantize=quantize,
-        mesh=kwargs.get("mesh"))
+        mesh=_mesh("nmt"))
     tts: Any = JaxCosyVoiceTts(
         kwargs.get("tts_cfg"), kwargs.get("tts_params"),
         kwargs.get("tts_tokenizer", shared_tok), quantize=quantize,
-        mesh=kwargs.get("mesh"), official=kwargs.get("tts_official"),
+        mesh=_mesh("tts"), official=kwargs.get("tts_official"),
         mtp=kwargs.get("tts_mtp", 0))
     if batch_tts:
         from ..serve.batching import BatchedTts

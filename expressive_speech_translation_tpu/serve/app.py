@@ -406,14 +406,17 @@ class App:
         # which would make this endpoint lie about cold state
         backend_ok = False
         weights = "unknown"
+        placement: dict = {}
         name = self.manager.default_backend
         if name is not None:
             b = self.manager._backends[name]
             backend_ok = bool(getattr(b, "initialized", False))
             weights = getattr(b, "weights_info", lambda: "unknown")()
+            placement = getattr(b, "placement_info", dict)()
         return _json({
             "healthy": backend_ok,
             "weights": weights,
+            "placement": placement,
             "process_rss_mb": round(proc.memory_info().rss / 1e6, 1),
             "device_memory": device_memory_stats(),
         }, 200 if backend_ok else 503)
@@ -442,6 +445,8 @@ def create_app(
                 quantize=config.engines.quantize,
                 asr_context_buckets=tuple(config.engines.asr_context_buckets),
                 tts_mtp=config.engines.tts_mtp,
+                stage_parallel=config.engines.stage_parallel,
+                stage_tp=config.engines.stage_tp,
                 batch_tts=config.serve.tts_batching,
                 max_batch=config.serve.tts_max_batch,
                 batch_wait_ms=config.serve.tts_batch_wait_ms,
