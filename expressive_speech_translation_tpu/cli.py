@@ -215,12 +215,30 @@ def cmd_doctor(args) -> int:
             return f"official TTS triple loads ({n} tensors)"
         return f"baked: {present or 'none'} — official chain needs all three"
 
+    def _secondary_models():
+        """Baked secondary model families (bake_models --musetalk/--diff2lip/
+        --openvoice/--ecapa/--seamless): which load real weights vs fall back
+        to random (the reference loads all of these —
+        api_inference_logic.py:42-73, openvoice_api.py:39-114,
+        voice_similarity_analyser.py:26-33, translate_speech.py:79-154)."""
+        from pathlib import Path
+
+        root = args.weights or os.environ.get("EST_MODELS_DIR")
+        if not root:
+            return "no weights root (EST_MODELS_DIR unset)"
+        subs = ("musetalk", "musetalk_whisper", "diff2lip", "openvoice",
+                "ecapa", "seamless")
+        present = [s for s in subs if (Path(root) / s / "config.json").exists()]
+        missing = [s for s in subs if s not in present]
+        return f"baked: {present or 'none'}; random-weight fallback: {missing or 'none'}"
+
     check("jax_devices", _devices)
     check("jit_compile", _compile)
     check("pallas_kernel", _pallas)
     check("native_media_shim", _native)
     check("weights", _weights)
     check("tts_triple", _tts_triple)
+    check("secondary_models", _secondary_models)
     ok = all(c["ok"] for c in checks.values())
     print(json.dumps({"ok": ok, "checks": checks}, ensure_ascii=False, indent=2))
     return 0 if ok else 1
@@ -271,7 +289,10 @@ def cmd_bake(args) -> int:
     """Convert HF checkpoints to native orbax trees (deploy/Dockerfile.models)."""
     from .models.loaders import bake_models
 
-    bake_models(args.out, asr=args.asr, nmt=args.nmt, tts=args.tts)
+    bake_models(args.out, asr=args.asr, nmt=args.nmt, tts=args.tts,
+                musetalk=args.musetalk, musetalk_whisper=args.musetalk_whisper,
+                diff2lip=args.diff2lip, openvoice=args.openvoice,
+                ecapa=args.ecapa)
     return 0
 
 
@@ -322,6 +343,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser(
         "bake", help="convert HF checkpoints to native trees (models/loaders)")
     p.add_argument("--asr"); p.add_argument("--nmt"); p.add_argument("--tts")
+    p.add_argument("--musetalk"); p.add_argument("--musetalk-whisper")
+    p.add_argument("--diff2lip"); p.add_argument("--openvoice")
+    p.add_argument("--ecapa")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_bake)
     return parser

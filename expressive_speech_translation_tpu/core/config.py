@@ -194,6 +194,14 @@ class TrainConfig:
     mtp: int = 1
 
 
+def _default_temp_dir() -> str:
+    import tempfile
+
+    return os.environ.get(
+        "EST_TEMP_DIR",
+        os.path.join(tempfile.gettempdir(), "est_runtime"))
+
+
 @dataclass(frozen=True)
 class AppConfig:
     """Root configuration object."""
@@ -206,7 +214,10 @@ class AppConfig:
     train: TrainConfig = field(default_factory=TrainConfig)
     default_backend: str = "cascaded"
     log_dir: str = "logs"
-    temp_dir: str = "temp_video_processing_requests"
+    # Per-request UUID dirs + podcast storage live under a RUNTIME path, not
+    # the repo root (the reference nests its equivalent under Backend/ —
+    # services/video_routes.py:36-39; EST_TEMP_DIR overrides).
+    temp_dir: str = field(default_factory=lambda: _default_temp_dir())
     hf_token: Optional[str] = None
 
 

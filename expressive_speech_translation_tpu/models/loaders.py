@@ -66,12 +66,14 @@ def load_state_dict(path: str | Path) -> Dict[str, Any]:
         for shard in shards:
             state.update(_load_safetensors(p / shard))
         return state
-    for candidate in ("model.safetensors", "pytorch_model.bin", "model.pt", "llm.pt"):
+    for candidate in ("model.safetensors", "pytorch_model.bin", "model.pt", "llm.pt",
+                      "diffusion_pytorch_model.safetensors",
+                      "diffusion_pytorch_model.bin", "unet.pth"):
         if (p / candidate).exists():
             return load_state_dict(p / candidate)
     raise WeightsNotFoundError(
         f"no checkpoint found under {p} (looked for model.safetensors[.index.json], "
-        "pytorch_model.bin, model.pt, llm.pt)"
+        "pytorch_model.bin, model.pt, llm.pt, diffusion_pytorch_model.*, unet.pth)"
     )
 
 
@@ -198,10 +200,39 @@ def load_converted(out_dir: str | Path, cfg_cls):
 
 def bake_models(out_root: str | Path, *, asr: Optional[str] = None,
                 nmt: Optional[str] = None, tts: Optional[str] = None,
+                musetalk: Optional[str] = None,
+                musetalk_whisper: Optional[str] = None,
+                diff2lip: Optional[str] = None,
+                openvoice: Optional[str] = None,
+                ecapa: Optional[str] = None,
                 tts_llm_cfg=None, tts_flow_cfg=None, tts_hift_cfg=None) -> None:
     """Convert HF checkpoints into native trees under ``out_root``
-    ({out}/asr, {out}/nmt, {out}/tts) — the Dockerfile.models build step."""
+    ({out}/asr, {out}/nmt, {out}/tts*, {out}/musetalk[, _whisper],
+    {out}/diff2lip) — the Dockerfile.models build step."""
     out = Path(out_root)
+    if musetalk:
+        params, cfg = load_musetalk(musetalk)
+        save_converted(params, cfg, out / "musetalk")
+        log.info("baked MuseTalk %s -> %s", musetalk, out / "musetalk")
+    if musetalk_whisper:
+        # the conditioning encoder (whisper-tiny for the published UNet) —
+        # separate from the ASR bake, whose scale is Whisper-medium
+        params, cfg = load_whisper(musetalk_whisper)
+        save_converted(params, cfg, out / "musetalk_whisper")
+        log.info("baked MuseTalk whisper %s -> %s", musetalk_whisper,
+                 out / "musetalk_whisper")
+    if diff2lip:
+        params, cfg = load_diff2lip(diff2lip)
+        save_converted(params, cfg, out / "diff2lip")
+        log.info("baked diff2lip %s -> %s", diff2lip, out / "diff2lip")
+    if openvoice:
+        params, cfg = load_openvoice(openvoice)
+        save_converted(params, cfg, out / "openvoice")
+        log.info("baked OpenVoice %s -> %s", openvoice, out / "openvoice")
+    if ecapa:
+        params, cfg = load_ecapa(ecapa)
+        save_converted(params, cfg, out / "ecapa")
+        log.info("baked ECAPA %s -> %s", ecapa, out / "ecapa")
     if asr:
         params, cfg = load_whisper(asr)
         save_converted(params, cfg, out / "asr")
@@ -340,6 +371,132 @@ def load_official_tts(models_root: str | Path):
     return {"lm": lm_params, "flow": flow_params, "hift": hift_params}, cfg
 
 
+def load_musetalk(path: str | Path, cfg=None):
+    """MuseTalk release layout → ({"vae","unet"} params, MuseTalkConfig).
+
+    Accepts the layout the reference container assembles
+    (Docker/api_inference_logic.py:42-73 via utils.load_all_model —
+    models/sd-vae-ft-mse/ diffusers AutoencoderKL + models/musetalk/
+    {musetalk.json, pytorch_model.bin}); also a flat dir with vae/ + unet
+    weights. Config dims are read from the two JSONs when present."""
+    from . import musetalk as mtm
+
+    root = Path(path)
+    vae_dir = next((d for d in (root / "sd-vae-ft-mse", root / "vae", root)
+                    if (d / "config.json").exists()
+                    and any((d / f).exists() for f in (
+                        "diffusion_pytorch_model.safetensors",
+                        "diffusion_pytorch_model.bin", "model.safetensors",
+                        "pytorch_model.bin"))), None)
+    unet_file = next((f for f in (root / "musetalk" / "pytorch_model.bin",
+                                  root / "musetalk" / "unet.pth",
+                                  root / "unet.pth",
+                                  root / "pytorch_model.bin") if f.exists()), None)
+    if vae_dir is None or unet_file is None:
+        raise WeightsNotFoundError(
+            f"MuseTalk checkpoints not found under {root} — expected "
+            "sd-vae-ft-mse/ (diffusers AutoencoderKL) and musetalk/"
+            "pytorch_model.bin (+ musetalk.json)")
+
+    if cfg is None:
+        vae_hf = json.loads((vae_dir / "config.json").read_text())
+        kwargs: Dict[str, Any] = dict(
+            vae_channels=tuple(vae_hf.get("block_out_channels", (128, 256, 512, 512))),
+            vae_layers=vae_hf.get("layers_per_block", 2),
+            latent_channels=vae_hf.get("latent_channels", 4),
+            image_size=256,
+            norm_groups=vae_hf.get("norm_num_groups", 32),
+        )
+        unet_json = next((f for f in (unet_file.parent / "musetalk.json",
+                                      root / "musetalk.json") if f.exists()), None)
+        if unet_json is not None:
+            u = json.loads(unet_json.read_text())
+            kwargs.update(
+                unet_channels=tuple(u.get("block_out_channels", (320, 640, 1280, 1280))),
+                unet_layers=u.get("layers_per_block", 2),
+                audio_dim=u.get("cross_attention_dim", 384),
+                heads=u.get("attention_head_dim", 8),
+            )
+        cfg = mtm.MuseTalkConfig(**kwargs)
+    params = mtm.from_hf_state_dict(
+        load_state_dict(vae_dir), load_state_dict(unet_file), cfg)
+    return params, cfg
+
+
+def load_diff2lip(path: str | Path, cfg=None):
+    """diff2lip TFG checkpoint (the pickled e2e model the reference loads via
+    Backend/diff2lip_loader.py:12-40 multi-fallback) → (params,
+    Diff2LipConfig). Accepts a file or a dir containing one."""
+    from . import gd_unet
+    from ..pipeline.diff2lip import Diff2LipConfig
+
+    p = Path(path)
+    if p.is_dir():
+        for candidate in ("checkpoint.pt", "model.pt", "e2e.pt", "data.pkl"):
+            if (p / candidate).exists():
+                p = p / candidate
+                break
+    cfg = cfg or Diff2LipConfig()
+    state = load_state_dict(p)
+    return gd_unet.from_tfg_state_dict(state, cfg.unet), cfg
+
+
+def load_openvoice(path: str | Path, cfg=None):
+    """OpenVoice v2 converter dir (checkpoints_v2/converter: config.json +
+    checkpoint.pth — openvoice_api.py:39-69 validates gin_channels=256 from
+    exactly this config) → (params, OpenVoiceConfig)."""
+    from . import openvoice as ov
+
+    p = Path(path)
+    ckpt = p if p.is_file() else next(
+        (f for f in (p / "checkpoint.pth", p / "converter.pth", p / "model.pth")
+         if f.exists()), None)
+    if ckpt is None:
+        raise WeightsNotFoundError(
+            f"no OpenVoice converter checkpoint under {p} "
+            "(looked for checkpoint.pth/converter.pth/model.pth)")
+    cfg_file = (p if p.is_dir() else p.parent) / "config.json"
+    if cfg is None and cfg_file.exists():
+        spec = json.loads(cfg_file.read_text())
+        m, d = spec.get("model", {}), spec.get("data", {})
+        cfg = ov.OpenVoiceConfig(
+            sample_rate=d.get("sampling_rate", 22_050),
+            n_fft=d.get("filter_length", 1024),
+            hop=d.get("hop_length", 256),
+            n_spec=d.get("filter_length", 1024) // 2 + 1,
+            inter_channels=m.get("inter_channels", 192),
+            hidden=m.get("hidden_channels", 192),
+            se_dim=m.get("gin_channels", 256),
+            zero_g=m.get("zero_g", True),
+            resblock_kernels=tuple(m.get("resblock_kernel_sizes", (3, 7, 11))),
+            resblock_dilations=tuple(tuple(x) for x in m.get(
+                "resblock_dilation_sizes", ((1, 3, 5),) * 3)),
+            upsample_rates=tuple(m.get("upsample_rates", (8, 8, 2, 2))),
+            upsample_kernels=tuple(m.get("upsample_kernel_sizes", (16, 16, 4, 4))),
+            upsample_initial=m.get("upsample_initial_channel", 512),
+        )
+    cfg = cfg or ov.OpenVoiceConfig()
+    return ov.from_openvoice_state_dict(load_state_dict(ckpt), cfg), cfg
+
+
+def load_ecapa(path: str | Path, cfg=None):
+    """SpeechBrain spkrec-ecapa-voxceleb embedding_model.ckpt (or a dir
+    containing it — voice_similarity_analyser.py:26-33's source) →
+    (params, EcapaConfig)."""
+    from . import ecapa as ec
+
+    p = Path(path)
+    if p.is_dir():
+        for candidate in ("embedding_model.ckpt", "embedding_model.pt",
+                          "model.ckpt"):
+            if (p / candidate).exists():
+                p = p / candidate
+                break
+    state = load_state_dict(p)
+    cfg = cfg or ec.EcapaConfig()
+    return ec.from_speechbrain_state_dict(state, cfg), cfg
+
+
 def load_qwen2_backbone(path: str | Path, cfg=None):
     from . import qwen2 as q2
 
@@ -368,9 +525,17 @@ def main(argv=None) -> int:
     ap.add_argument("--asr", help="HF Whisper checkpoint dir")
     ap.add_argument("--nmt", help="HF NLLB checkpoint dir")
     ap.add_argument("--tts", help="CosyVoice checkpoint dir")
+    ap.add_argument("--musetalk", help="MuseTalk release dir (sd-vae-ft-mse/ + musetalk/)")
+    ap.add_argument("--musetalk-whisper", help="HF whisper-tiny dir (MuseTalk conditioner)")
+    ap.add_argument("--diff2lip", help="diff2lip TFG checkpoint (file or dir)")
+    ap.add_argument("--openvoice", help="OpenVoice v2 converter dir")
+    ap.add_argument("--ecapa", help="speechbrain ECAPA checkpoint (file or dir)")
     ap.add_argument("--out", required=True, help="output root for native trees")
     args = ap.parse_args(argv)
-    bake_models(args.out, asr=args.asr, nmt=args.nmt, tts=args.tts)
+    bake_models(args.out, asr=args.asr, nmt=args.nmt, tts=args.tts,
+                musetalk=args.musetalk, musetalk_whisper=args.musetalk_whisper,
+                diff2lip=args.diff2lip, openvoice=args.openvoice,
+                ecapa=args.ecapa)
     return 0
 
 

@@ -1,15 +1,17 @@
 """diff2lip: diffusion-based lip-sync (the reference's legacy path, pre-MuseTalk).
 
 Parity with Backend/diff2lip/generate.py (414 LoC) + guided_diffusion:
-mel-window cropping aligned to video fps (:36-43), face-box smoothing over a
-5-frame window (:92-149; the S3FD role is filled by the clip-level skin×motion
-face detector in pipeline/face.py, with a centre-crop fallback; a per-frame
-detector can still be plugged in), DDPM/DDIM sampling over a timestep-conditioned UNet
-(:159-199), and ``--sample_mode cross`` for cross-identity dubbing
+mel-window cropping aligned to video fps (:36-43 — 80 Hz mel, 16-step
+windows), face-box smoothing over a 5-frame window (:92-149; the S3FD role is
+filled by the clip-level skin×motion face detector in pipeline/face.py, with a
+centre-crop fallback; a per-frame detector can still be plugged in), DDPM/DDIM
+sampling (:159-199) over the guided-diffusion TFG UNet
+(``models/gd_unet.py`` — the checkpoint-exact multi-resolution attention UNet,
+unet.py:400-1070), masked-region conditioning per tfg_process_batch
+(tfg_data_util.py:53-62: the bottom ``face_hide_percentage`` of the crop is
+hidden and re-synthesised; the visible region is pasted back after sampling,
+generate.py:272-273), and ``--sample_mode cross`` for cross-identity dubbing
 (tests/test_diff2lip.py:31).
-
-The UNet reuses the MuseTalk conv/attn blocks with added timestep conditioning
-(guided_diffusion-style temb → per-channel scale/shift).
 """
 
 from __future__ import annotations
@@ -23,8 +25,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import musetalk as mtm
-from ..models.common import Params, dense, init_dense, init_mlp, mlp
-from ..models.diffusion import DiffusionConfig, GaussianDiffusion, space_timesteps, timestep_embedding
+from ..models.common import Params
+from ..models.diffusion import DiffusionConfig, GaussianDiffusion, space_timesteps
+from ..models.gd_unet import GDUNetConfig, gd_unet_apply, init_gd_unet
 from ..ops.mel import kaldi_fbank
 
 log = logging.getLogger(__name__)
@@ -37,15 +40,16 @@ def mel_windows_for_frames(
     audio_16k: np.ndarray, n_frames: int, fps: float,
     *, window_frames: int = 16, n_mels: int = 80,
 ) -> np.ndarray:
-    """Per-video-frame mel crops (generate.py:36-43 crop_audio_window parity):
-    for frame i, a [window_frames, n_mels] mel slice centred at its timestamp."""
+    """Per-video-frame mel crops (generate.py crop_audio_window parity:
+    start = 80·t — 80 Hz mel, 16-step syncnet windows): for frame i, a
+    [window_frames, n_mels] mel slice starting at its timestamp."""
     feats = np.asarray(kaldi_fbank(
         jnp.asarray(np.asarray(audio_16k, np.float32).reshape(-1)[None]),
-        sr=16_000, frame_length_ms=25.0, frame_shift_ms=10.0, n_mels=n_mels,
-    ))[0]  # [T_mel, n_mels] at 100 Hz
+        sr=16_000, frame_length_ms=25.0, frame_shift_ms=12.5, n_mels=n_mels,
+    ))[0]  # [T_mel, n_mels] at 80 Hz
     t_mel = feats.shape[0]
-    centers = (np.arange(n_frames) / fps * 100.0).astype(np.int64)
-    starts = np.clip(centers - window_frames // 2, 0, max(t_mel - window_frames, 0))
+    starts = (np.arange(n_frames) / fps * 80.0).astype(np.int64)
+    starts = np.clip(starts, 0, max(t_mel - window_frames, 0))
     idx = np.clip(starts[:, None] + np.arange(window_frames)[None, :], 0, t_mel - 1)
     return feats[idx]  # [n_frames, window_frames, n_mels]
 
@@ -77,81 +81,48 @@ def center_face_detector(frame: np.ndarray) -> Tuple[int, int, int, int]:
     return (y0, x0, y0 + size, x0 + size)
 
 
-# ---------------------------------------------------------------------- UNet
+# --------------------------------------------------------------------- config
 
 
 @dataclasses.dataclass(frozen=True)
 class Diff2LipConfig:
+    """Published Diff2Lip e2e checkpoint geometry by default
+    (generate.py defaults + script_util.py: image 128, 128 base channels,
+    mult (1,1,2,3,4), attention at ds 8/16, 4 heads, scale-shift norm,
+    use_ref + audio-as-style)."""
+
     image_size: int = 128
-    channels: Tuple[int, ...] = (32, 64, 128)
+    model_channels: int = 128
+    channel_mult: Tuple[int, ...] = (1, 1, 2, 3, 4)
+    attention_ds: Tuple[int, ...] = (8, 16)
     heads: int = 4
+    norm_groups: int = 32
     mel_window: int = 16
     n_mels: int = 80
-    temb_dim: int = 128
+    audio_model_channels: int = 32
+    audio_channel_mult: Tuple[int, ...] = (1, 2, 3, 4)
+    audio_init_spatial: int = 64
+    face_hide_percentage: float = 0.5     # generate.py:372
     diffusion_steps: int = 1000
-    sampling_steps: str = "ddim25"   # respaced sampling (generate.py timestep_respacing)
+    sampling_steps: str = "ddim25"   # respaced sampling (timestep_respacing)
     schedule: str = "linear"
+
+    @property
+    def unet(self) -> GDUNetConfig:
+        return GDUNetConfig(
+            image_size=self.image_size, in_channels=9, out_channels=3,
+            model_channels=self.model_channels, channel_mult=self.channel_mult,
+            attention_ds=self.attention_ds, num_heads=self.heads,
+            norm_groups=self.norm_groups,
+            audio_dim=self.n_mels, audio_frames=self.mel_window,
+            audio_model_channels=self.audio_model_channels,
+            audio_channel_mult=self.audio_channel_mult,
+            audio_init_spatial=self.audio_init_spatial,
+        )
 
 
 def init_diff2lip_unet(key, cfg: Diff2LipConfig) -> Params:
-    ks = iter(jax.random.split(key, 96))
-    chans = cfg.channels
-    p: Dict[str, Any] = {
-        # input: noisy target (3) ⊕ masked target (3) ⊕ identity reference (3)
-        "conv_in": mtm._init_conv2d(next(ks), 3, 9, chans[0]),
-        "temb": init_mlp(next(ks), cfg.temb_dim, cfg.temb_dim),
-        "mel_proj": init_dense(next(ks), cfg.mel_window * cfg.n_mels, cfg.temb_dim),
-        "downs": [], "ups": [],
-    }
-    for i, ch in enumerate(chans):
-        prev = chans[max(i - 1, 0)]
-        p["downs"].append({
-            "res": mtm._init_resblock(next(ks), prev if i else chans[0], ch),
-            "temb_proj": init_dense(next(ks), cfg.temb_dim, 2 * ch),
-            "down": mtm._init_conv2d(next(ks), 3, ch, ch) if i < len(chans) - 1 else None,
-        })
-    p["mid"] = mtm._init_resblock(next(ks), chans[-1], chans[-1])
-    p["mid_temb"] = init_dense(next(ks), cfg.temb_dim, 2 * chans[-1])
-    for i, ch in enumerate(reversed(chans)):
-        nxt = list(reversed(chans))[min(i + 1, len(chans) - 1)]
-        p["ups"].append({
-            "res": mtm._init_resblock(next(ks), 2 * ch, nxt),
-            "temb_proj": init_dense(next(ks), cfg.temb_dim, 2 * nxt),
-        })
-    p["gn_out"] = mtm._init_gn(chans[0])
-    p["conv_out"] = mtm._init_conv2d(next(ks), 3, chans[0], 3)
-    return p
-
-
-def _film(x, temb_proj, temb):
-    """Per-channel scale/shift from the timestep embedding (guided-diffusion
-    style FiLM conditioning)."""
-    scale, shift = jnp.split(dense(temb_proj, temb)[:, None, None, :], 2, axis=-1)
-    return x * (1 + scale) + shift
-
-
-def unet_apply(params: Params, cfg: Diff2LipConfig, x_t, t, *, cond_frames, mel) -> jnp.ndarray:
-    """x_t [B,H,W,3]; cond_frames [B,H,W,6] (masked ⊕ identity);
-    mel [B, mel_window, n_mels] → eps prediction [B,H,W,3]."""
-    b = x_t.shape[0]
-    temb = mlp(params["temb"], timestep_embedding(t, cfg.temb_dim))
-    temb = temb + dense(params["mel_proj"], mel.reshape(b, -1))
-
-    x = mtm._conv2d(params["conv_in"], jnp.concatenate([x_t, cond_frames], axis=-1))
-    skips = []
-    for down in params["downs"]:
-        x = _film(mtm._resblock(down["res"], x), down["temb_proj"], temb)
-        skips.append(x)
-        if down["down"] is not None:
-            x = mtm._conv2d(down["down"], x, stride=2)
-    x = _film(mtm._resblock(params["mid"], x), params["mid_temb"], temb)
-    for up in params["ups"]:
-        skip = skips.pop()
-        if x.shape[1] != skip.shape[1]:
-            x = mtm._upsample2x(x)
-        x = _film(mtm._resblock(up["res"], jnp.concatenate([x, skip], axis=-1)),
-                  up["temb_proj"], temb)
-    return mtm._conv2d(params["conv_out"], jax.nn.silu(mtm._group_norm(params["gn_out"], x)))
+    return init_gd_unet(key, cfg.unet)
 
 
 # ------------------------------------------------------------------ pipeline
@@ -183,16 +154,31 @@ class Diff2LipPipeline:
             use_timesteps=space_timesteps(cfg.diffusion_steps, cfg.sampling_steps),
         )
 
-        def model_fn(x_t, t, *, cond_frames, mel):
-            return unet_apply(self.params, self.cfg, x_t, t, cond_frames=cond_frames, mel=mel)
+        s = cfg.image_size
+        mask = np.zeros((s, s, 1), np.float32)
+        mask[int(s * (1.0 - cfg.face_hide_percentage)):] = 1.0   # hidden mouth region
+        self._mask = jnp.asarray(mask)
+
+        def model_fn(x_t, t, *, cond_img, ref_img, mel):
+            return gd_unet_apply(self.params, self.cfg.unet, x_t, t,
+                                 cond_img=cond_img, mask=self._mask,
+                                 ref_img=ref_img, mel=mel)
 
         sampler = self.diffusion.ddim_sample_loop if use_ddim else self.diffusion.p_sample_loop
-        self._sample = jax.jit(
-            lambda key, cond, mel: sampler(
-                model_fn, (cond.shape[0], cfg.image_size, cfg.image_size, 3), key,
-                cond_frames=cond, mel=mel,
+
+        def run(key, crops, ref, mel):
+            noise = jax.random.normal(key, crops.shape, crops.dtype)
+            # cond = visible region of the target + noise in the hidden region
+            cond = crops * (1.0 - self._mask) + self._mask * noise
+            key, sub = jax.random.split(key)
+            sample = sampler(
+                model_fn, (crops.shape[0], s, s, 3), sub,
+                cond_img=cond, ref_img=ref, mel=mel,
             )
-        )
+            # only the hidden region is generated (generate.py:272-273)
+            return sample * self._mask + (1.0 - self._mask) * crops
+
+        self._sample = jax.jit(run)
 
     def generate(
         self,
@@ -236,11 +222,9 @@ class Diff2LipPipeline:
                 crops.append(crop)
                 id_crops.append(icrop)
             crops_a = jnp.stack(crops)
-            masked = crops_a.at[:, s // 2:, :, :].set(0.0)   # mask the jaw
-            cond = jnp.concatenate([masked, jnp.stack(id_crops)], axis=-1)
             mel = jnp.asarray(mels[list(idx)], jnp.float32)
             key, k = jax.random.split(key)
-            rendered = self._sample(k, cond, mel)
+            rendered = self._sample(k, crops_a, jnp.stack(id_crops), mel)
             for j, i in enumerate(idx):
                 y0, x0, y1, x1 = boxes[i]
                 frame = jnp.asarray(out[i], jnp.float32) / 127.5 - 1.0

@@ -69,7 +69,14 @@ class Engines:
         """Per-stage device ids the stage's params live on — shows whether
         stage-placement parallelism (parallel/stages.py) / TP sharding took
         effect. Surfaced in /health/model. Empty list = host-side engine
-        (fake/remote) with no device-resident params."""
+        (fake/remote) with no device-resident params.
+
+        Placement is fixed once the engines are constructed, so the pytree
+        walk (O(n_leaves) on reference-scale models) runs once and the result
+        is cached — /health/model polling stays O(1)."""
+        cached = getattr(self, "_placement_cache", None)
+        if cached is not None:
+            return cached
         out: Dict[str, List[int]] = {}
         for stage, e in (("asr", self.asr), ("nmt", self.nmt), ("tts", self.tts)):
             e = getattr(e, "engine", e)  # unwrap serving micro-batchers
@@ -83,6 +90,8 @@ class Engines:
                         d.id for d in getattr(a, "devices", set)()),
                     params)
             out[stage] = sorted(devices)
+        # object.__setattr__-free: Engines is a plain (non-frozen) dataclass
+        self._placement_cache = out
         return out
 
 

@@ -1166,6 +1166,17 @@ def jax_engines(*, batch_tts: bool = False, batch_asr: bool = False,
     from .engines import Engines
 
     per_stage = kwargs.get("stage_meshes")
+    if stage_tp > 1 and (not stage_parallel or per_stage is not None):
+        # stage_tp only takes effect when THIS function builds the stage
+        # meshes — loud warning instead of a silent no-op (a misconfigured
+        # EST_ENGINES__STAGE_TP without STAGE_PARALLEL=1 would otherwise
+        # quietly serve unsharded).
+        log.warning(
+            "stage_tp=%d ignored: %s — set stage_parallel=True "
+            "(EST_ENGINES__STAGE_PARALLEL=1) and drop explicit stage_meshes "
+            "for per-stage tensor parallelism", stage_tp,
+            "explicit stage_meshes given" if per_stage is not None
+            else "stage_parallel is off")
     if stage_parallel and per_stage is None:
         from ..parallel.stages import placement_report, stage_meshes
 

@@ -29,10 +29,11 @@ log = logging.getLogger(__name__)
 
 
 def _mel_audio_features(audio_16k: np.ndarray, audio_dim: int) -> jnp.ndarray:
-    """Default audio-feature extractor: log-mel frames tiled to ``audio_dim``
-    at ~50 features/s (the reference feeds whisper encoder states at 50 Hz —
-    api_inference_logic.py:99-102; a whisper encoder can be plugged in via
-    ``audio_feature_fn``)."""
+    """Fallback audio-feature extractor when NO whisper encoder is available:
+    log-mel frames tiled to ``audio_dim`` at 50 features/s. The reference
+    (and this pipeline's default when weights/an encoder are present —
+    :func:`whisper_feature_fn`) feeds whisper encoder states at 50 Hz
+    (api_inference_logic.py:99-102)."""
     from ..ops.mel import mel_filterbank
     from ..ops.stft import spectrogram
 
@@ -44,6 +45,39 @@ def _mel_audio_features(audio_16k: np.ndarray, audio_dim: int) -> jnp.ndarray:
     return jnp.tile(feats, (1, reps))[:, :audio_dim]
 
 
+def whisper_feature_fn(params, cfg, *, dtype=jnp.bfloat16) -> Callable[[np.ndarray], jnp.ndarray]:
+    """50 Hz Whisper ENCODER states as the UNet audio condition — the
+    reference's semantics (api_inference_logic.py:63-72, :99-102: a resident
+    WhisperModel encodes the dub audio; windows of encoder features per video
+    frame). ``params``/``cfg`` are a models/whisper tree (whisper-tiny for the
+    published MuseTalk UNet: cross_attention_dim 384 == tiny d_model).
+
+    Audio is encoded in whisper's native 30 s windows and the feature stream
+    truncated to ceil(duration·50) — one encoder state per 20 ms, exactly the
+    rate whisper_chunks_for_video assumes."""
+    from ..models import whisper as wj
+    from ..models.common import cast_floats
+    from ..ops import whisper_log_mel
+
+    params = cast_floats(params, dtype)
+    encode = jax.jit(lambda mel: wj.encode(params, cfg, mel))
+
+    def fn(audio_16k: np.ndarray) -> jnp.ndarray:
+        audio = np.asarray(audio_16k, np.float32).reshape(-1)
+        n_feat = max(int(np.ceil(len(audio) / 16_000.0 * 50.0)), 1)
+        chunk = 30 * 16_000
+        outs = []
+        for start in range(0, max(len(audio), 1), chunk):
+            seg = audio[start:start + chunk]
+            mel = whisper_log_mel(jnp.asarray(seg)[None],
+                                  chunk_samples=chunk).astype(dtype)
+            outs.append(encode(mel)[0])          # [1500, d_model]
+        feats = jnp.concatenate(outs, axis=0)
+        return feats[:n_feat]
+
+    return fn
+
+
 class MuseTalkPipeline:
     def __init__(
         self,
@@ -51,6 +85,7 @@ class MuseTalkPipeline:
         cfg: mtm.MuseTalkConfig = None,
         *,
         audio_feature_fn: Optional[Callable[[np.ndarray], jnp.ndarray]] = None,
+        whisper=None,          # (whisper_params, WhisperConfig) — the default condition
         batch_size: int = 8,   # api_inference_logic.py:130
         dtype=jnp.bfloat16,
     ):
@@ -62,6 +97,16 @@ class MuseTalkPipeline:
 
         self.params = cast_floats(params, dtype)
         self.dtype = dtype
+        if audio_feature_fn is None and whisper is not None:
+            w_params, w_cfg = whisper
+            if w_cfg.d_model != self.cfg.audio_dim:
+                log.warning(
+                    "MuseTalkPipeline: whisper d_model %d != UNet audio_dim %d "
+                    "— falling back to tiled log-mel features (the published "
+                    "MuseTalk UNet conditions on whisper-TINY states)",
+                    w_cfg.d_model, self.cfg.audio_dim)
+            else:
+                audio_feature_fn = whisper_feature_fn(w_params, w_cfg, dtype=dtype)
         self.audio_feature_fn = audio_feature_fn or (
             lambda a: _mel_audio_features(a, self.cfg.audio_dim))
         self.batch_size = batch_size

@@ -24,6 +24,7 @@ from __future__ import annotations
 import io
 import json
 import logging
+import os
 import tempfile
 import threading
 import time
@@ -273,6 +274,15 @@ class OpenVoiceService(_ServiceApp):
 
         from ..models import openvoice as ov
 
+        root = os.environ.get("EST_MODELS_DIR")
+        if root and (Path(root) / "openvoice" / "config.json").exists():
+            from ..models.loaders import load_converted
+
+            self._params, self._cfg = load_converted(
+                Path(root) / "openvoice", ov.OpenVoiceConfig)
+            log.info("OpenVoiceService: baked converter from %s",
+                     Path(root) / "openvoice")
+            return
         self._cfg = ov.OpenVoiceConfig()
         log.warning("OpenVoiceService: random weights (no checkpoint supplied)")
         self._params = ov.init_openvoice(jax.random.PRNGKey(5), self._cfg)
@@ -338,12 +348,37 @@ def run_service(name: str, port: Optional[int] = None) -> None:
         app.warm_up()
     elif name == "musetalk":
         # the container entrypoint serves the REAL full-frame pipeline
-        # (detection → crop → render → blend); random weights unless
-        # checkpoints are wired — surfaced by the engine's own warning
+        # (detection → crop → render → blend). Baked weights load from
+        # EST_MODELS_DIR/musetalk (bake_models --musetalk), and the audio
+        # condition defaults to 50 Hz whisper ENCODER states from a resident
+        # encoder whose width matches the UNet (EST_MODELS_DIR/
+        # musetalk_whisper, then asr) — the reference's own conditioning
+        # (api_inference_logic.py:63-72, :99-102). Random weights + tiled
+        # log-mel otherwise, surfaced by the engine's warnings.
         from ..media.native import NativeVideoIO
         from ..pipeline.musetalk_pipeline import musetalk_lipsync_fn
 
-        app = cls(video_io=NativeVideoIO(lipsync_fn=musetalk_lipsync_fn()))
+        params = mt_cfg = whisper = None
+        root = os.environ.get("EST_MODELS_DIR")
+        if root:
+            from pathlib import Path
+
+            from ..models import musetalk as mtm, whisper as wjm
+            from ..models.loaders import load_converted
+
+            if (Path(root) / "musetalk" / "config.json").exists():
+                params, mt_cfg = load_converted(
+                    Path(root) / "musetalk", mtm.MuseTalkConfig)
+            audio_dim = (mt_cfg or mtm.MuseTalkConfig()).audio_dim
+            for sub in ("musetalk_whisper", "asr"):
+                if (Path(root) / sub / "config.json").exists():
+                    w_params, w_cfg = load_converted(Path(root) / sub,
+                                                     wjm.WhisperConfig)
+                    if w_cfg.d_model == audio_dim:
+                        whisper = (w_params, w_cfg)
+                        break
+        app = cls(video_io=NativeVideoIO(
+            lipsync_fn=musetalk_lipsync_fn(params, mt_cfg, whisper=whisper)))
     else:
         app = cls()
     run_simple("0.0.0.0", port or default_port, app, threaded=True)

@@ -105,3 +105,53 @@ def test_loaders_cli(hf_whisper_dir, tmp_path):
     assert loaders.main(["--asr", str(hf_whisper_dir), "--out", str(tmp_path)]) == 0
     cfg = json.loads((tmp_path / "asr" / "config.json").read_text())
     assert cfg["d_model"] == 64
+
+
+@pytest.mark.slow
+def test_bake_musetalk_roundtrip(tmp_path):
+    """MuseTalk release layout (sd-vae-ft-mse/ + musetalk/) → bake_models
+    --musetalk → orbax tree that reloads config-true and output-identical
+    (incl. the None leaves for blocks without down/upsamplers)."""
+    from test_musetalk_convert import CFG as MCFG, TorchUNet, TorchVAE
+
+    from expressive_speech_translation_tpu.models import musetalk as mt
+
+    root = tmp_path / "MuseTalk_models"
+    vae_dir = root / "sd-vae-ft-mse"
+    unet_dir = root / "musetalk"
+    vae_dir.mkdir(parents=True)
+    unet_dir.mkdir()
+
+    torch.manual_seed(5)
+    tv, tu = TorchVAE(MCFG).eval(), TorchUNet(MCFG).eval()
+    torch.save(tv.state_dict(), vae_dir / "diffusion_pytorch_model.bin")
+    (vae_dir / "config.json").write_text(json.dumps({
+        "block_out_channels": list(MCFG.vae_channels),
+        "layers_per_block": MCFG.vae_layers,
+        "latent_channels": MCFG.latent_channels,
+        "norm_num_groups": MCFG.norm_groups,
+    }))
+    torch.save(tu.state_dict(), unet_dir / "pytorch_model.bin")
+    (unet_dir / "musetalk.json").write_text(json.dumps({
+        "block_out_channels": list(MCFG.unet_channels),
+        "layers_per_block": MCFG.unet_layers,
+        "cross_attention_dim": MCFG.audio_dim,
+        "attention_head_dim": MCFG.heads,
+    }))
+
+    out = tmp_path / "baked"
+    loaders.bake_models(out, musetalk=str(root))
+    params, cfg = loaders.load_converted(out / "musetalk", mt.MuseTalkConfig)
+    assert cfg.audio_dim == MCFG.audio_dim
+    assert cfg.unet_channels == MCFG.unet_channels
+    # None placeholders (no downsampler in the last block) survive the trip
+    assert params["vae"]["encoder"]["down"][-1]["downsample"] is None
+
+    g = np.random.default_rng(7)
+    imgs = np.asarray(g.uniform(-1, 1, (1, 32, 32, 3)), np.float32)
+    import jax.numpy as jnp
+
+    direct = mt.from_hf_state_dict(tv.state_dict(), tu.state_dict(), MCFG)
+    a = mt.vae_encode(params["vae"], cfg, jnp.asarray(imgs))
+    b = mt.vae_encode(direct["vae"], MCFG, jnp.asarray(imgs))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

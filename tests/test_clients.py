@@ -136,9 +136,15 @@ def test_similarity_client_scores_like_local():
                               retries=1, retry_delay_s=0)
     a, b = tone(220.0), tone(220.5)
     remote = client.compare(a, b)
-    local = float(speaker_similarity(a, b))
-    # PCM16 quantization on the upload leg shifts the embedding slightly
-    assert remote == pytest.approx(local, abs=0.02)
+    # the upload leg quantizes to PCM16; score the SAME quantized audio
+    # locally so the check isolates transport wiring from the (random-weight)
+    # model's sensitivity to quantization noise. Mirror the exact round-trip:
+    # _wav_bytes truncates via astype(int16) after *32767, read_wav divides
+    # by 32768.
+    qa = np.trunc(np.clip(a, -1.0, 1.0) * 32767.0) / 32768.0
+    qb = np.trunc(np.clip(b, -1.0, 1.0) * 32767.0) / 32768.0
+    local = float(speaker_similarity(qa, qb))
+    assert remote == pytest.approx(local, abs=2e-4)
     assert 0.0 <= remote <= 1.0
 
 

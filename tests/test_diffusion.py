@@ -128,7 +128,10 @@ def test_diff2lip_pipeline_end_to_end_tiny():
         Diff2LipConfig, Diff2LipPipeline, mel_windows_for_frames, smooth_boxes,
     )
 
-    cfg = Diff2LipConfig(image_size=32, channels=(8, 16), heads=2,
+    cfg = Diff2LipConfig(image_size=32, model_channels=8, channel_mult=(1, 2),
+                         attention_ds=(2,), heads=2, norm_groups=4,
+                         audio_model_channels=8, audio_channel_mult=(1, 2),
+                         audio_init_spatial=16,
                          diffusion_steps=64, sampling_steps="ddim4")
     pipe = Diff2LipPipeline(cfg)
     g = np.random.default_rng(0)

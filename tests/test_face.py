@@ -167,7 +167,8 @@ def test_musetalk_pipeline_full_frames_no_bbox():
     )
 
     cfg = mt.MuseTalkConfig(image_size=32, vae_channels=(8, 16, 32),
-                            unet_channels=(8, 16, 32), audio_dim=48, heads=2)
+                            vae_layers=1, unet_channels=(8, 16, 32),
+                            unet_layers=1, audio_dim=48, heads=2, norm_groups=4)
     params = mt.init_musetalk(jax.random.PRNGKey(3), cfg)
     frames = synthetic_clip(n=6)
     sr = 16_000
@@ -194,7 +195,10 @@ def test_diff2lip_default_detector_uses_face():
         Diff2LipConfig, Diff2LipPipeline,
     )
 
-    cfg = Diff2LipConfig(image_size=32, channels=(8, 16), heads=2,
+    cfg = Diff2LipConfig(image_size=32, model_channels=8, channel_mult=(1, 2),
+                         attention_ds=(2,), heads=2, norm_groups=4,
+                         audio_model_channels=8, audio_channel_mult=(1, 2),
+                         audio_init_spatial=16,
                          diffusion_steps=8, sampling_steps="ddim2")
     pipe = Diff2LipPipeline(cfg)
     frames = synthetic_clip(n=4)
