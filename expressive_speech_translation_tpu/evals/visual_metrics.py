@@ -18,6 +18,12 @@ Reference → stand-in map (Evaluation/analyze_outputs.py:177-426):
 Each function documents exactly what it measures; absolute numbers are not
 comparable to the external models, but the *relative* orderings the MCF study
 consumes (system A vs system B on the same inputs) are.
+
+When real learned models ARE mounted (``$EST_MODELS_DIR/arcface``,
+``/visual_emotion``, ``/deepfake`` — see :mod:`.visual_models`), the battery
+dispatches to them instead, and ``video_metrics`` labels each member's source
+(``visual_battery_sources`` CSV column) so proxy orderings are never mistaken
+for learned absolute scores.
 """
 
 from __future__ import annotations
@@ -70,11 +76,21 @@ def visual_identity_distance(
     source_frames: np.ndarray, output_frames: np.ndarray,
 ) -> float:
     """Cosine distance between face-crop embeddings (lower = same identity
-    preserved; DeepFace.verify 'distance' semantics)."""
+    preserved; DeepFace.verify 'distance' semantics). Uses the mounted
+    ArcFace-style embedder when present (visual_models.registry().identity),
+    the classical proxy otherwise."""
+    from .visual_models import registry
+
     a = _mid_face_crop(source_frames)
     b = _mid_face_crop(output_frames)
     if a is None or b is None:
         return float("nan")
+    learned = registry().identity
+    if learned is not None:
+        ea, eb = (np.asarray(learned(c), np.float32).reshape(-1) for c in (a, b))
+        ea = ea / (np.linalg.norm(ea) + 1e-9)
+        eb = eb / (np.linalg.norm(eb) + 1e-9)
+        return float(1.0 - np.dot(ea, eb))
     return float(1.0 - np.dot(_identity_embedding(a), _identity_embedding(b)))
 
 
@@ -108,7 +124,14 @@ def classify_visual_emotion(frames: np.ndarray,
     """Dominant-emotion label from mouth geometry (DeepFace stand-in,
     analyze_outputs.py:177-218): wide+open → happy, narrow+open → surprise,
     wide+closed+active → happy (a smile), else → neutral. Pass precomputed
-    ``aus`` to share one tracking pass with the rest of the battery."""
+    ``aus`` to share one tracking pass with the rest of the battery. A
+    mounted emotion classifier (visual_models.registry().emotion) replaces
+    the geometry heuristic."""
+    from .visual_models import registry
+
+    learned = registry().emotion
+    if learned is not None:
+        return str(learned(np.asarray(frames)))
     if aus is None:
         aus = action_units(frames)
     if np.isnan(aus["au12_mean"]):
@@ -185,7 +208,13 @@ def deepfake_artifact_score(frames: np.ndarray) -> float:
     """Deepfake-probability stand-in in [0, 1] (analyze_outputs.py:372-426
     DFDC): generated mouths flicker frame-to-frame and leave blending seams.
     Score = normalized face-region temporal flicker (vs global motion) +
-    box-boundary gradient discontinuity."""
+    box-boundary gradient discontinuity. A mounted DFDC-style classifier
+    (visual_models.registry().deepfake) replaces the artifact heuristic."""
+    from .visual_models import registry
+
+    learned = registry().deepfake
+    if learned is not None:
+        return float(learned(np.asarray(frames)))
     n = len(frames)
     face = detect_face_bbox(frames)
     if face is None or n < 3:
@@ -223,6 +252,8 @@ def video_metrics(
     The per-frame tracking pass (action_units) runs ONCE and is shared with
     the emotion classifier — it dominates the sweep's cost. Callers that
     also need the mouth-opening series (av-sync) pass ``mouth_openings``."""
+    from .visual_models import registry
+
     aus = action_units(frames)
     out: Dict[str, object] = {
         "visual_emotion": classify_visual_emotion(frames, aus),
@@ -237,4 +268,6 @@ def video_metrics(
     if source_frames is not None:
         out["visual_identity_distance"] = round(
             visual_identity_distance(source_frames, frames), 4)
+    out["visual_battery_sources"] = ";".join(
+        f"{k}={v}" for k, v in registry().sources().items())
     return out

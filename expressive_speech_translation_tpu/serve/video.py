@@ -57,10 +57,17 @@ class VideoProcessor:
         self,
         video_io: VideoIO,
         *,
-        temp_root: str | Path = "temp_video_processing_requests",
+        temp_root: str | Path | None = None,
         max_video_mb: float = 150.0,
     ):
         self.video_io = video_io
+        if temp_root is None:
+            # runtime artifacts live under a temp path, never the repo cwd
+            # (reference nests per-request UUID dirs under Backend/ —
+            # video_routes.py:36-39; we use the config default instead).
+            from ..core.config import _default_temp_dir
+
+            temp_root = _default_temp_dir()
         self.temp_root = Path(temp_root).absolute()
         self.max_video_mb = max_video_mb
 
