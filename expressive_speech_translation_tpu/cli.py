@@ -292,7 +292,7 @@ def cmd_bake(args) -> int:
     bake_models(args.out, asr=args.asr, nmt=args.nmt, tts=args.tts,
                 musetalk=args.musetalk, musetalk_whisper=args.musetalk_whisper,
                 diff2lip=args.diff2lip, openvoice=args.openvoice,
-                ecapa=args.ecapa)
+                ecapa=args.ecapa, seamless=args.seamless)
     return 0
 
 
@@ -345,7 +345,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--asr"); p.add_argument("--nmt"); p.add_argument("--tts")
     p.add_argument("--musetalk"); p.add_argument("--musetalk-whisper")
     p.add_argument("--diff2lip"); p.add_argument("--openvoice")
-    p.add_argument("--ecapa")
+    p.add_argument("--ecapa"); p.add_argument("--seamless")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_bake)
     return parser

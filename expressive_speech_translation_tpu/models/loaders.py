@@ -205,6 +205,7 @@ def bake_models(out_root: str | Path, *, asr: Optional[str] = None,
                 diff2lip: Optional[str] = None,
                 openvoice: Optional[str] = None,
                 ecapa: Optional[str] = None,
+                seamless: Optional[str] = None,
                 tts_llm_cfg=None, tts_flow_cfg=None, tts_hift_cfg=None) -> None:
     """Convert HF checkpoints into native trees under ``out_root``
     ({out}/asr, {out}/nmt, {out}/tts*, {out}/musetalk[, _whisper],
@@ -233,6 +234,15 @@ def bake_models(out_root: str | Path, *, asr: Optional[str] = None,
         params, cfg = load_ecapa(ecapa)
         save_converted(params, cfg, out / "ecapa")
         log.info("baked ECAPA %s -> %s", ecapa, out / "ecapa")
+    if seamless:
+        params, cfg = load_seamless(seamless)
+        save_converted(params, cfg, out / "seamless")
+        aux = load_seamless_aux(seamless)
+        if aux:
+            (out / "seamless" / "generation_maps.json").write_text(
+                json.dumps(aux, ensure_ascii=False))
+        log.info("baked Seamless %s -> %s (aux maps: %s)", seamless,
+                 out / "seamless", sorted(aux) or "none")
     if asr:
         params, cfg = load_whisper(asr)
         save_converted(params, cfg, out / "asr")
@@ -495,6 +505,84 @@ def load_ecapa(path: str | Path, cfg=None):
     state = load_state_dict(p)
     cfg = cfg or ec.EcapaConfig()
     return ec.from_speechbrain_state_dict(state, cfg), cfg
+
+
+def load_seamless(path: str | Path, cfg=None):
+    """Local HF ``facebook/seamless-m4t-v2-large`` dir (or a ForSpeechToSpeech
+    checkpoint file) → (params, SeamlessConfig). The behavioral spec is
+    /root/reference/Backend/translate_speech.py:79-154; parity in
+    tests/test_seamless_convert.py."""
+    from . import seamless as sm
+
+    p = Path(path)
+    if cfg is None and p.is_dir() and (p / "config.json").exists():
+        hf = json.loads((p / "config.json").read_text())
+        cfg = sm.SeamlessConfig(
+            hidden=hf["hidden_size"],
+            vocab_size=hf["vocab_size"],
+            speech_layers=hf["speech_encoder_layers"],
+            speech_heads=hf["speech_encoder_attention_heads"],
+            speech_ffn=hf["speech_encoder_intermediate_size"],
+            depthwise_kernel=hf.get("conv_depthwise_kernel_size", 31),
+            left_max_pos=hf.get("left_max_position_embeddings", 64),
+            right_max_pos=hf.get("right_max_position_embeddings", 8),
+            chunk_size=hf.get("speech_encoder_chunk_size"),
+            left_chunk_num=hf.get("speech_encoder_left_chunk_num", 128),
+            adaptor_kernel=hf.get("adaptor_kernel_size", 8),
+            adaptor_stride=hf.get("adaptor_stride", 8),
+            adapter_layers=hf.get("num_adapter_layers", 1),
+            decoder_layers=hf["decoder_layers"],
+            decoder_heads=hf["decoder_attention_heads"],
+            decoder_ffn=hf["decoder_ffn_dim"],
+            max_positions=hf.get("max_position_embeddings", 4096),
+            pad_token=hf.get("pad_token_id", 0),
+            bos_token=hf.get("bos_token_id", 2),
+            eos_token=hf.get("eos_token_id", 3),
+            decoder_start_token=hf.get("decoder_start_token_id", 3),
+            t2u_vocab=hf["t2u_vocab_size"],
+            t2u_encoder_layers=hf["t2u_encoder_layers"],
+            t2u_decoder_layers=hf["t2u_decoder_layers"],
+            t2u_ffn=hf["t2u_decoder_ffn_dim"],
+            t2u_heads=hf["t2u_decoder_attention_heads"],
+            char_vocab=hf["char_vocab_size"],
+            t2u_pad=hf.get("t2u_pad_token_id", 1),
+            t2u_eos=hf.get("t2u_eos_token_id", 2),
+            var_embed_dim=hf.get("t2u_variance_predictor_embed_dim", 1024),
+            var_hidden_dim=hf.get("t2u_variance_predictor_hidden_dim", 256),
+            var_kernel=hf.get("t2u_variance_predictor_kernel_size", 3),
+            unit_vocab_vocoder=hf["unit_hifi_gan_vocab_size"],
+            unit_embed_dim=hf.get("unit_embed_dim", 1280),
+            lang_embed_dim=hf.get("lang_embed_dim", 256),
+            spkr_embed_dim=hf.get("spkr_embed_dim", 256),
+            num_langs=hf.get("vocoder_num_langs", 36),
+            num_spkrs=hf.get("vocoder_num_spkrs", 200),
+            vocoder_offset=hf.get("vocoder_offset", 4),
+            upsample_rates=tuple(hf.get("upsample_rates", (5, 4, 4, 2, 2))),
+            upsample_kernels=tuple(hf.get("upsample_kernel_sizes", (11, 8, 8, 4, 4))),
+            upsample_initial_channel=hf.get("upsample_initial_channel", 512),
+            resblock_kernels=tuple(hf.get("resblock_kernel_sizes", (3, 7, 11))),
+            resblock_dilations=tuple(tuple(d) for d in hf.get(
+                "resblock_dilation_sizes", ((1, 3, 5),) * 3)),
+            leaky_slope=hf.get("leaky_relu_slope", 0.1),
+            sample_rate_out=hf.get("sampling_rate", 16_000),
+        )
+    cfg = cfg or sm.SeamlessConfig.v2_large()
+    return sm.from_hf_state_dict(load_state_dict(p), cfg), cfg
+
+
+def load_seamless_aux(path: str | Path) -> Dict[str, Any]:
+    """Generation-config sidecar maps the S2ST glue needs: target-language
+    token maps and the subword/char maps for t2u alignment
+    (ForSpeechToSpeech.generate reads the same keys). Empty dict when the
+    file is absent — callers fall back to byte maps."""
+    p = Path(path)
+    f = (p if p.is_dir() else p.parent) / "generation_config.json"
+    if not f.exists():
+        return {}
+    raw = json.loads(f.read_text())
+    return {k: raw[k] for k in (
+        "text_decoder_lang_to_code_id", "t2u_lang_code_to_id",
+        "vocoder_lang_code_to_id", "id_to_text", "char_to_id") if k in raw}
 
 
 def load_qwen2_backbone(path: str | Path, cfg=None):

@@ -140,37 +140,95 @@ def bandpass_80_7500(audio: np.ndarray, sr: int = 16_000) -> np.ndarray:
     return np.fft.irfft(spec, n=len(x)).astype(np.float32)
 
 
+def seamless_features(audio: np.ndarray, *, max_frames: Optional[int] = None):
+    """HF SeamlessM4TFeatureExtractor parity frontend: 80-mel kaldi fbank
+    (25 ms / 10 ms, povey, preemph 0.97), per-utterance per-bin cmvn
+    (ddof=1 — the 2^15 int16 scale cancels under cmvn), 2-frame stacking →
+    [1, T//2, 160] + bool mask."""
+    from ..ops import kaldi_fbank
+
+    x = np.asarray(audio, np.float32).reshape(-1)
+    fb = np.asarray(kaldi_fbank(jnp.asarray(x[None]), sr=16_000, n_mels=80,
+                                frame_length_ms=25.0, frame_shift_ms=10.0,
+                                fmin=20.0))[0]                      # [T, 80]
+    fb = (fb - fb.mean(0, keepdims=True)) / np.sqrt(fb.var(0, ddof=1,
+                                                           keepdims=True) + 1e-7)
+    t = fb.shape[0] - fb.shape[0] % 2
+    feats = fb[:t].reshape(1, t // 2, 160)
+    n = feats.shape[1]
+    if max_frames is not None:
+        if n < max_frames:
+            feats = np.pad(feats, ((0, 0), (0, max_frames - n), (0, 0)))
+        else:
+            feats, n = feats[:, :max_frames], max_frames
+    mask = np.zeros((1, feats.shape[1]), bool)
+    mask[:, :n] = True
+    return feats.astype(np.float32), mask
+
+
 class SeamlessBackend(TranslationBackend):
-    """Direct S2ST backend (SeamlessM4T-v2 equivalent, models/seamless.py)."""
+    """Direct S2ST backend — HF-weight-compatible SeamlessM4T-v2
+    (models/seamless.py). Weightless mode runs the same graph on a toy
+    config with byte-level char maps; with baked weights
+    (``est bake --seamless``) the real generation maps drive t2u alignment."""
 
     def __init__(self, params=None, cfg=None, tokenizer: Optional[Tokenizer] = None,
-                 *, num_beams: int = 5):
+                 *, num_beams: int = 5, aux_maps: Optional[Dict[str, Any]] = None,
+                 max_text_tokens: int = 64, max_chars: int = 256,
+                 max_units: int = 512):
         from ..models import seamless as sm
 
-        self.cfg = cfg or sm.SeamlessConfig()
+        self.cfg = cfg or (sm.SeamlessConfig.v2_large() if params is not None
+                           else sm.SeamlessConfig.toy())
         self._params = params
         self.tokenizer = tokenizer or ByteTokenizer()
         self.num_beams = num_beams
+        self.aux = aux_maps or {}
+        self.max_text_tokens = max_text_tokens
+        self.max_chars = max_chars
+        self.max_units = max_units
         self.initialized = False
-        self._fn = None
+        self._stage1 = self._stage2 = None
 
     def initialize(self) -> None:
+        import functools
+
         from ..models import seamless as sm
-        from ..models.common import cast_floats
+        from ..models.common import cast_floats, host_init
 
         if self._params is None:
             log.warning("SeamlessBackend: random weights (no checkpoint supplied)")
-            self._params = sm.init_seamless(jax.random.PRNGKey(7), self.cfg)
+            # host_init: eager per-tensor init over the axon relay pays a
+            # round-trip per tensor (~6 min for the toy tree); init on host
+            # CPU and ship the tree in one device_put
+            self._params = host_init(sm.init_seamless, 7, self.cfg)
         self._params = cast_floats(self._params, jnp.bfloat16)
+        cfg = self.cfg
 
-        import functools
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def stage1(params, feats, mask, lang_tok, beams):
+            enc, enc_mask = sm.encode_speech(params, cfg, feats, mask)
+            seq = sm.generate_text(params, cfg, enc, enc_mask, lang_tok,
+                                   num_beams=beams,
+                                   max_new_tokens=self.max_text_tokens)
+            return seq, enc, enc_mask
 
-        @functools.partial(jax.jit, static_argnums=(2,))
-        def fn(params, mel, beams):
-            return sm.translate_s2st(params, self.cfg, mel, num_beams=beams,
-                                     max_text_tokens=64, max_units=256)
+        @functools.partial(jax.jit, static_argnums=(7,))
+        def stage2(params, seq, enc, enc_mask, char_ids, char_counts,
+                   voc_lang, max_units):
+            dec_in = seq[:, :-1]
+            hidden = sm.text_decoder_hidden(params, cfg, dec_in, enc, enc_mask)
+            seq_lens = jnp.sum((dec_in != cfg.pad_token).astype(jnp.int32), axis=1)
+            t2u_mask = sm.lengths_mask(seq_lens, dec_in.shape[1])
+            t2u_enc = sm.t2u_encode(params, cfg, hidden, t2u_mask)
+            nar = sm.t2u_nar_decode(params, cfg, t2u_enc, char_ids, char_counts,
+                                    max_units=max_units)
+            units = sm.units_from_logits(cfg, nar["logits"], nar["padding_mask"])
+            wave, lengths = sm.code_hifigan(params, cfg, units, 0, voc_lang,
+                                            max_frames=max_units * 2)
+            return wave, lengths
 
-        self._fn = fn
+        self._stage1, self._stage2 = stage1, stage2
         self.initialized = True
 
     def is_language_supported(self, lang: str) -> bool:
@@ -179,19 +237,44 @@ class SeamlessBackend(TranslationBackend):
     def get_supported_languages(self) -> List[str]:
         return sorted(NLLB_LANGUAGES)
 
+    def _lang_ids(self, target_lang: str):
+        text_map = self.aux.get("text_decoder_lang_to_code_id") or {}
+        voc_map = self.aux.get("vocoder_lang_code_to_id") or {}
+        return (int(text_map.get(target_lang, 0)),
+                int(voc_map.get(target_lang, 0)))
+
     def translate_speech(self, audio, source_lang: str, target_lang: str, **kw) -> Dict[str, Any]:
-        from ..ops import kaldi_fbank
+        from ..models import seamless as sm
 
         x = bandpass_80_7500(np.asarray(audio, np.float32).reshape(-1))
-        mel = kaldi_fbank(jnp.asarray(x[None]), sr=16_000,
-                          frame_length_ms=25.0, frame_shift_ms=10.0).astype(jnp.bfloat16)
-        out = self._fn(self._params, mel, self.num_beams)
-        wave = np.asarray(out["audio"], np.float32)[0]
-        wave = np.tanh(wave)  # translate_speech.py:147 limiter
-        text_ids = [int(t) for t in np.asarray(out["text_tokens"])[0]
-                    if t not in (self.cfg.pad_token, self.cfg.eos_token, self.cfg.decoder_start_token)]
+        feats, mask = seamless_features(x)
+        text_tok, voc_lang = self._lang_ids(target_lang)
+        seq, enc, enc_mask = self._stage1(
+            self._params, jnp.asarray(feats, jnp.bfloat16), jnp.asarray(mask),
+            jnp.asarray(text_tok, jnp.int32), self.num_beams)
+
+        seq_np = np.asarray(seq)
+        t2u_ids = seq_np[:, 2:-1].copy()
+        t2u_ids[t2u_ids == self.cfg.eos_token] = self.cfg.pad_token
+        id_to_text = self.aux.get("id_to_text")
+        char_to_id = self.aux.get("char_to_id")
+        if id_to_text is None or char_to_id is None:
+            id_to_text, char_to_id = sm.byte_char_maps(self.cfg.vocab_size)
+        char_ids, char_counts = sm.char_inputs_for_t2u(
+            t2u_ids, id_to_text, char_to_id, pad_token_id=self.cfg.pad_token,
+            max_chars=self.max_chars)
+
+        wave, lengths = self._stage2(
+            self._params, seq, enc, enc_mask,
+            jnp.asarray(char_ids), jnp.asarray(char_counts),
+            jnp.asarray(voc_lang, jnp.int32), self.max_units)
+        n = int(np.clip(int(lengths[0]), 0, wave.shape[1]))
+        out = np.tanh(np.asarray(wave, np.float32)[0, :n])  # translate_speech.py:147 limiter
+        text_ids = [int(t) for t in seq_np[0]
+                    if t not in (self.cfg.pad_token, self.cfg.eos_token,
+                                 self.cfg.decoder_start_token)]
         return {
-            "audio": wave.reshape(1, -1),
+            "audio": out.reshape(1, -1),
             "transcripts": {"source": "", "target": self.tokenizer.decode(text_ids)},
         }
 
@@ -210,10 +293,17 @@ class ESPnetBackend(TranslationBackend):
         asr_factory: Optional[Callable[[str], Any]] = None,
         tts_factory: Optional[Callable[[str], Any]] = None,
     ):
-        from .engines import FakeAsr, FakeTts
+        from .engines import FakeAsr
+
+        def default_tts(lang: str):
+            # a real VITS-family synthesizer per language (the reference's
+            # espnet/kan-bayashi_ljspeech_vits unit of caching), not a stub
+            from ..models.vits_tts import VitsTTSModel
+
+            return VitsTTSModel(lang)
 
         self._asr_factory = asr_factory or (lambda lang: FakeAsr())
-        self._tts_factory = tts_factory or (lambda lang: FakeTts())
+        self._tts_factory = tts_factory or default_tts
         self._asr_models: Dict[str, Any] = {}
         self._tts_models: Dict[str, Any] = {}
         self.initialized = False

@@ -84,12 +84,8 @@ def test_espnet_backend_lazy_loading_and_fallback():
 def test_seamless_backend_end_to_end_tiny():
     from expressive_speech_translation_tpu.models import seamless as sm
 
-    cfg = sm.SeamlessConfig(
-        d_model=64, encoder_layers=2, text_decoder_layers=2, unit_decoder_layers=2,
-        heads=4, ffn_dim=128, text_vocab=300, unit_vocab=50, unit_eos=49,
-        max_text_positions=64, max_unit_positions=128,
-    )
-    backend = SeamlessBackend(cfg=cfg, num_beams=2)
+    backend = SeamlessBackend(cfg=sm.SeamlessConfig.toy(), num_beams=2,
+                              max_text_tokens=12, max_chars=48, max_units=32)
     backend.initialize()
     assert backend.is_language_supported("ell")
     out = backend.translate_speech(speech(1.0), "eng", "fra")
@@ -97,8 +93,9 @@ def test_seamless_backend_end_to_end_tiny():
     assert audio.shape[0] == 1
     assert np.isfinite(audio).all()
     assert np.abs(audio).max() <= 1.0  # tanh limited
-    # unit vocoder length contract: units × hop 320
-    assert audio.shape[1] % 320 == 0
+    # trimmed to the vocoder's reported length: a whole number of hop-sized
+    # frames (toy hop = prod(upsample_rates) = 16)
+    assert 0 < audio.shape[1] <= 32 * 2 * 16
 
 
 def test_tokenizer_byte_fallback_roundtrip():
@@ -147,3 +144,31 @@ def test_jax_engines_cascade_tiny():
     assert out["audio"].shape[0] == 1
     assert np.isfinite(out["audio"]).all()
     assert "asr" in out["stage_summary"] and "tts" in out["stage_summary"]
+
+
+@pytest.mark.slow
+def test_espnet_default_tts_is_vits_model():
+    """The default per-language TTS behind ESPnetBackend is a real VITS-family
+    synthesizer (text encoder → durations → flow inverse → HiFi-GAN), not a
+    stub: audio length scales with text, per-language params differ, and the
+    per-language cache holds one instance."""
+    from expressive_speech_translation_tpu.models.vits_tts import VitsTTSModel
+
+    backend = ESPnetBackend()
+    backend.initialize()
+    out = backend.translate_speech(speech(1.0), "eng", "fra")
+    assert out["audio"].shape[0] == 1 and out["audio"].shape[1] > 1000
+    assert np.isfinite(out["audio"]).all()
+    tts = backend._tts_models["fra"]
+    assert isinstance(tts, VitsTTSModel)
+    assert backend._load_tts_model("fra") is tts  # cached
+
+    short = tts.synthesize("Hi.")
+    long = tts.synthesize("This considerably longer sentence should synthesize "
+                          "a considerably longer waveform than the short one.")
+    assert len(long) > 2 * len(short)
+    # different language -> different (deterministically seeded) weights
+    other = backend._load_tts_model("deu")
+    a = np.asarray(tts.params["embed"], np.float32)
+    b = np.asarray(other.params["embed"], np.float32)
+    assert not np.allclose(a, b)

@@ -155,3 +155,38 @@ def test_bake_musetalk_roundtrip(tmp_path):
     a = mt.vae_encode(params["vae"], cfg, jnp.asarray(imgs))
     b = mt.vae_encode(direct["vae"], MCFG, jnp.asarray(imgs))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_bake_seamless_roundtrip(tmp_path):
+    """HF seamless-m4t-v2 dir (tiny) → bake_models --seamless → orbax tree
+    that reloads config-true, plus the generation-maps sidecar."""
+    from test_seamless_convert import _hf_pair
+
+    from expressive_speech_translation_tpu.models import seamless as sm
+
+    model, direct, cfg = _hf_pair()
+    src = tmp_path / "hf_seamless"
+    src.mkdir()
+    model.save_pretrained(src, safe_serialization=True)
+    (src / "generation_config.json").write_text(json.dumps({
+        "text_decoder_lang_to_code_id": {"fra": 5},
+        "vocoder_lang_code_to_id": {"fra": 2},
+        "id_to_text": {"4": "▁le"},
+        "char_to_id": {"l": 9, "e": 10},
+    }))
+
+    out = tmp_path / "baked"
+    loaders.bake_models(out, seamless=str(src))
+    params, got_cfg = loaders.load_converted(out / "seamless", sm.SeamlessConfig)
+    assert got_cfg.hidden == cfg.hidden
+    assert got_cfg.upsample_rates == cfg.upsample_rates
+    maps = json.loads((out / "seamless" / "generation_maps.json").read_text())
+    assert maps["text_decoder_lang_to_code_id"]["fra"] == 5
+
+    import jax.numpy as jnp
+    g = np.random.default_rng(11)
+    feats = g.standard_normal((1, 12, 160)).astype(np.float32)
+    a, _ = sm.encode_speech(params, got_cfg, jnp.asarray(feats))
+    b, _ = sm.encode_speech(direct, cfg, jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -1,0 +1,210 @@
+"""Headless SPA studio-flow drive (VERDICT r3 #7).
+
+No JS runtime exists on this host, so these tests bind the ACTUAL strings in
+serve/static/app.js (endpoints, form fields, SSE keys the client branches on,
+the phase-checklist labels, the dubbing language table) to live server
+behavior through the Werkzeug client — if either side drifts, the extraction
+or the assertion fails. Reference behaviors:
+/root/reference/Frontend/src/components/TranslationFlow.js:95-170 (manual SSE
+frame parsing, progress/phase/result), hooks/useTranslation.js:191-301
+(multipart upload → base64 audio + transcripts), VideoSyncInterface.js:10-49
+(the 35-language dubbing picker).
+"""
+
+import base64
+import io
+import json
+import re
+from pathlib import Path
+
+import numpy as np
+import pytest
+from werkzeug.test import Client
+
+from expressive_speech_translation_tpu.serve.app import create_app
+
+from test_serve import FailingLipsyncIO, FakeVideoIO, wav_bytes
+
+APP_JS = Path(__file__).resolve().parents[1] / (
+    "expressive_speech_translation_tpu/serve/static/app.js")
+
+
+@pytest.fixture(scope="module")
+def js():
+    return APP_JS.read_text()
+
+
+@pytest.fixture()
+def client():
+    return Client(create_app(video_io=FakeVideoIO()))
+
+
+def sse_frames(data: bytes):
+    """Parse exactly as app.js does: split on blank line, 'data: ' prefix."""
+    out = []
+    for frame in data.decode().split("\n\n"):
+        if frame.startswith("data: "):
+            out.append(json.loads(frame[len("data: "):]))
+    return out
+
+
+def test_streaming_studio_flow_event_sequence(client, js):
+    """Upload → SSE → live transcripts → PCM chunks → completion, consuming
+    only the keys runAudioStreaming actually branches on."""
+    fn = js[js.index("async function runAudioStreaming"):]
+    # the client posts multipart to /translate with stream=1 — extract, don't assume
+    assert 'fetch("/translate"' in fn
+    assert 'form.append("stream", "1")' in fn
+    fields = set(re.findall(r'form\.append\("(\w+)"', fn))
+    assert {"file", "source_language", "target_language", "stream"} <= fields
+    branch_keys = set(re.findall(r"msg\.(\w+)", fn))
+    assert {"error", "progress", "phase", "transcripts", "audio_chunk",
+            "sample_rate"} <= branch_keys
+
+    resp = client.post("/translate", data={
+        "file": (io.BytesIO(wav_bytes(2.5)), "speech.wav"),
+        "source_language": "eng", "target_language": "fra", "stream": "1",
+    })
+    assert resp.status_code == 200
+    assert "text/event-stream" in resp.headers["Content-Type"]
+    frames = sse_frames(resp.data)
+    assert frames, "no SSE frames"
+    assert not any("error" in f for f in frames)
+
+    # transcripts frames carry ACCUMULATED text: each supersedes the last
+    transcripts = [f["transcripts"] for f in frames if "transcripts" in f]
+    assert transcripts, "no transcript frames for speech input"
+    for t in transcripts:
+        assert set(t) >= {"source", "target"}
+    lens = [len(t["source"]) for t in transcripts]
+    assert lens == sorted(lens), "accumulated transcripts shrank"
+
+    # audio chunks decode as int16 PCM exactly the way the client does
+    chunks = [f for f in frames if "audio_chunk" in f]
+    assert chunks, "no audio chunks for speech input"
+    total = 0
+    for f in chunks:
+        raw = base64.b64decode(f["audio_chunk"])
+        assert len(raw) % 2 == 0 and len(raw) > 0
+        pcm = np.frombuffer(raw, "<i2").astype(np.float32) / 32768
+        assert np.isfinite(pcm).all()
+        assert f.get("sample_rate", 16000) in (16000, 22050, 24000)
+        total += len(pcm)
+    assert total > 0
+
+    # at least one transcript frame precedes the first audio chunk (the UI
+    # shows live text while audio is still synthesizing)
+    first_audio = next(i for i, f in enumerate(frames) if "audio_chunk" in f)
+    assert any("transcripts" in f for f in frames[:first_audio + 1])
+
+    # progress only moves forward (setProgress writes a monotone bar)
+    prog = [f["progress"] for f in frames if "progress" in f]
+    assert prog == sorted(prog)
+
+
+def test_nonstream_flow_matches_use_translation_contract(client, js):
+    """useTranslation.processAudio contract: multipart → JSON base64 WAV +
+    transcripts + request id; audio must decode non-empty (the client throws
+    'Received empty audio data' on an empty blob)."""
+    resp = client.post("/translate", data={
+        "file": (io.BytesIO(wav_bytes(2.0)), "speech.wav"),
+        "source_language": "eng", "target_language": "fra",
+    })
+    assert resp.status_code == 200
+    body = resp.get_json()
+    assert set(body) >= {"audio", "transcripts", "request_id"}
+    raw = base64.b64decode(body["audio"])
+    assert len(raw) > 44  # non-empty WAV (audioUtils.js empty-blob guard)
+    # decodeAudioData-equivalent: parse the WAV and confirm speech-bearing PCM
+    from expressive_speech_translation_tpu.media.wavio import read_wav
+    import tempfile, os
+
+    fd, path = tempfile.mkstemp(suffix=".wav")
+    os.close(fd)
+    try:
+        open(path, "wb").write(raw)
+        audio, sr = read_wav(path)
+    finally:
+        os.unlink(path)
+    audio = np.asarray(audio, np.float32).reshape(-1)
+    assert audio.size > 0 and np.isfinite(audio).all()
+    # the analytics pane (renderAnalytics → pitch/level tracks) needs signal
+    assert float(np.sqrt(np.mean(audio ** 2))) > 1e-5
+
+
+def test_video_flow_phase_checklist(client, js):
+    """TranslationFlow.js video path: SSE progress ticks 10/20/…/90, phase
+    labels that drive the updatePhases checklist (extracted from app.js and
+    replayed through its matching rule), final frame with video + transcripts."""
+    phases = re.search(r"VIDEO_PHASES = \[(.*?)\];", js, re.S).group(1)
+    labels = re.findall(r'"([^"]+)"', phases)
+    assert len(labels) == 6  # Extract/Preprocess/Translate/Watermark/LipSync/Encode
+
+    resp = client.post("/process-video", data={
+        "file": (io.BytesIO(b"\x00" * 4000), "clip.mp4"),
+        "source_language": "eng", "target_language": "fra",
+    })
+    assert resp.status_code == 200
+    frames = sse_frames(resp.data)
+    prog = [f["progress"] for f in frames if "progress" in f]
+    # success path: 75 ("finalize") is reserved for the lip-sync
+    # failed/disabled fallback, exactly as in video_routes.py:288/297
+    assert set(prog) >= {10, 20, 30, 55, 60, 90}
+    assert prog == sorted(prog)
+
+    fb = Client(create_app(video_io=FailingLipsyncIO())).post(
+        "/process-video", data={
+            "file": (io.BytesIO(b"\x00" * 4000), "clip.mp4"),
+            "source_language": "eng", "target_language": "fra",
+        })
+    fb_prog = [f["progress"] for f in sse_frames(fb.data) if "progress" in f]
+    assert 75 in fb_prog, "lip-sync fallback must tick 75 (video_routes.py:288)"
+    assert fb_prog == sorted(fb_prog)
+
+    # replay updatePhases' first-word matching rule: the checklist index must
+    # move monotonically forward and reach every stage
+    reached = []
+    for f in frames:
+        label = f.get("phase") or ""
+        idx = next((i for i, p in enumerate(labels)
+                    if label.startswith(p.split(" ")[0])), None)
+        if idx is not None:
+            reached.append(idx)
+    assert reached == sorted(reached), f"checklist went backwards: {reached}"
+    assert set(reached) == set(range(len(labels))), (
+        f"phases missing from stream: {sorted(set(range(len(labels))) - set(reached))}")
+
+    # the client reads msg.result.video / msg.result.transcripts (app.js:801-805)
+    final = frames[-1]["result"]
+    assert "video" in final and "transcripts" in final
+    assert len(base64.b64decode(final["video"])) > 1000
+
+
+def test_dub_language_picker_exact_reference_parity(js):
+    """VideoSyncInterface.js:10-49 SUPPORTED_LANGUAGES, exact codes and order
+    (9 common-first + 26 alphabetical = 35)."""
+    expected = [
+        "fra", "spa", "deu", "ita", "por", "rus", "jpn", "cmn", "ukr",
+        "ben", "cat", "cmn_Hant", "cym", "dan", "eng", "est", "fin", "hin",
+        "ind", "kor", "mlt", "nld", "pes", "pol", "ron", "slk", "swe", "swh",
+        "tel", "tgl", "tha", "tur", "urd", "uzn", "vie",
+    ]
+    langs = re.search(r"DUB_LANGUAGES = \[(.*?)\];", js, re.S).group(1)
+    codes = re.findall(r'\["([a-zA-Z_]+)",', langs)
+    assert codes == expected
+
+
+def test_dub_flow_uses_process_video_with_cloning_flag(client, js):
+    """The dubbing view posts the cloning toggle with the video —
+    VideoSyncInterface 'Enable Voice Cloning' semantics."""
+    dub = js[js.index("function initDub"):]
+    assert 'fetch("/process-video"' in dub
+    assert re.search(r'form\.append\("use_voice_cloning"', dub), (
+        "dub view no longer sends the cloning toggle")
+    resp = client.post("/process-video", data={
+        "file": (io.BytesIO(b"\x00" * 4000), "clip.mp4"),
+        "source_language": "eng", "target_language": "fra",
+        "use_voice_cloning": "true",
+    })
+    assert resp.status_code == 200
+    assert sse_frames(resp.data)[-1]["result"].get("video")
