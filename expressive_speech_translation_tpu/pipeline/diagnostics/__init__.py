@@ -17,7 +17,7 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-from .languages import LANGUAGE_ANALYZERS, analyze_language
+from .languages import LANGUAGE_ANALYZERS, analyze_language, detail_language
 from .neural import analyze_neural_synthesis_artifacts, measure_metallic_resonance
 from .quality import QualityMetrics
 from .spectral import SpectralAnalyzer
@@ -33,6 +33,7 @@ __all__ = [
     "TemporalAnalyzer",
     "analyze_language",
     "analyze_neural_synthesis_artifacts",
+    "detail_language",
     "measure_metallic_resonance",
 ]
 
@@ -64,6 +65,9 @@ class AudioDiagnostics:
             # deep specialist pass (audio_diagnostics.py:1567/:1372)
             "neural": analyze_neural_synthesis_artifacts(translated, self.sr),
             "language": analyze_language(translated, language, self.sr),
+            # nested per-phenomenon report with the reference's key trees
+            # (language_analysis/{language}.py analyze() structures)
+            "language_detail": detail_language(translated, language, self.sr),
         }
         if source is not None:
             src_t = self.temporal.analyze(source)

@@ -160,7 +160,202 @@ class _Base:
         pe = env[idx]
         return float(np.clip(pe.std() / (pe.mean() + 1e-9), 0, 1))
 
+    # ---------------------------------------------------- detail measurements
+    # Sub-scores feeding the nested ``detail()`` reports (the reference's
+    # per-language analyzers return {phenomenon: {sub-scores, description}}
+    # trees — french.py:53-58, german.py analyze(), spanish.py analyze()).
+
+    def nasal_peak_frequencies(self, audio: np.ndarray) -> list:
+        """Spectral peak frequencies (Hz) in the nasal-resonance region of the
+        voiced-frame average spectrum (french.py:131-143 peak extraction)."""
+        mag, freqs = ph.frame_spectra(audio, self.sr)
+        v = ph.voiced_mask(audio, self.sr)
+        n = min(len(v), mag.shape[0])
+        if n == 0 or not v[:n].any():
+            return []
+        avg = mag[:n][v[:n]].mean(axis=0)
+        band = (freqs >= 150) & (freqs <= 1200)
+        peaks = ph.spectral_peaks(avg[band], freqs[band])
+        return [round(float(f), 1) for f in peaks[:5]]
+
+    def nasal_consistency(self, audio: np.ndarray) -> float:
+        """Stability of the murmur ratio across voiced frames (french.py:166:
+        consistency = low variance of nasal-band energy over time)."""
+        mag, freqs = ph.frame_spectra(audio, self.sr)
+        v = ph.voiced_mask(audio, self.sr)
+        n = min(len(v), mag.shape[0])
+        if n == 0 or v[:n].sum() < 4:
+            return 0.0
+        murmur = ph.band_energy(mag[:n], freqs, 200, 450)[v[:n]]
+        oral = ph.band_energy(mag[:n], freqs, 700, 1800)[v[:n]]
+        ratio = murmur / (murmur + oral + 1e-12)
+        return float(np.clip(1.0 - ratio.std() / (ratio.mean() + 1e-9), 0, 1))
+
+    def nasal_oral_distinction(self, audio: np.ndarray) -> float:
+        """Bimodal separation of per-frame murmur ratios: a speaker producing
+        BOTH clear oral and clear nasal vowels shows two clusters
+        (french.py:180-192 distinction)."""
+        mag, freqs = ph.frame_spectra(audio, self.sr)
+        v = ph.voiced_mask(audio, self.sr)
+        n = min(len(v), mag.shape[0])
+        if n == 0 or v[:n].sum() < 8:
+            return 0.0
+        murmur = ph.band_energy(mag[:n], freqs, 200, 450)[v[:n]]
+        oral = ph.band_energy(mag[:n], freqs, 700, 1800)[v[:n]]
+        ratio = murmur / (murmur + oral + 1e-12)
+        med = np.median(ratio)
+        lo, hi = ratio[ratio <= med], ratio[ratio > med]
+        if len(lo) < 2 or len(hi) < 2:
+            return 0.0
+        spread = np.sqrt((lo.var() + hi.var()) / 2) + 1e-6
+        return float(np.clip((hi.mean() - lo.mean()) / (6 * spread), 0, 1))
+
+    def intonation_quality(self, audio: np.ndarray) -> float:
+        """F0 contour shape: utterance-scale movement (declination or terminal
+        rise) plus local smoothness — flat or erratic contours score low
+        (french.py:269-285 intonation pattern)."""
+        from ...evals.acoustic_metrics import track_f0
+
+        f0 = track_f0(audio, self.sr)
+        voiced = f0[~np.isnan(f0)]
+        if voiced.size < 8:
+            return 0.0
+        third = max(voiced.size // 3, 1)
+        drift = abs(np.median(voiced[-third:]) - np.median(voiced[:third]))
+        movement = np.clip(drift / (0.15 * np.median(voiced) + 1e-9), 0, 1)
+        jitter = np.abs(np.diff(np.log(voiced + 1e-9)))
+        smooth = np.clip(1.0 - float(np.mean(jitter > 0.12)) * 2.0, 0, 1)
+        return float(np.clip(0.5 * movement + 0.5 * smooth, 0, 1))
+
+    def stress_contrast(self, audio: np.ndarray) -> float:
+        """Stressed/unstressed nucleus contrast: energy spread across syllable
+        peaks combined with duration spread of voiced runs (german word-stress
+        / spanish stress-pattern analyzers)."""
+        env = ph.frame_energy(audio)
+        peaks_t = ph.syllable_peaks(audio, self.sr)
+        if len(peaks_t) < 3 or env.size == 0:
+            return 0.0
+        idx = np.clip((peaks_t * self.sr / 128).astype(int), 0, len(env) - 1)
+        pe = env[idx]
+        energy_cv = pe.std() / (pe.mean() + 1e-9)
+        runs = ph.voiced_run_durations(audio, self.sr)
+        dur_cv = runs.std() / (runs.mean() + 1e-9) if len(runs) >= 3 else 0.0
+        return float(np.clip(0.6 * energy_cv + 0.4 * dur_cv, 0, 1))
+
+    def schwa_centralization(self, audio: np.ndarray) -> float:
+        """Weak-nucleus centralization: spectral centroid of low-energy voiced
+        frames near the mid-central region (~1200-1800 Hz) reads as schwa
+        (german.py schwa realization)."""
+        mag, freqs = ph.frame_spectra(audio, self.sr)
+        v = ph.voiced_mask(audio, self.sr)
+        n = min(len(v), mag.shape[0])
+        if n == 0:
+            return 0.0
+        energy = (mag[:n] ** 2).sum(axis=-1)
+        thr = np.percentile(energy[v[:n]], 40) if v[:n].any() else 0.0
+        weak = v[:n] & (energy <= thr) & (energy > 1e-12)
+        if weak.sum() < 3:
+            return 0.0
+        w = mag[:n][weak] ** 2
+        centroid = (w * freqs).sum(axis=-1) / (w.sum(axis=-1) + 1e-12)
+        closeness = 1.0 - np.abs(centroid - 1500.0) / 1500.0
+        return float(np.clip(np.mean(closeness), 0, 1))
+
+    def diphthong_glide(self, audio: np.ndarray) -> float:
+        """Within-vowel formant movement: mean |slope| of the spectral
+        centroid inside long voiced runs (portuguese.py diphthongs)."""
+        mag, freqs = ph.frame_spectra(audio, self.sr)
+        v = ph.voiced_mask(audio, self.sr)
+        n = min(len(v), mag.shape[0])
+        if n == 0:
+            return 0.0
+        w = mag[:n] ** 2
+        centroid = (w * freqs).sum(axis=-1) / (w.sum(axis=-1) + 1e-12)
+        # voiced runs ≥ 5 frames
+        slopes = []
+        i = 0
+        vv = v[:n]
+        while i < n:
+            if vv[i]:
+                j = i
+                while j < n and vv[j]:
+                    j += 1
+                if j - i >= 5:
+                    seg = centroid[i:j]
+                    slopes.append(abs(np.polyfit(np.arange(len(seg)), seg, 1)[0]))
+                i = j
+            else:
+                i += 1
+        if not slopes:
+            return 0.0
+        return float(np.clip(np.mean(slopes) / 60.0, 0, 1))
+
+    def palatalization_energy(self, audio: np.ndarray) -> float:
+        """2-4 kHz share at energy-rise transitions (consonant releases):
+        palatalized consonants concentrate noise there (portuguese.py
+        palatalization)."""
+        mag, freqs = ph.frame_spectra(audio, self.sr)
+        energy = (mag**2).sum(axis=-1)
+        if energy.size < 3:
+            return 0.0
+        rise = np.zeros_like(energy, dtype=bool)
+        rise[1:] = energy[1:] > 2.0 * (energy[:-1] + 1e-12)
+        rise &= energy > 0.05 * (energy.max() + 1e-12)
+        if not rise.any():
+            return 0.0
+        pal = ph.band_energy(mag, freqs, 2000, 4000)[rise].mean()
+        total = energy[rise].mean() + 1e-12
+        return float(np.clip(pal / total * 3.0, 0, 1))
+
+    def formant_structure(self, audio: np.ndarray) -> float:
+        """Clarity of vowel formants: average spectral-peak count in the
+        300-3000 Hz region over voiced frames, saturating at 3 formants
+        (french.py:318-341 formant structure)."""
+        mag, freqs = ph.frame_spectra(audio, self.sr)
+        v = ph.voiced_mask(audio, self.sr)
+        n = min(len(v), mag.shape[0])
+        if n == 0 or not v[:n].any():
+            return 0.0
+        band = (freqs >= 300) & (freqs <= 3000)
+        avg = mag[:n][v[:n]].mean(axis=0)
+        peaks = ph.spectral_peaks(avg[band], freqs[band])
+        return float(np.clip(len(peaks) / 3.0, 0, 1))
+
+    def pre_burst_silences(self, audio: np.ndarray) -> Dict[str, float]:
+        """Geminate closure evidence: count + mean duration of short silences
+        immediately followed by an energy burst (italian.py gemination)."""
+        env = ph.frame_energy(audio, frame=256, hop=128)
+        if env.size < 6:
+            return {"count": 0, "mean_closure_ms": 0.0}
+        hi = 0.25 * (env.max() + 1e-12)
+        lo = 0.05 * (env.max() + 1e-12)
+        silent = env < lo
+        hop_ms = 128 / self.sr * 1000.0
+        closures = []
+        i = 0
+        while i < len(env) - 1:
+            if silent[i]:
+                j = i
+                while j < len(env) and silent[j]:
+                    j += 1
+                dur = (j - i) * hop_ms
+                if j < len(env) and env[j] > hi and 30.0 <= dur <= 250.0:
+                    closures.append(dur)
+                i = j
+            else:
+                i += 1
+        return {"count": len(closures),
+                "mean_closure_ms": round(float(np.mean(closures)), 1) if closures else 0.0}
+
+    @staticmethod
+    def _grade(score: float, strong: str, moderate: str, weak: str,
+               hi: float = 0.6, lo: float = 0.3) -> str:
+        return strong if score > hi else (moderate if score > lo else weak)
+
     def analyze(self, audio: np.ndarray) -> Dict[str, float]:  # pragma: no cover
+        return {}
+
+    def detail(self, audio: np.ndarray) -> Dict[str, object]:  # pragma: no cover
         return {}
 
 
@@ -177,6 +372,67 @@ class FrenchAnalyzer(_Base):
             "syllable_timing": self.syllable_timing_regularity(audio),
         }
 
+    def detail(self, audio: np.ndarray) -> Dict[str, object]:
+        """Nested report with the reference's key tree (french.py:53-58:
+        nasalization / liaison / prosody / vowel_quality, each with sub-scores
+        and a threshold-graded description — :342-378, :380-406)."""
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        strength = self.nasal_murmur_ratio(audio)
+        consistency = self.nasal_consistency(audio)
+        distinction = self.nasal_oral_distinction(audio)
+        liaison = self.liaison_smoothness(audio)
+        rhythm = self.syllable_timing_regularity(audio)
+        intonation = self.intonation_quality(audio)
+        formants = self.formant_structure(audio)
+        clarity = self.prosody_range(audio)
+        return {
+            "nasalization": {
+                "nasal_resonance": {
+                    "strength": strength,
+                    "stability": consistency,
+                    "peak_frequencies": self.nasal_peak_frequencies(audio),
+                },
+                "quality_assessment": {
+                    "authenticity": float(np.clip(strength * 2.0, 0, 1)),
+                    "consistency": consistency,
+                    "distinction": distinction,
+                },
+                "description": ". ".join([
+                    self._grade(strength, "Strong nasal resonance",
+                                "Moderate nasal resonance", "Weak nasal resonance",
+                                hi=0.5, lo=0.3),
+                    self._grade(consistency, "Stable nasal resonance",
+                                "Somewhat stable nasal resonance",
+                                "Unstable nasal resonance"),
+                    self._grade(distinction,
+                                "Clear distinction between nasal and oral vowels",
+                                "Moderate distinction between nasal and oral vowels",
+                                "Limited distinction between nasal and oral vowels"),
+                ]),
+            },
+            "liaison": {
+                "detected": bool(liaison > 0.5),
+                "confidence": liaison,
+                "description": self._grade(
+                    liaison, "Smooth word linking without voicing breaks",
+                    "Partial liaison with some voicing gaps",
+                    "Choppy word boundaries — little liaison", hi=0.65, lo=0.4),
+            },
+            "prosody": {
+                "score": float(np.clip(0.5 * rhythm + 0.5 * intonation, 0, 1)),
+                "rhythm_quality": rhythm,
+                "intonation_quality": intonation,
+            },
+            "vowel_quality": {
+                "quality_score": float(np.clip(0.5 * clarity + 0.5 * formants, 0, 1)),
+                "formant_structure": formants,
+                "description": self._grade(
+                    formants, "Clear formant structure typical of French vowels",
+                    "Generally good formant structure",
+                    "Unclear formant structure"),
+            },
+        }
+
 
 class GermanAnalyzer(_Base):
     language = "deu"
@@ -188,6 +444,54 @@ class GermanAnalyzer(_Base):
             "glottal_stop_rate": self.closure_modulation(audio),
             "final_devoicing": self.final_devoicing(audio),
             "consonant_cluster_energy": self.sibilant_energy(audio),
+        }
+
+    def detail(self, audio: np.ndarray) -> Dict[str, object]:
+        """german.py analyze() key tree: vowel_analysis / consonant_features /
+        word_stress / glottal_stops / final_devoicing / schwa_realization."""
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        runs = ph.voiced_run_durations(audio, self.sr)
+        contrast = self.vowel_length_contrast(audio)
+        med = float(np.median(runs)) if len(runs) else 0.0
+        glottal = self.closure_modulation(audio)
+        devoicing = self.final_devoicing(audio)
+        return {
+            "vowel_analysis": {
+                "length_contrast": contrast,
+                "median_vowel_ms": round(med * 1000.0, 1),
+                "n_vowel_runs": int(len(runs)),
+                "description": self._grade(
+                    contrast, "Clear long/short vowel distinction",
+                    "Some vowel length variation",
+                    "No long/short vowel contrast", hi=0.5, lo=0.2),
+            },
+            "consonant_features": {
+                "cluster_energy": self.sibilant_energy(audio),
+                "stop_crispness": glottal,
+            },
+            "word_stress": {
+                "contrast": self.stress_contrast(audio),
+                "description": self._grade(
+                    self.stress_contrast(audio),
+                    "Strong stressed/unstressed alternation",
+                    "Moderate stress contrast", "Flat stress pattern"),
+            },
+            "glottal_stops": {
+                "rate": glottal,
+                "description": self._grade(
+                    glottal, "Frequent hard vowel onsets",
+                    "Occasional glottal onsets", "Soft vowel onsets"),
+            },
+            "final_devoicing": {
+                "score": devoicing,
+                "description": self._grade(
+                    devoicing, "Consistent final obstruent devoicing",
+                    "Partial final devoicing", "Voiced segment finals",
+                    hi=0.5, lo=0.2),
+            },
+            "schwa_realization": {
+                "centralization": self.schwa_centralization(audio),
+            },
         }
 
 
@@ -202,6 +506,37 @@ class ItalianAnalyzer(_Base):
             "syllable_timing": self.syllable_timing_regularity(audio),
         }
 
+    def detail(self, audio: np.ndarray) -> Dict[str, object]:
+        """italian.py analyze() key tree: gemination / vowel_quality /
+        consonant_features / prosodic_features{stress_timing, intonation,
+        rhythm}."""
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        closures = self.pre_burst_silences(audio)
+        gem = self.closure_modulation(audio)
+        return {
+            "gemination": {
+                "strength": gem,
+                "closures": closures,
+                "description": self._grade(
+                    gem, "Clear geminate closures",
+                    "Some double-consonant lengthening",
+                    "No geminate contrast", hi=0.5, lo=0.25),
+            },
+            "vowel_quality": {
+                "clarity": self.formant_structure(audio),
+                "openness_range": self.prosody_range(audio),
+            },
+            "consonant_features": {
+                "crispness": gem,
+                "sibilant_energy": self.sibilant_energy(audio),
+            },
+            "prosodic_features": {
+                "stress_timing": self.stress_contrast(audio),
+                "intonation": self.intonation_quality(audio),
+                "rhythm": self.syllable_timing_regularity(audio),
+            },
+        }
+
 
 class PortugueseAnalyzer(_Base):
     language = "por"
@@ -212,6 +547,40 @@ class PortugueseAnalyzer(_Base):
             "nasalization": self.nasal_murmur_ratio(audio),
             "vowel_reduction": self.vowel_reduction(audio),
             "sibilance": self.sibilant_energy(audio),
+        }
+
+    def detail(self, audio: np.ndarray) -> Dict[str, object]:
+        """portuguese.py analyze() key tree: vowel_analysis{nasalization,
+        reduced_vowels, diphthongs} / consonant_features{palatalization,
+        sibilants, rhotics} / stress_patterns / intonation."""
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        nasal = self.nasal_murmur_ratio(audio)
+        return {
+            "vowel_analysis": {
+                "nasalization": {
+                    "strength": nasal,
+                    "consistency": self.nasal_consistency(audio),
+                    "peak_frequencies": self.nasal_peak_frequencies(audio),
+                },
+                "reduced_vowels": self.vowel_reduction(audio),
+                "diphthongs": self.diphthong_glide(audio),
+            },
+            "consonant_features": {
+                "palatalization": self.palatalization_energy(audio),
+                "sibilants": self.sibilant_energy(audio),
+                "rhotics": self.trill_strength(audio),
+            },
+            "stress_patterns": {
+                "contrast": self.stress_contrast(audio),
+                "description": self._grade(
+                    self.stress_contrast(audio),
+                    "Strong stress-driven reduction",
+                    "Moderate stress contrast", "Flat stress pattern"),
+            },
+            "intonation": {
+                "quality": self.intonation_quality(audio),
+                "range": self.prosody_range(audio),
+            },
         }
 
 
@@ -227,6 +596,44 @@ class SpanishAnalyzer(_Base):
             "stop_crispness": self.closure_modulation(audio),
         }
 
+    def detail(self, audio: np.ndarray) -> Dict[str, object]:
+        """spanish.py analyze() key tree: phoneme_analysis{trilled_r,
+        interdental_theta, stop_consonants} / syllable_timing /
+        intonation_patterns / vowel_clarity / stress_patterns."""
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        trill = self.trill_strength(audio)
+        timing = self.syllable_timing_regularity(audio)
+        return {
+            "phoneme_analysis": {
+                "trilled_r": {
+                    "strength": trill,
+                    "description": self._grade(
+                        trill, "Clear apical trill (20-35 Hz modulation)",
+                        "Weak or tapped rhotic", "No trill detected",
+                        hi=0.5, lo=0.2),
+                },
+                "interdental_theta": {"energy": self.sibilant_energy(audio)},
+                "stop_consonants": {"crispness": self.closure_modulation(audio)},
+            },
+            "syllable_timing": {
+                "regularity": timing,
+                "description": self._grade(
+                    timing, "Even syllable-timed rhythm",
+                    "Moderately regular syllables",
+                    "Irregular syllable timing"),
+            },
+            "intonation_patterns": {
+                "quality": self.intonation_quality(audio),
+                "range": self.prosody_range(audio),
+            },
+            "vowel_clarity": {
+                "formant_structure": self.formant_structure(audio),
+            },
+            "stress_patterns": {
+                "contrast": self.stress_contrast(audio),
+            },
+        }
+
 
 LANGUAGE_ANALYZERS = {
     a.language: a for a in (FrenchAnalyzer, GermanAnalyzer, ItalianAnalyzer,
@@ -239,3 +646,13 @@ def analyze_language(audio: np.ndarray, language: str, sr: int = 16_000) -> Dict
     if cls is None:
         return {}
     return cls(sr).analyze(audio)
+
+
+def detail_language(audio: np.ndarray, language: str, sr: int = 16_000) -> Dict[str, object]:
+    """Nested per-phenomenon report with the reference's exact key tree and
+    threshold-graded descriptions (the {language}.py analyze() structures).
+    ``{}`` for unsupported languages, same as :func:`analyze_language`."""
+    cls = LANGUAGE_ANALYZERS.get(language)
+    if cls is None:
+        return {}
+    return cls(sr).detail(audio)

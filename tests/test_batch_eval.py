@@ -21,6 +21,8 @@ from expressive_speech_translation_tpu.evals import (
 )
 from expressive_speech_translation_tpu.media.wavio import write_wav
 
+pytestmark = pytest.mark.quick
+
 
 def tone(freq=220.0, seconds=2.0, sr=16000, am=3.0):
     t = np.arange(int(sr * seconds)) / sr

@@ -7,6 +7,9 @@ import json
 import pathlib
 import subprocess
 import sys
+import pytest
+
+pytestmark = pytest.mark.quick
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 

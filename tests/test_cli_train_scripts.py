@@ -97,6 +97,9 @@ def test_plot_training_parses_executor_logs(tmp_path):
     assert (tmp_path / "curves.png").exists() or (tmp_path / "curves.csv").exists()
 
 
+@pytest.mark.slow
+
+
 def test_train_run_tiny_end_to_end(tmp_path, caplog):
     """The full training CLI on a tiny model: logs TRAIN/CV lines, checkpoints,
     and RESUMES (the reference's crash-resume story, SURVEY.md §5.4)."""

@@ -164,6 +164,9 @@ def test_client_error_surface(cosy_transport):
         client.synthesize("")  # service rejects empty text
 
 
+@pytest.mark.slow
+
+
 def test_create_app_remote_mode(cosy_transport, monkeypatch):
     """engines.mode=remote wires the reference split (local ASR/NMT + remote
     TTS) from config alone; health retries come from endpoints config."""

@@ -16,6 +16,8 @@ from expressive_speech_translation_tpu.core import (
 )
 from expressive_speech_translation_tpu.parallel import MeshSpec, host_cpu_mesh, make_mesh
 
+pytestmark = pytest.mark.quick
+
 
 def test_defaults_match_reference_constants():
     cfg = AppConfig()

@@ -191,6 +191,9 @@ def test_flow_euler_matches_closed_form():
     assert mel.shape == (b, cfg.token_mel_ratio * t_tok, cfg.n_mels)
 
 
+@pytest.mark.slow
+
+
 def test_flow_matching_loss_finite_and_differentiable():
     cfg = TINY_FLOW
     params = cv.init_flow(jax.random.PRNGKey(4), cfg)
@@ -234,6 +237,9 @@ def test_synthesize_end_to_end_jitted(params):
     assert audio.shape == (2, 24 * 480)  # 12 tokens × ratio 2 frames × hop 480
     assert np.isfinite(audio).all()
     assert out["speech_tokens"].shape == (2, 12)
+
+
+@pytest.mark.slow
 
 
 def test_speech_tokenizer_fsq():
@@ -295,6 +301,9 @@ def test_loaders_missing_and_tiny_roundtrip(tmp_path):
     params, cfg = load_whisper(d)
     assert cfg.d_model == 32
     assert params["decoder"]["embed"].shape == (200, 32)
+
+
+@pytest.mark.slow
 
 
 def test_mtp_generation_and_decode_span():

@@ -15,6 +15,8 @@ from expressive_speech_translation_tpu.pipeline.diagnostics import (
     analyze_language,
 )
 
+pytestmark = pytest.mark.quick
+
 
 def speechish(seconds=2.0, sr=16000, seed=0):
     g = np.random.default_rng(seed)
@@ -261,3 +263,102 @@ class TestVisualization:
         jsons = list(tmp_path.rglob("diagnostics.json"))
         assert len(pngs) == 1 and len(jsons) == 1
         assert pngs[0].stat().st_size > 20_000  # a real rendered figure
+
+
+class TestLanguageDetail:
+    """detail() nested reports: reference key-tree parity per language
+    (language_analysis/{language}.py analyze() structures) + discriminative
+    sub-scores."""
+
+    sr = 16000
+
+    def test_key_trees_match_reference(self):
+        from expressive_speech_translation_tpu.pipeline.diagnostics import (
+            detail_language,
+        )
+
+        x = speechish(2.5)
+        trees = {
+            # french.py:53-58
+            "fra": {"nasalization", "liaison", "prosody", "vowel_quality"},
+            # german.py analyze()
+            "deu": {"vowel_analysis", "consonant_features", "word_stress",
+                    "glottal_stops", "final_devoicing", "schwa_realization"},
+            # italian.py analyze()
+            "ita": {"gemination", "vowel_quality", "consonant_features",
+                    "prosodic_features"},
+            # portuguese.py analyze()
+            "por": {"vowel_analysis", "consonant_features", "stress_patterns",
+                    "intonation"},
+            # spanish.py analyze()
+            "spa": {"phoneme_analysis", "syllable_timing",
+                    "intonation_patterns", "vowel_clarity", "stress_patterns"},
+        }
+        for lang, keys in trees.items():
+            rep = detail_language(x, lang, self.sr)
+            assert set(rep) == keys, (lang, set(rep))
+        assert detail_language(x, "xx", self.sr) == {}
+
+    def test_french_nested_subscores_and_descriptions(self):
+        from expressive_speech_translation_tpu.pipeline.diagnostics import (
+            detail_language,
+        )
+
+        rep = detail_language(speechish(2.5), "fra", self.sr)
+        nasal = rep["nasalization"]
+        assert set(nasal["nasal_resonance"]) == {"strength", "stability",
+                                                 "peak_frequencies"}
+        assert set(nasal["quality_assessment"]) == {"authenticity",
+                                                    "consistency", "distinction"}
+        assert isinstance(nasal["description"], str) and nasal["description"]
+        assert isinstance(rep["liaison"]["detected"], bool)
+        assert set(rep["prosody"]) == {"score", "rhythm_quality",
+                                       "intonation_quality"}
+        # every numeric leaf bounded [0,1] except peak freqs / counts / ms
+        def walk(d):
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    walk(v)
+                elif isinstance(v, float) and not k.endswith("_ms"):
+                    assert 0.0 <= v <= 1.0, (k, v)
+        walk(rep)
+
+    def test_detail_included_in_full_report(self):
+        rep = AudioDiagnostics().analyze_translation(speechish(2.0),
+                                                     language="spa")
+        assert "phoneme_analysis" in rep["language_detail"]
+        # flat analyze() contract unchanged
+        assert all(isinstance(v, float) for v in rep["language"].values())
+
+    def test_intonation_quality_separates_contoured_vs_flat(self):
+        from expressive_speech_translation_tpu.pipeline.diagnostics.languages import (
+            FrenchAnalyzer,
+        )
+
+        t = np.arange(int(self.sr * 2.0)) / self.sr
+        am = 0.6 + 0.4 * np.sin(2 * np.pi * 3.0 * t) ** 2
+        flat = (0.4 * am * np.sin(2 * np.pi * 180 * t)).astype(np.float32)
+        # declining contour: 220 Hz -> 150 Hz over the utterance
+        f0 = 220.0 - 70.0 * (t / t[-1])
+        phase = 2 * np.pi * np.cumsum(f0) / self.sr
+        contoured = (0.4 * am * np.sin(phase)).astype(np.float32)
+        fr = FrenchAnalyzer(self.sr)
+        assert (fr.intonation_quality(contoured)
+                > fr.intonation_quality(flat) + 0.15)
+
+    def test_gemination_closures_detected(self):
+        from expressive_speech_translation_tpu.pipeline.diagnostics.languages import (
+            ItalianAnalyzer,
+        )
+
+        # vowel - 120 ms closure - burst - vowel (geminate /tt/ profile)
+        t = np.arange(int(self.sr * 0.4)) / self.sr
+        vowel = (0.4 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+        closure = np.zeros(int(self.sr * 0.12), np.float32)
+        g = np.random.default_rng(3)
+        burst = (0.5 * g.standard_normal(int(self.sr * 0.02))).astype(np.float32)
+        x = np.concatenate([vowel, closure, burst, vowel])
+        it = ItalianAnalyzer(self.sr)
+        closures = it.pre_burst_silences(x)
+        assert closures["count"] >= 1
+        assert 30.0 <= closures["mean_closure_ms"] <= 250.0

@@ -204,6 +204,9 @@ def test_ecapa_converter_parity():
     np.testing.assert_allclose(float(s_raw), float(s_norm), atol=1e-5)
 
 
+@pytest.mark.slow
+
+
 def test_masked_embed_matches_unpadded():
     """The mask-aware JAX forward must make a padded batch entry equal the
     same utterance embedded alone (speechbrain gets this only approximately;

@@ -157,6 +157,9 @@ def test_lipsync_bbox_without_caller_bbox(fixture_frames):
 # ------------------------------------------------- full-frame lip-sync paths
 
 
+@pytest.mark.slow
+
+
 def test_musetalk_pipeline_full_frames_no_bbox():
     """MuseTalk end-to-end on raw frames: detection → crop → render → blend
     (VERDICT r1: lip-sync must run on arbitrary frames without a bbox)."""

@@ -16,6 +16,8 @@ from werkzeug.wrappers import Request, Response
 from expressive_speech_translation_tpu.core.errors import MediaError
 from expressive_speech_translation_tpu.serve import media_fetcher as mf
 
+pytestmark = pytest.mark.quick
+
 
 def wav_bytes(freq=220.0, seconds=1.0, sr=16000):
     t = np.arange(int(sr * seconds)) / sr

@@ -15,8 +15,11 @@ import pytest
 from expressive_speech_translation_tpu.core.errors import MediaError
 from expressive_speech_translation_tpu.media import native
 
-pytestmark = pytest.mark.skipif(
-    not native.available(), reason="native media shim not built")
+pytestmark = [
+    pytest.mark.skipif(not native.available(),
+                       reason="native media shim not built"),
+    pytest.mark.quick,
+]
 
 VIDEO_FIXTURE = pathlib.Path(
     "/root/reference/Frontend/public/videos/man-speaking-into-the-microphone.mp4")

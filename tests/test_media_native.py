@@ -6,7 +6,7 @@ import pytest
 from expressive_speech_translation_tpu.media import native
 from expressive_speech_translation_tpu.media.wavio import read_wav, write_wav
 
-pytestmark = pytest.mark.skipif(not native.available(), reason="native shim not built")
+pytestmark = [pytest.mark.skipif(not native.available(), reason="native shim not built"), pytest.mark.quick]
 
 # input_video_short.mov was stripped from the reference (.MISSING_LARGE_BLOBS);
 # this committed frontend asset is a real H.264 MP4 with audio.

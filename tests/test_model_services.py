@@ -15,6 +15,8 @@ from expressive_speech_translation_tpu.serve.model_services import (
     SimilarityService,
 )
 
+pytestmark = pytest.mark.quick
+
 
 def wav_bytes(freq=220.0, seconds=1.0, sr=16000):
     import os, tempfile

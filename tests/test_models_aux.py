@@ -78,6 +78,9 @@ def test_vae_roundtrip_shapes(mt_params):
     assert np.isfinite(np.asarray(rec)).all()
 
 
+@pytest.mark.slow
+
+
 def test_unet_shapes_and_audio_conditioning(mt_params):
     g = np.random.default_rng(1)
     lat8 = jnp.asarray(g.standard_normal((2, 32, 32, 8)), jnp.float32)

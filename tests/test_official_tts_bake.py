@@ -106,6 +106,9 @@ def test_load_official_tts_roundtrips_params(baked_root):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
+
+
 def test_synthesize_official_end_to_end(baked_root):
     """The full official chain on baked weights: RAS LM decode → prompt-
     conditioned CFM mel → NSF-iSTFT vocoder, 24 kHz out."""
@@ -190,6 +193,9 @@ ENGINE_TINY = co.OfficialTtsConfig(
     hift=hm.HiFTConfig(in_channels=80, base_channels=32, nb_harmonics=2,
                        f0_cond_channels=16),
 )
+
+
+@pytest.mark.slow
 
 
 def test_engine_official_mode_synthesizes():

@@ -5,6 +5,8 @@ import pytest
 
 from expressive_speech_translation_tpu import ops
 
+pytestmark = pytest.mark.quick
+
 torch = pytest.importorskip("torch")
 
 

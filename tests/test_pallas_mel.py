@@ -4,6 +4,9 @@ import numpy as np
 
 from expressive_speech_translation_tpu.ops import whisper_log_mel
 from expressive_speech_translation_tpu.ops.pallas_mel import whisper_log_mel_pallas
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def _speechlike(seconds=3.0, sr=16000, seed=2):

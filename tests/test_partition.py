@@ -261,6 +261,9 @@ def test_engine_batches_shard_over_dp():
     assert nmt1.translate_batch(nreqs) == nmt2.translate_batch(nreqs)
 
 
+@pytest.mark.slow
+
+
 def test_tts_batch_shards_over_dp():
     """Batched TTS synthesis under the (dp, tp) mesh matches the unsharded
     engine sample-for-sample."""

@@ -21,6 +21,8 @@ from expressive_speech_translation_tpu.pipeline import (
 )
 from expressive_speech_translation_tpu.pipeline.visual_speech_detector import SpeechSegment
 
+pytestmark = pytest.mark.quick
+
 
 def speech_like(seconds=2.0, sr=16000, seed=0):
     g = np.random.default_rng(seed)

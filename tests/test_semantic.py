@@ -17,6 +17,8 @@ from expressive_speech_translation_tpu.evals.semantic import SemanticScorer
 from expressive_speech_translation_tpu.models import nllb as nj
 from expressive_speech_translation_tpu.models.loaders import save_converted
 
+pytestmark = pytest.mark.quick
+
 TINY_NLLB = nj.NLLBConfig(d_model=64, encoder_layers=2, decoder_layers=1,
                           heads=4, ffn_dim=128, vocab_size=384)
 

@@ -15,6 +15,8 @@ from expressive_speech_translation_tpu.pipeline.cascaded import CascadedBackend
 from expressive_speech_translation_tpu.pipeline.engines import fake_engines
 from expressive_speech_translation_tpu.serve.app import create_app
 
+pytestmark = pytest.mark.quick
+
 
 def wav_bytes(seconds=2.0, sr=16000, seed=0):
     import tempfile, os
@@ -306,6 +308,9 @@ def test_translate_streaming_sse_concurrent():
         assert any("transcripts" in f for f in frames)
         assert any("audio_chunk" in f for f in frames)
         assert frames[-1].get("done") is True
+
+
+@pytest.mark.slow
 
 
 def test_engine_config_wiring(monkeypatch):

@@ -25,6 +25,8 @@ from expressive_speech_translation_tpu.serve.app import create_app
 
 from test_serve import FailingLipsyncIO, FakeVideoIO, wav_bytes
 
+pytestmark = pytest.mark.quick
+
 APP_JS = Path(__file__).resolve().parents[1] / (
     "expressive_speech_translation_tpu/serve/static/app.js")
 

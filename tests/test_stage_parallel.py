@@ -76,6 +76,8 @@ class TestStagePlacedEngines:
         g = np.random.default_rng(11)
         return (0.2 * g.standard_normal(16_000)).astype(np.float32)
 
+    @pytest.mark.slow
+
     def test_params_on_disjoint_groups_and_transparent(self, audio):
         from expressive_speech_translation_tpu.pipeline.cascaded import (
             CascadedBackend,
@@ -112,6 +114,8 @@ class TestStagePlacedEngines:
         a = _param_devices(eng.asr.params)
         t = _param_devices(eng.tts.params)
         assert a and t and not (a & t)
+
+    @pytest.mark.slow
 
     def test_stage_placed_with_micro_batchers_concurrent(self, audio):
         """The production multi-chip combo: stage-placed engines wrapped in

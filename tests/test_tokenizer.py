@@ -25,6 +25,8 @@ from expressive_speech_translation_tpu.pipeline.tokenizer import (
     train_bpe_tokenizer,
 )
 
+pytestmark = pytest.mark.quick
+
 CORPUS = [
     "the quick brown fox jumps over the lazy dog",
     "hello world this is a speech translation test",

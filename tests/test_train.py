@@ -52,6 +52,9 @@ def test_loss_decreases_when_overfitting():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
+
+
 def test_grad_norm_metric_matches_true_norm():
     import optax
 
@@ -149,6 +152,9 @@ def test_pad_batch_masks():
     assert arrays["speech_tokens"].shape == (2, 4)
     assert arrays["speech_tokens_mask"].sum() == 5
     assert arrays["speech_tokens"][1, 2] == 0
+
+
+@pytest.mark.slow
 
 
 def test_lm_loss_trains_mtp_heads():

@@ -17,6 +17,8 @@ from test_face import synthetic_clip
 from expressive_speech_translation_tpu.evals import visual_metrics as vm
 from expressive_speech_translation_tpu.evals import visual_models as vmod
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(autouse=True)
 def _fresh_registry():
