@@ -512,7 +512,8 @@ def main() -> int:
             serve_out = _bench_serve(scale, repeats, quant_env, run_b8)
             rtf = serve_out.pop("e2e_serve_rtf")
             emit("audio_s2st_e2e_serve_rtf_1chip", rtf,
-                 f"RTF (10s utterance; serve path; scale={scale}; {serve_out})")
+                 f"RTF (10s utterance; serve path; scale={scale}; "
+                 f"dtype={'int8' if quant_env else 'bf16'}; {serve_out})")
             emitted = True
         except Exception:  # noqa: BLE001 — fall through to the stage fallback
             print("bench: serve section FAILED:", file=sys.stderr)

@@ -161,3 +161,32 @@ def musetalk_lipsync_fn(
         return pipe.render(np.asarray(frames), fps, wave)
 
     return fn
+
+
+def default_lipsync_fn() -> Callable[[np.ndarray, float, np.ndarray, int], np.ndarray]:
+    """Lip-sync fn with baked-weight discovery: MuseTalk VAE/UNet/PE from
+    ``EST_MODELS_DIR/musetalk`` and a width-matched whisper encoder from
+    ``musetalk_whisper``/``asr`` for the 50 Hz audio condition
+    (api_inference_logic.py:42-73, :99-102). Random weights + tiled log-mel
+    otherwise — same discovery the MuseTalk container entrypoint uses."""
+    import os
+    from pathlib import Path
+
+    params = mt_cfg = whisper = None
+    root = os.environ.get("EST_MODELS_DIR")
+    if root:
+        from ..models import whisper as wjm
+        from ..models.loaders import load_converted
+
+        if (Path(root) / "musetalk" / "config.json").exists():
+            params, mt_cfg = load_converted(Path(root) / "musetalk",
+                                            mtm.MuseTalkConfig)
+        audio_dim = (mt_cfg or mtm.MuseTalkConfig()).audio_dim
+        for sub in ("musetalk_whisper", "asr"):
+            if (Path(root) / sub / "config.json").exists():
+                w_params, w_cfg = load_converted(Path(root) / sub,
+                                                 wjm.WhisperConfig)
+                if w_cfg.d_model == audio_dim:
+                    whisper = (w_params, w_cfg)
+                    break
+    return musetalk_lipsync_fn(params, mt_cfg, whisper=whisper)

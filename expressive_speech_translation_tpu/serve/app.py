@@ -302,9 +302,12 @@ class App:
         backend = self.manager.get_backend(request.form.get("backend"))
         # the frontend's cloning toggle (app.py:358 reads the same form flag)
         cloning = request.form.get("use_voice_cloning", "true").lower() != "false"
+        # lip-sync toggle: 'true' unless explicitly disabled (app.py:355-356)
+        lipsync = request.form.get("apply_lip_sync", "true").lower() == "true"
         stream = self.video_processor.process_video(
             file.read(), backend, source, target,
             filename=file.filename or "input.mp4", use_voice_cloning=cloning,
+            apply_lip_sync=lipsync,
         )
         return Response(stream, mimetype="text/event-stream",
                         headers={"Cache-Control": "no-cache", "X-Accel-Buffering": "no"})
@@ -498,8 +501,22 @@ def main() -> None:
 
     maybe_initialize_distributed(config.mesh)
     # the server defaults to real compiled engines (mode jax; EST_ENGINES__MODE
-    # overrides); weightless state is surfaced via /health/model + responses
-    app = create_app(config=config, default_engine_mode="jax")
+    # overrides); weightless state is surfaced via /health/model + responses.
+    # Video routes run in-process when the native media shim is built: decode/
+    # mux via the C++ shim, lip-sync via the resident MuseTalk pipeline
+    # (baked weights + whisper conditioning when EST_MODELS_DIR has them).
+    video_io = None
+    from ..media import native as est_media
+
+    if est_media.available():
+        from ..pipeline.musetalk_pipeline import default_lipsync_fn
+
+        video_io = est_media.NativeVideoIO(lipsync_fn=default_lipsync_fn())
+    else:
+        log.warning("native media shim not built: /process-video disabled "
+                    "(deploy/ images build media/csrc)")
+    app = create_app(config=config, default_engine_mode="jax",
+                     video_io=video_io)
     # startup hard-fail parity (app.py:507-514)
     try:
         app.manager.get_backend()

@@ -356,29 +356,9 @@ def run_service(name: str, port: Optional[int] = None) -> None:
         # (api_inference_logic.py:63-72, :99-102). Random weights + tiled
         # log-mel otherwise, surfaced by the engine's warnings.
         from ..media.native import NativeVideoIO
-        from ..pipeline.musetalk_pipeline import musetalk_lipsync_fn
+        from ..pipeline.musetalk_pipeline import default_lipsync_fn
 
-        params = mt_cfg = whisper = None
-        root = os.environ.get("EST_MODELS_DIR")
-        if root:
-            from pathlib import Path
-
-            from ..models import musetalk as mtm, whisper as wjm
-            from ..models.loaders import load_converted
-
-            if (Path(root) / "musetalk" / "config.json").exists():
-                params, mt_cfg = load_converted(
-                    Path(root) / "musetalk", mtm.MuseTalkConfig)
-            audio_dim = (mt_cfg or mtm.MuseTalkConfig()).audio_dim
-            for sub in ("musetalk_whisper", "asr"):
-                if (Path(root) / sub / "config.json").exists():
-                    w_params, w_cfg = load_converted(Path(root) / sub,
-                                                     wjm.WhisperConfig)
-                    if w_cfg.d_model == audio_dim:
-                        whisper = (w_params, w_cfg)
-                        break
-        app = cls(video_io=NativeVideoIO(
-            lipsync_fn=musetalk_lipsync_fn(params, mt_cfg, whisper=whisper)))
+        app = cls(video_io=NativeVideoIO(lipsync_fn=default_lipsync_fn()))
     else:
         app = cls()
     run_simple("0.0.0.0", port or default_port, app, threaded=True)

@@ -23,6 +23,7 @@ const LANG_NAMES = {
 const state = {
   mode: "audio", busy: false, abort: null, blobUrl: null,
   recording: null, recordedFile: null, lastAudioBuffer: null,
+  sourceBuffer: null,
 };
 const $ = (id) => document.getElementById(id);
 
@@ -84,6 +85,9 @@ $("tabs").addEventListener("click", (ev) => {
   // streaming applies only to the audio /translate paths (file or mic) —
   // video and URL flows have their own response shapes
   $("streamrow").hidden = state.mode !== "audio" && state.mode !== "record";
+  // lip-sync toggle only makes sense for the video flow
+  // (TranslationFlow.js:40,685-693 applyLipSync switch)
+  $("lipsyncrow").hidden = state.mode !== "video";
   $("file-label").textContent = {
     audio: "Audio file (.wav / .mp3 / .ogg / .flac)",
     video: "Video file (.mp4 / .mov, ≤150 MB)",
@@ -225,8 +229,60 @@ async function showAudioResult(b64, transcripts) {
       const rect = canvas.getBoundingClientRect();
       audioEl.currentTime = ((ev.clientX - rect.left) / rect.width) * buf.duration;
     };
-    renderAnalytics(buf);
-  } catch { $("wave").hidden = true; }
+    initTransport(audioEl, buf.duration);
+    state.sourceBuffer = await decodeSourceUpload();
+    renderAnalytics(buf, state.sourceBuffer);
+  } catch { $("wave").hidden = true; $("transport").hidden = true; }
+}
+
+// WaveformPlayer.js transport parity: play/pause + rewind + m:ss / m:ss time
+// + volume slider with mute toggle (WaveformPlayer.js:17-74).
+function fmtTime(t) {
+  const m = Math.floor(t / 60), s = Math.floor(t % 60);
+  return `${m}:${String(s).padStart(2, "0")}`;
+}
+
+function initTransport(audioEl, duration) {
+  $("transport").hidden = false;
+  // native controls are redundant once the custom transport drives the element
+  audioEl.removeAttribute("controls");
+  audioEl.volume = parseFloat($("tr-vol").value);
+  const setTime = () =>
+    $("tr-time").textContent = `${fmtTime(audioEl.currentTime)} / ${fmtTime(duration)}`;
+  setTime();
+  audioEl.addEventListener("timeupdate", setTime);
+  audioEl.addEventListener("play", () => { $("tr-play").textContent = "⏸"; });
+  audioEl.addEventListener("pause", () => { $("tr-play").textContent = "▶"; });
+  audioEl.addEventListener("ended", () => {
+    // finish → reset to the start, like wavesurfer's 'finish' handler
+    $("tr-play").textContent = "▶"; audioEl.currentTime = 0;
+  });
+  $("tr-play").onclick = () =>
+    audioEl.paused ? audioEl.play() : audioEl.pause();
+  $("tr-rewind").onclick = () => { audioEl.currentTime = 0; };
+  $("tr-vol").oninput = (ev) => {
+    const v = parseFloat(ev.target.value);
+    audioEl.volume = v; audioEl.muted = false;
+    $("tr-mute").textContent = v === 0 ? "🔇" : "🔊";
+  };
+  $("tr-mute").onclick = () => {
+    audioEl.muted = !audioEl.muted;
+    $("tr-mute").textContent = audioEl.muted ? "🔇" : "🔊";
+  };
+}
+
+// decode the studio's uploaded/recorded SOURCE audio for the comparative
+// analytics pane (the reference dashboard shows source-vs-target series —
+// VoiceAnalyticsDashboard.js — but from canned sample data; this measures)
+async function decodeSourceUpload() {
+  try {
+    const f = state.mode === "record" ? state.recordedFile : $("file").files[0];
+    if (!f) return null;
+    const ctx = new (window.AudioContext || window.webkitAudioContext)();
+    const buf = await ctx.decodeAudioData(await f.arrayBuffer());
+    ctx.close();
+    return buf;
+  } catch { return null; }
 }
 
 function showVideoResult(b64, transcripts) {
@@ -345,27 +401,212 @@ function drawChart(canvas, values, { lo, hi, color = "#58a6ff" }) {
   g.stroke();
 }
 
-function renderAnalytics(buf) {
+// per-clip voice statistics powering the dashboard tiles and radar
+// (the reference's stat cards: Average Volume / Speech Rate / Voice
+// Clarity / Emotion Match — VoiceAnalyticsDashboard.js:46-51)
+function voiceStats(buf) {
   const data = buf.getChannelData(0);
-  const pitch = pitchTrack(data, buf.sampleRate);
-  const level = levelTrack(data, buf.sampleRate);
-  const voiced = pitch.filter(isFinite);
+  const rate = buf.sampleRate;
+  const pitch = pitchTrack(data, rate);
+  const level = levelTrack(data, rate);
+  const voiced = pitch.filter(isFinite).sort((a, b) => a - b);
   const active = level.filter((v) => v > -45);
+  const mean = (a) => a.reduce((x, y) => x + y, 0) / Math.max(a.length, 1);
+  // syllable-nucleus rate from level-peak counting → WPM estimate
+  // (≈1.45 syllables per word across the five UI languages)
+  let peaks = 0, rising = false;
+  const thr = Math.max(...level) - 12;
+  for (let i = 1; i < level.length; i++) {
+    if (level[i] > thr && level[i] > level[i - 1]) rising = true;
+    else if (rising && level[i] < level[i - 1] - 1) { peaks++; rising = false; }
+  }
+  const sylPerS = peaks / Math.max(buf.duration, 0.1);
+  const clarity = voiced.length / Math.max(pitch.length, 1);
+  const p = (q) => voiced.length ? voiced[Math.floor(q * (voiced.length - 1))] : NaN;
+  return {
+    pitch, level,
+    levelDb: active.length ? mean(active) : NaN,
+    wpm: (sylPerS * 60) / 1.45,
+    clarity,
+    medianPitch: p(0.5),
+    pitchRange: voiced.length >= 4 ? p(0.9) - p(0.1) : 0,
+    levelVar: active.length >= 4
+      ? Math.sqrt(mean(active.map((v) => (v - mean(active)) ** 2))) : 0,
+    duration: buf.duration,
+  };
+}
+
+function resampleSeries(values, n) {
+  const out = [];
+  for (let i = 0; i < n; i++) {
+    const v = values[Math.floor((i / n) * values.length)];
+    out.push(isFinite(v) ? v : NaN);
+  }
+  return out;
+}
+
+// two-series line chart (recharts LineChart parity: source #8b5cf6 vs
+// target #ec4899 — VoiceAnalyticsDashboard.js:96-110)
+function drawMultiLine(canvas, seriesList, { lo, hi }) {
+  const { width, height } = canvas.getBoundingClientRect();
+  canvas.width = width; canvas.height = height;
+  const g = canvas.getContext("2d");
+  g.clearRect(0, 0, width, height);
+  g.strokeStyle = "#30363d";
+  g.strokeRect(0.5, 0.5, width - 1, height - 1);
+  for (const { values, color } of seriesList) {
+    g.strokeStyle = color; g.lineWidth = 1.8; g.beginPath();
+    let pen = false;
+    for (let i = 0; i < values.length; i++) {
+      const v = values[i];
+      if (!isFinite(v)) { pen = false; continue; }
+      const x = (i / Math.max(values.length - 1, 1)) * width;
+      const y = height - ((v - lo) / (hi - lo)) * height;
+      if (pen) g.lineTo(x, y); else { g.moveTo(x, y); pen = true; }
+    }
+    g.stroke();
+  }
+}
+
+// radar chart (recharts RadarChart parity — Volume/Pace/Pitch/Clarity/Emotion
+// axes, two translucent polygons — VoiceAnalyticsDashboard.js:117-146)
+function drawRadar(canvas, categories, seriesList) {
+  const { width, height } = canvas.getBoundingClientRect();
+  canvas.width = width; canvas.height = height;
+  const g = canvas.getContext("2d");
+  g.clearRect(0, 0, width, height);
+  const cx = width / 2, cy = height / 2, R = Math.min(cx, cy) - 28;
+  const n = categories.length;
+  const angle = (i) => -Math.PI / 2 + (2 * Math.PI * i) / n;
+  // grid rings + spokes + labels
+  g.strokeStyle = "#30363d"; g.fillStyle = "#8b949e"; g.font = "11px sans-serif";
+  for (const frac of [0.33, 0.66, 1.0]) {
+    g.beginPath();
+    for (let i = 0; i <= n; i++) {
+      const a = angle(i % n);
+      const x = cx + R * frac * Math.cos(a), y = cy + R * frac * Math.sin(a);
+      if (i) g.lineTo(x, y); else g.moveTo(x, y);
+    }
+    g.stroke();
+  }
+  for (let i = 0; i < n; i++) {
+    const a = angle(i);
+    g.beginPath(); g.moveTo(cx, cy);
+    g.lineTo(cx + R * Math.cos(a), cy + R * Math.sin(a)); g.stroke();
+    g.textAlign = Math.cos(a) > 0.3 ? "left" : Math.cos(a) < -0.3 ? "right" : "center";
+    g.fillText(categories[i], cx + (R + 12) * Math.cos(a), cy + (R + 12) * Math.sin(a) + 4);
+  }
+  for (const { values, color } of seriesList) {
+    g.beginPath();
+    for (let i = 0; i <= n; i++) {
+      const a = angle(i % n), v = Math.max(0, Math.min(1, values[i % n]));
+      const x = cx + R * v * Math.cos(a), y = cy + R * v * Math.sin(a);
+      if (i) g.lineTo(x, y); else g.moveTo(x, y);
+    }
+    g.strokeStyle = color; g.lineWidth = 2; g.stroke();
+    g.fillStyle = color + "40"; g.fill();
+  }
+}
+
+// grouped bar chart (recharts BarChart parity: emotion distribution —
+// VoiceAnalyticsDashboard.js:150-165)
+function drawBars(canvas, labels, seriesList) {
+  const { width, height } = canvas.getBoundingClientRect();
+  canvas.width = width; canvas.height = height;
+  const g = canvas.getContext("2d");
+  g.clearRect(0, 0, width, height);
+  const pad = 18, base = height - 18;
+  const group = (width - 2 * pad) / labels.length;
+  const barW = Math.min(22, group / (seriesList.length + 1));
+  g.fillStyle = "#8b949e"; g.font = "11px sans-serif"; g.textAlign = "center";
+  labels.forEach((lab, i) => {
+    g.fillText(lab, pad + group * (i + 0.5), height - 4);
+    seriesList.forEach(({ values, color }, s) => {
+      const h = Math.max(1, values[i] * (base - 10));
+      g.fillStyle = color;
+      g.fillRect(pad + group * (i + 0.5) + (s - seriesList.length / 2) * barW,
+                 base - h, barW - 2, h);
+      g.fillStyle = "#8b949e";
+    });
+  });
+}
+
+// deterministic prosody→emotion-profile proxy: the reference's dashboard
+// shows an emotion distribution from canned data; here the five bins are
+// derived from measured prosody (pitch range / pace / level variance)
+function emotionProfile(st) {
+  const rangeN = Math.min(st.pitchRange / 150, 1);
+  const paceN = Math.min(st.wpm / 220, 1);
+  const varN = Math.min(st.levelVar / 12, 1);
+  const raw = {
+    Neutral: 1.2 - 0.6 * rangeN - 0.4 * varN,
+    Happy: 0.4 * rangeN + 0.5 * (st.medianPitch > 180 ? 1 : 0.4),
+    Serious: 0.7 - 0.4 * rangeN + 0.3 * (1 - paceN),
+    Energetic: 0.5 * paceN + 0.5 * varN,
+    Calm: 0.8 - 0.5 * varN - 0.3 * paceN,
+  };
+  const total = Object.values(raw).reduce((a, b) => a + Math.max(b, 0.01), 0);
+  return Object.fromEntries(Object.entries(raw).map(
+    ([k, v]) => [k, Math.max(v, 0.01) / total]));
+}
+
+function changeChip(target, source, { pct = true, invert = false } = {}) {
+  if (!isFinite(target) || !isFinite(source) || source === 0) return "";
+  const delta = pct ? ((target - source) / Math.abs(source)) * 100 : target - source;
+  const up = (invert ? -delta : delta) >= 0;
+  return `<small class="${up ? "up" : "down"}">${delta >= 0 ? "+" : ""}${delta.toFixed(1)}${pct ? "%" : ""} vs source</small>`;
+}
+
+function renderAnalytics(buf, srcBuf = null) {
+  const st = voiceStats(buf);
+  const src = srcBuf ? voiceStats(srcBuf) : null;
   const tiles = [
-    ["Duration", `${buf.duration.toFixed(1)} s`],
-    ["Average level", active.length
-      ? `${(active.reduce((a, b) => a + b, 0) / active.length).toFixed(1)} dB` : "—"],
-    ["Median pitch", voiced.length
-      ? `${voiced.sort((a, b) => a - b)[voiced.length >> 1].toFixed(0)} Hz` : "—"],
-    ["Voiced", `${((voiced.length / Math.max(pitch.length, 1)) * 100).toFixed(0)} %`],
+    ["Average volume", isFinite(st.levelDb) ? `${st.levelDb.toFixed(1)} dB` : "—",
+     src ? changeChip(st.levelDb, src.levelDb) : ""],
+    ["Speech rate", `${st.wpm.toFixed(0)} WPM`,
+     src ? changeChip(st.wpm, src.wpm) : ""],
+    ["Voice clarity", `${(st.clarity * 100).toFixed(0)} %`,
+     src ? changeChip(st.clarity * 100, src.clarity * 100) : ""],
+    ["Median pitch", isFinite(st.medianPitch) ? `${st.medianPitch.toFixed(0)} Hz` : "—",
+     src ? changeChip(st.medianPitch, src.medianPitch) : ""],
+    ["Duration", `${st.duration.toFixed(1)} s`,
+     src ? changeChip(st.duration, src.duration) : ""],
   ];
   $("an-tiles").innerHTML = tiles.map(
-    ([t, v]) => `<div class="tile"><p>${t}</p><h3>${v}</h3></div>`).join("");
+    ([t, v, c]) => `<div class="tile"><p>${t}</p><h3>${v}</h3>${c}</div>`).join("");
   $("an-tiles").hidden = false;
   $("an-charts").hidden = false;
-  $("an-note").textContent = "Measured from the latest translated audio.";
-  drawChart($("an-pitch"), pitch, { lo: 50, hi: 400 });
-  drawChart($("an-level"), level, { lo: -60, hi: 0, color: "#3fb950" });
+  drawChart($("an-pitch"), st.pitch, { lo: 50, hi: 400 });
+  drawChart($("an-level"), st.level, { lo: -60, hi: 0, color: "#3fb950" });
+  if (src) {
+    $("an-note").textContent =
+      "Measured from the latest translation — translated output vs your source.";
+    $("an-compare").hidden = false;
+    const N = 120;
+    drawMultiLine($("an-cmp-pitch"), [
+      { values: resampleSeries(src.pitch, N), color: "#8b5cf6" },
+      { values: resampleSeries(st.pitch, N), color: "#ec4899" },
+    ], { lo: 50, hi: 400 });
+    const axis = (s) => [
+      Math.min(Math.max((s.levelDb + 60) / 60, 0), 1),
+      Math.min(s.wpm / 220, 1),
+      Math.min((s.medianPitch || 0) / 350, 1),
+      s.clarity,
+      Math.min(s.pitchRange / 150, 1),
+    ];
+    drawRadar($("an-radar"), ["Volume", "Pace", "Pitch", "Clarity", "Emotion"], [
+      { values: axis(src), color: "#8b5cf6" },
+      { values: axis(st), color: "#ec4899" },
+    ]);
+    const emoS = emotionProfile(src), emoT = emotionProfile(st);
+    drawBars($("an-emotion"), Object.keys(emoS), [
+      { values: Object.values(emoS), color: "#8b5cf6" },
+      { values: Object.values(emoT), color: "#ec4899" },
+    ]);
+  } else {
+    $("an-note").textContent = "Measured from the latest translated audio.";
+    $("an-compare").hidden = true;
+  }
 }
 
 // ====================== podcasts (PodcastPage.js) ===========================
@@ -633,6 +874,8 @@ async function runVideo() {
   form.append("file", requireFile());
   form.append("source_language", $("src").value);
   form.append("target_language", $("tgt").value);
+  // lip-sync toggle (TranslationFlow.js:91 posts the same form flag)
+  form.append("apply_lip_sync", $("lipsync-toggle").checked ? "true" : "false");
   setProgress(0);
   const resp = await fetch("/process-video", { method: "POST", body: form,
                                                signal: state.abort.signal });
@@ -771,6 +1014,7 @@ $("dub-go").addEventListener("click", async () => {
   form.append("target_language", dub.lang);
   form.append("backend", $("dub-backend").value || "cascaded");
   form.append("use_voice_cloning", $("dub-clone").checked ? "true" : "false");
+  form.append("apply_lip_sync", $("dub-lipsync").checked ? "true" : "false");
   $("dub-go").disabled = true;
   $("dub-prog").hidden = false; $("dub-prog").value = 0;
   $("dub-result").hidden = true;

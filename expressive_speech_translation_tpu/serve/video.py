@@ -89,6 +89,7 @@ class VideoProcessor:
         *,
         filename: str = "input.mp4",
         use_voice_cloning: bool = True,
+        apply_lip_sync: bool = True,
     ) -> Generator[str, None, None]:
         """Returns an SSE-frame generator; final frame carries the base64 MP4 +
         transcripts. Validation happens eagerly (before the 200 is committed)."""
@@ -100,11 +101,12 @@ class VideoProcessor:
         req_id = new_request_id()
         return self._stream(video_bytes, backend, source_lang, target_lang,
                             filename=filename, req_dir=req_dir, req_id=req_id,
-                            use_voice_cloning=use_voice_cloning)
+                            use_voice_cloning=use_voice_cloning,
+                            apply_lip_sync=apply_lip_sync)
 
     def _stream(
         self, video_bytes, backend, source_lang, target_lang, *, filename,
-        req_dir, req_id, use_voice_cloning=True,
+        req_dir, req_id, use_voice_cloning=True, apply_lip_sync=True,
     ) -> Generator[str, None, None]:
         phase = "Starting"
 
@@ -143,16 +145,24 @@ class VideoProcessor:
 
             yield _ev("lipsync", "Applying lip sync")
             out_path = req_dir / "output.mp4"
-            try:
-                self.video_io.lipsync(str(src), dubbed, 16_000, str(out_path))
-                if not out_path.exists() or out_path.stat().st_size <= 1024:
-                    raise MediaError("lip-sync output too small")  # video_routes.py:152
-            except Exception:  # noqa: BLE001 — fallback mux (video_routes.py:286-293)
-                log.exception("lip sync failed; falling back to audio dub")
+            if not apply_lip_sync:
+                # user-disabled path (video_routes.py:294-300): same 75 tick,
+                # straight to the audio-dub mux
                 yield generate_progress_event(
-                    PROGRESS_STEPS["finalize"], "Lip sync unavailable; muxing dubbed audio"
-                )
+                    PROGRESS_STEPS["finalize"],
+                    "Lip sync disabled, combining audio with video")
                 self.video_io.mux(str(src), dubbed, 16_000, str(out_path))
+            else:
+                try:
+                    self.video_io.lipsync(str(src), dubbed, 16_000, str(out_path))
+                    if not out_path.exists() or out_path.stat().st_size <= 1024:
+                        raise MediaError("lip-sync output too small")  # video_routes.py:152
+                except Exception:  # noqa: BLE001 — fallback mux (video_routes.py:286-293)
+                    log.exception("lip sync failed; falling back to audio dub")
+                    yield generate_progress_event(
+                        PROGRESS_STEPS["finalize"], "Lip sync unavailable; muxing dubbed audio"
+                    )
+                    self.video_io.mux(str(src), dubbed, 16_000, str(out_path))
 
             yield _ev("encode", "Encoding result")
             encoded = base64.b64encode(out_path.read_bytes()).decode()

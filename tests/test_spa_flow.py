@@ -210,3 +210,54 @@ def test_dub_flow_uses_process_video_with_cloning_flag(client, js):
     })
     assert resp.status_code == 200
     assert sse_frames(resp.data)[-1]["result"].get("video")
+
+
+def test_lip_sync_toggle_contract(client, js):
+    """TranslationFlow.js:40,91 applyLipSync: both the studio video flow and
+    the dub view post apply_lip_sync; disabling it takes the reference's
+    75-tick 'disabled' path (video_routes.py:294-300) and muxes instead of
+    lip-syncing."""
+    # client-side: both flows post the flag, and the studio shows the toggle
+    # only for the video mode
+    vid = js[js.index("async function runVideo"):]
+    assert re.search(r'form\.append\("apply_lip_sync"', vid)
+    dub = js[js.index("function initDub"):]
+    assert re.search(r'form\.append\("apply_lip_sync"', dub)
+    assert 'lipsyncrow' in js and "state.mode !== \"video\"" in js
+
+    resp = client.post("/process-video", data={
+        "file": (io.BytesIO(b"\x00" * 4000), "clip.mp4"),
+        "source_language": "eng", "target_language": "fra",
+        "apply_lip_sync": "false",
+    })
+    assert resp.status_code == 200
+    frames = sse_frames(resp.data)
+    prog = [f["progress"] for f in frames if "progress" in f]
+    assert 75 in prog
+    phases = [f.get("phase", "") for f in frames]
+    assert any("disabled" in p.lower() for p in phases)
+    video = base64.b64decode(frames[-1]["result"]["video"])
+    assert video.startswith(b"MUXED")  # mux, not the lipsync renderer
+
+
+def test_transport_and_comparative_analytics_surface(js):
+    """WaveformPlayer.js transport (play/pause, rewind, m:ss time, volume +
+    mute) and VoiceAnalyticsDashboard.js chart set (source-vs-target line,
+    radar with the 5 reference axes, emotion bars) exist and are wired to the
+    elements the page serves."""
+    html = (APP_JS.parent / "index.html").read_text()
+    for el in ("transport", "tr-play", "tr-rewind", "tr-time", "tr-vol",
+               "tr-mute", "an-cmp-pitch", "an-radar", "an-emotion"):
+        assert f'id="{el}"' in html, el
+    for fn in ("initTransport", "fmtTime", "drawMultiLine", "drawRadar",
+               "drawBars", "voiceStats", "emotionProfile", "decodeSourceUpload"):
+        assert f"function {fn}" in js, fn
+    # the radar carries the reference's exact five axes
+    # (VoiceAnalyticsDashboard.js:29-35)
+    assert re.search(r'\[\s*"Volume",\s*"Pace",\s*"Pitch",\s*"Clarity",\s*"Emotion"\s*\]', js)
+    # the stat tiles show the reference's change-vs-source chips
+    assert "vs source" in js
+    # transport drives the audio element, reference seek/finish semantics
+    tr = js[js.index("function initTransport"):]
+    assert "audioEl.currentTime = 0" in tr  # rewind + finish reset
+    assert "audioEl.muted" in tr
