@@ -94,6 +94,33 @@ $("tabs").addEventListener("click", (ev) => {
   }[state.mode] || "File";
 });
 
+// drag-and-drop upload (TranslateTool.js:72-83 handleDrop/handleDragOver:
+// prevent default, accept a type-matched file into the same input pipeline)
+$("dropzone").addEventListener("dragover", (e) => {
+  e.preventDefault();
+  $("dropzone").style.borderColor = "#58a6ff";
+});
+$("dropzone").addEventListener("dragleave", () => {
+  $("dropzone").style.borderColor = "var(--line)";
+});
+$("dropzone").addEventListener("drop", (e) => {
+  e.preventDefault();
+  $("dropzone").style.borderColor = "var(--line)";
+  const f = e.dataTransfer.files[0];
+  if (!f) return;
+  // audio mode takes audio/*, video mode video/* (the reference's
+  // droppedFile.type.startsWith('audio/') filter)
+  const want = state.mode === "video" ? "video/" : "audio/";
+  if (f.type && !f.type.startsWith(want)) {
+    setError(`Drop a ${want.slice(0, -1)} file here`);
+    return;
+  }
+  const dt = new DataTransfer();
+  dt.items.add(f);
+  $("file").files = dt.files;
+  setError("");
+});
+
 function setStatus(msg) { $("status").textContent = msg || ""; }
 function setError(msg) { $("error").textContent = msg || ""; }
 function setProgress(v) { $("prog").hidden = v == null; if (v != null) $("prog").value = v; }
@@ -330,19 +357,40 @@ function updatePhases(label, progress) {
 function clearPhases() { $("phases").hidden = true; $("phases").innerHTML = ""; }
 
 function showTranscripts(t) {
-  // build with createTextNode — transcripts are model output and must not
-  // be interpolated into markup (same escaping as the dub/text views)
+  // TranscriptView.js parity: a Show/Hide Transcript toggle revealing
+  // language-named sections ("Source Text (English)" / "Target Text
+  // (French)") with empty-state fallbacks. Built with createTextNode —
+  // transcripts are model output and must not be interpolated into markup.
   const box = $("transcripts");
   box.innerHTML = "";
   if (!t) return;
-  for (const k of ["source", "target"]) {
+  const flag = Object.fromEntries(DUB_LANGUAGES.map(([c, , f]) => [c, f]));
+  const tgt = $("tgt").value;
+  const toggle = document.createElement("button");
+  toggle.className = "recbtn";
+  toggle.id = "transcript-toggle";
+  toggle.textContent = "Show Transcript";
+  const panel = document.createElement("div");
+  panel.hidden = true;
+  toggle.onclick = () => {
+    panel.hidden = !panel.hidden;
+    toggle.textContent = panel.hidden ? "Show Transcript" : "Hide Transcript";
+  };
+  const section = (title, text, fallback) => {
     const d = document.createElement("div");
     const b = document.createElement("b");
-    b.textContent = k + " ";
+    b.textContent = title;
     d.appendChild(b);
-    d.appendChild(document.createTextNode(t[k] || "—"));
-    box.appendChild(d);
-  }
+    d.appendChild(document.createElement("br"));
+    d.appendChild(document.createTextNode(text || fallback));
+    panel.appendChild(d);
+  };
+  section(`Source Text (${LANG_NAMES[$("src").value] || $("src").value})`,
+          t.source, "No source text available");
+  section(`Target Text (${LANG_NAMES[tgt] || tgt}) ${flag[tgt] || ""}`,
+          t.target, "No target text available");
+  box.appendChild(toggle);
+  box.appendChild(panel);
 }
 
 // ============== analytics (VoiceAnalyticsDashboard.js, measured) ============

@@ -261,3 +261,21 @@ def test_transport_and_comparative_analytics_surface(js):
     tr = js[js.index("function initTransport"):]
     assert "audioEl.currentTime = 0" in tr  # rewind + finish reset
     assert "audioEl.muted" in tr
+
+
+def test_dropzone_and_transcript_view_parity(js):
+    """TranslateTool.js:72-83 drag-and-drop (preventDefault + type filter into
+    the same file-input pipeline) and TranscriptView.js Show/Hide Transcript
+    toggle with language-named sections + empty-state fallbacks."""
+    html = (APP_JS.parent / "index.html").read_text()
+    assert 'id="dropzone"' in html and "drag and drop" in html
+    dz = js[js.index('$("dropzone")'):]
+    assert "e.preventDefault()" in dz
+    assert "dataTransfer.files[0]" in dz
+    assert 'startsWith(want)' in dz  # audio/ vs video/ type filter
+
+    tv = js[js.index("function showTranscripts"):]
+    assert '"Show Transcript"' in tv and '"Hide Transcript"' in tv
+    assert "Source Text (" in tv and "Target Text (" in tv
+    assert "No source text available" in tv
+    assert "No target text available" in tv
