@@ -406,6 +406,10 @@ def _emit_recorded_fallback(reason: str) -> None:
     _HEADLINE_EMITTED = True
     try:
         rec = json.load(open(_RECORDED_PATH))
+        # schema check INSIDE the guard: a valid-JSON sidecar missing keys
+        # must not KeyError below — this path exists to survive exactly that
+        # kind of breakage
+        float(rec["value"]); str(rec["provenance"])
     except Exception:  # noqa: BLE001 — sidecar missing/corrupt: last resort
         rec = {"value": 0.04138, "provenance": "BENCH_LOCAL_r03.md, rc=0, wall 1202s"}
     print(json.dumps({

@@ -79,7 +79,10 @@ def cmd_s2st(args) -> int:
 
     audio, sr = _load_audio(args.input)
     x = _prepare_16k(audio, sr)
-    backend = SeamlessBackend(num_beams=args.num_beams)
+    # baked seamless-m4t-v2 weights (est bake --seamless) via --weights /
+    # EST_MODELS_DIR; weightless toy instance otherwise
+    backend = SeamlessBackend.from_models_dir(
+        getattr(args, "weights", None), num_beams=args.num_beams)
     backend.initialize()
     result = backend.translate_speech(x, args.source_lang, args.target_lang)
     write_wav(args.output, result["audio"][0], 16_000)
@@ -312,6 +315,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--source-lang", default="eng")
     p.add_argument("--target-lang", required=True)
     p.add_argument("--num-beams", type=int, default=5)
+    p.add_argument("--weights", help="models root with a seamless/ subtree "
+                   "(defaults to EST_MODELS_DIR)")
     p.set_defaults(fn=cmd_s2st)
 
     p = sub.add_parser("simple-tts", help="text → translate → TTS (no cloning)")

@@ -87,10 +87,14 @@ def visual_identity_distance(
         return float("nan")
     learned = registry().identity
     if learned is not None:
-        ea, eb = (np.asarray(learned(c), np.float32).reshape(-1) for c in (a, b))
-        ea = ea / (np.linalg.norm(ea) + 1e-9)
-        eb = eb / (np.linalg.norm(eb) + 1e-9)
-        return float(1.0 - np.dot(ea, eb))
+        try:
+            ea, eb = (np.asarray(learned(c), np.float32).reshape(-1)
+                      for c in (a, b))
+            ea = ea / (np.linalg.norm(ea) + 1e-9)
+            eb = eb / (np.linalg.norm(eb) + 1e-9)
+            return float(1.0 - np.dot(ea, eb))
+        except Exception:  # noqa: BLE001 — degrade to the proxy, don't crash the battery
+            log.warning("learned identity model failed; proxy", exc_info=True)
     return float(1.0 - np.dot(_identity_embedding(a), _identity_embedding(b)))
 
 
@@ -131,7 +135,10 @@ def classify_visual_emotion(frames: np.ndarray,
 
     learned = registry().emotion
     if learned is not None:
-        return str(learned(np.asarray(frames)))
+        try:
+            return str(learned(np.asarray(frames)))
+        except Exception:  # noqa: BLE001 — degrade to the proxy
+            log.warning("learned emotion model failed; proxy", exc_info=True)
     if aus is None:
         aus = action_units(frames)
     if np.isnan(aus["au12_mean"]):
@@ -214,7 +221,10 @@ def deepfake_artifact_score(frames: np.ndarray) -> float:
 
     learned = registry().deepfake
     if learned is not None:
-        return float(learned(np.asarray(frames)))
+        try:
+            return float(learned(np.asarray(frames)))
+        except Exception:  # noqa: BLE001 — degrade to the proxy
+            log.warning("learned deepfake model failed; proxy", exc_info=True)
     n = len(frames)
     face = detect_face_bbox(frames)
     if face is None or n < 3:

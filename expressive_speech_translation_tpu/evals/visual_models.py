@@ -58,6 +58,10 @@ def _load_torchscript(d: Path, cfg: dict, member: str) -> Callable:
     def fn(x: np.ndarray):
         with torch.no_grad():
             t = torch.from_numpy(np.ascontiguousarray(x, dtype=np.float32))
+            if member == "arcface":
+                # contract is [1,3,S,S] (NCHW — what real ArcFace exports
+                # take); the battery hands crops as [S,S,3]
+                t = t.permute(2, 0, 1)
             out = mod(t[None]).squeeze(0).cpu().numpy()
         if member == "arcface":
             return np.asarray(out, np.float32).reshape(-1)

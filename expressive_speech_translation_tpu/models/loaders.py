@@ -241,6 +241,12 @@ def bake_models(out_root: str | Path, *, asr: Optional[str] = None,
         if aux:
             (out / "seamless" / "generation_maps.json").write_text(
                 json.dumps(aux, ensure_ascii=False))
+        tok = Path(seamless)
+        tok = (tok if tok.is_dir() else tok.parent) / "tokenizer.json"
+        if tok.exists():  # SeamlessBackend.from_models_dir picks this up
+            import shutil
+
+            shutil.copyfile(tok, out / "seamless" / "tokenizer.json")
         log.info("baked Seamless %s -> %s (aux maps: %s)", seamless,
                  out / "seamless", sorted(aux) or "none")
     if asr:
@@ -618,12 +624,13 @@ def main(argv=None) -> int:
     ap.add_argument("--diff2lip", help="diff2lip TFG checkpoint (file or dir)")
     ap.add_argument("--openvoice", help="OpenVoice v2 converter dir")
     ap.add_argument("--ecapa", help="speechbrain ECAPA checkpoint (file or dir)")
+    ap.add_argument("--seamless", help="HF seamless-m4t-v2-large dir")
     ap.add_argument("--out", required=True, help="output root for native trees")
     args = ap.parse_args(argv)
     bake_models(args.out, asr=args.asr, nmt=args.nmt, tts=args.tts,
                 musetalk=args.musetalk, musetalk_whisper=args.musetalk_whisper,
                 diff2lip=args.diff2lip, openvoice=args.openvoice,
-                ecapa=args.ecapa)
+                ecapa=args.ecapa, seamless=args.seamless)
     return 0
 
 

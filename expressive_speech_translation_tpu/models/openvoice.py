@@ -331,7 +331,10 @@ def extract_se(params: Params, cfg: OpenVoiceConfig, spec: jnp.ndarray) -> jnp.n
     for conv in params["ref_enc"]["convs"]:
         x = jax.nn.relu(_conv2d_s2(conv, x))
     b, t, f, c = x.shape
-    x = x.reshape(b, t, f * c)
+    # torch flattens [N, T', C, F'].view(N, T', -1) — channel-major — so the
+    # GRU's weight_ih_l0 input ordering is (c, f); transpose before reshape
+    # or converted checkpoints see a permuted input (observable once F' > 1).
+    x = x.transpose(0, 1, 3, 2).reshape(b, t, c * f)
     h = _gru(params["ref_enc"]["gru"], x)
     return dense(params["ref_enc"]["proj"], h)
 

@@ -767,6 +767,17 @@ def char_inputs_for_t2u(
 
     total = counts.sum(1)
     c = int(total.max()) if max_chars is None else max_chars
+    if max_chars is not None:
+        # keep counts consistent with the char-id truncation below: a row
+        # whose subword chars overflow max_chars must not report counts for
+        # dropped ids, or the duration predictor / hard_upsample would align
+        # units to pad positions
+        for b in range(batch):
+            cum = 0
+            for i in range(seq):
+                take = min(int(counts[b, i]), max(0, c - cum))
+                counts[b, i] = take
+                cum += take
     char_ids = np.full((batch, c), pad_token_id, np.int32)
     for b in range(batch):
         n = int((ids[b] != pad_token_id).sum())

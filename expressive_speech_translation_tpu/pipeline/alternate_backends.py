@@ -148,10 +148,20 @@ def seamless_features(audio: np.ndarray, *, max_frames: Optional[int] = None):
     from ..ops import kaldi_fbank
 
     x = np.asarray(audio, np.float32).reshape(-1)
+    # 2-frame stacking needs ≥2 fbank frames (≥ ~35 ms); pad sub-frame-pair
+    # clips with silence rather than emitting a zero-length sequence whose
+    # all-False mask NaNs the encoder softmax
+    min_samples = int(16_000 * 0.035) + 1
+    if x.size < min_samples:
+        x = np.pad(x, (0, min_samples - x.size))
     fb = np.asarray(kaldi_fbank(jnp.asarray(x[None]), sr=16_000, n_mels=80,
                                 frame_length_ms=25.0, frame_shift_ms=10.0,
                                 fmin=20.0))[0]                      # [T, 80]
-    fb = (fb - fb.mean(0, keepdims=True)) / np.sqrt(fb.var(0, ddof=1,
+    # ddof=1 is the HF extractor's unbiased variance; it is 0/0 for a single
+    # frame, so fall back to ddof=0 there (the padding above makes this a
+    # belt-and-braces guard)
+    ddof = 1 if fb.shape[0] > 1 else 0
+    fb = (fb - fb.mean(0, keepdims=True)) / np.sqrt(fb.var(0, ddof=ddof,
                                                            keepdims=True) + 1e-7)
     t = fb.shape[0] - fb.shape[0] % 2
     feats = fb[:t].reshape(1, t // 2, 160)
@@ -189,6 +199,41 @@ class SeamlessBackend(TranslationBackend):
         self.max_units = max_units
         self.initialized = False
         self._stage1 = self._stage2 = None
+
+    @classmethod
+    def from_models_dir(cls, root: Optional[str] = None, **kw) -> "SeamlessBackend":
+        """Construct with baked weights from ``{root|EST_MODELS_DIR}/seamless``
+        (written by ``est bake --seamless``) when present — params + config +
+        generation_maps.json — else the weightless toy instance. This is the
+        runtime consumer of the bake step; without it baked Seamless trees
+        would sit on disk unused."""
+        import json as _json
+        import os
+        from pathlib import Path
+
+        root = root or os.environ.get("EST_MODELS_DIR")
+        if root:
+            d = Path(root) / "seamless"
+            if (d / "config.json").exists():
+                from ..models import seamless as sm
+                from ..models.loaders import load_converted
+
+                params, cfg = load_converted(d, sm.SeamlessConfig)
+                aux = {}
+                maps = d / "generation_maps.json"
+                if maps.exists():
+                    aux = _json.loads(maps.read_text())
+                tok = None
+                tj = d / "tokenizer.json"
+                if tj.exists():
+                    from .tokenizer import SubwordTokenizer
+
+                    tok = SubwordTokenizer(tj)
+                log.info("SeamlessBackend: baked weights from %s (aux: %s)",
+                         d, sorted(aux) or "none")
+                return cls(params=params, cfg=cfg, tokenizer=tok,
+                           aux_maps=aux, **kw)
+        return cls(**kw)
 
     def initialize(self) -> None:
         import functools
@@ -237,11 +282,26 @@ class SeamlessBackend(TranslationBackend):
     def get_supported_languages(self) -> List[str]:
         return sorted(NLLB_LANGUAGES)
 
+    @staticmethod
+    def _map_lookup(mapping: Dict[str, Any], lang: str, what: str) -> int:
+        """Resolve a language in a checkpoint map; HF checkpoints key these
+        either bare ("fra") or token-styled ("__fra__"). With real maps an
+        unknown language raises instead of silently becoming token 0 (pad) —
+        the decoder would otherwise pick an arbitrary language."""
+        if not mapping:
+            return 0
+        for key in (lang, f"__{lang}__"):
+            if key in mapping:
+                return int(mapping[key])
+        raise ValueError(
+            f"target language {lang!r} not in the checkpoint's {what} map "
+            f"({len(mapping)} languages)")
+
     def _lang_ids(self, target_lang: str):
-        text_map = self.aux.get("text_decoder_lang_to_code_id") or {}
-        voc_map = self.aux.get("vocoder_lang_code_to_id") or {}
-        return (int(text_map.get(target_lang, 0)),
-                int(voc_map.get(target_lang, 0)))
+        return (self._map_lookup(self.aux.get("text_decoder_lang_to_code_id") or {},
+                                 target_lang, "text_decoder_lang_to_code_id"),
+                self._map_lookup(self.aux.get("vocoder_lang_code_to_id") or {},
+                                 target_lang, "vocoder_lang_code_to_id"))
 
     def translate_speech(self, audio, source_lang: str, target_lang: str, **kw) -> Dict[str, Any]:
         from ..models import seamless as sm

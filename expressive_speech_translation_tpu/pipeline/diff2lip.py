@@ -145,7 +145,11 @@ class Diff2LipPipeline:
         self.cfg = cfg
         if params is None:
             log.warning("Diff2LipPipeline: random weights (no checkpoint supplied)")
-            params = init_diff2lip_unet(jax.random.PRNGKey(11), cfg)
+            from ..models.common import host_init
+
+            # host CPU init + one device_put — eager per-tensor init over an
+            # axon relay pays a round-trip per tensor on this SD-scale tree
+            params = host_init(init_diff2lip_unet, 11, cfg)
         self.params = params
         self.detector = detector
         self.use_ddim = use_ddim
@@ -179,6 +183,25 @@ class Diff2LipPipeline:
             return sample * self._mask + (1.0 - self._mask) * crops
 
         self._sample = jax.jit(run)
+
+    @classmethod
+    def from_models_dir(cls, root: Optional[str] = None, **kw) -> "Diff2LipPipeline":
+        """Construct with baked TFG weights from ``{root|EST_MODELS_DIR}/
+        diff2lip`` (written by ``est bake --diff2lip``) when present, else
+        random weights — the runtime consumer of the bake step."""
+        import os
+        from pathlib import Path
+
+        root = root or os.environ.get("EST_MODELS_DIR")
+        if root:
+            d = Path(root) / "diff2lip"
+            if (d / "config.json").exists():
+                from ..models.loaders import load_converted
+
+                params, cfg = load_converted(d, Diff2LipConfig)
+                log.info("Diff2LipPipeline: baked weights from %s", d)
+                return cls(cfg, params, **kw)
+        return cls(**kw)
 
     def generate(
         self,

@@ -92,7 +92,11 @@ class MuseTalkPipeline:
         self.cfg = cfg or mtm.MuseTalkConfig()
         if params is None:
             log.warning("MuseTalkPipeline: random weights (no checkpoint supplied)")
-            params = mtm.init_musetalk(jax.random.PRNGKey(7), self.cfg)
+            from ..models.common import host_init
+
+            # host CPU init + one device_put: eager per-tensor init of the
+            # SD-scale VAE+UNet pays a relay round-trip per tensor otherwise
+            params = host_init(mtm.init_musetalk, 7, self.cfg)
         from ..models.common import cast_floats
 
         self.params = cast_floats(params, dtype)

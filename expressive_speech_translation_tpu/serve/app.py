@@ -511,7 +511,17 @@ def main() -> None:
     if est_media.available():
         from ..pipeline.musetalk_pipeline import default_lipsync_fn
 
-        video_io = est_media.NativeVideoIO(lipsync_fn=default_lipsync_fn())
+        # lazy: building the MuseTalk pipeline (weightless = full SD-scale
+        # random init) must not block startup when /process-video is unused;
+        # first video request pays the one-time construction instead
+        _lipsync_cell: list = []
+
+        def _lazy_lipsync(frames, fps, audio, sr):
+            if not _lipsync_cell:
+                _lipsync_cell.append(default_lipsync_fn())
+            return _lipsync_cell[0](frames, fps, audio, sr)
+
+        video_io = est_media.NativeVideoIO(lipsync_fn=_lazy_lipsync)
     else:
         log.warning("native media shim not built: /process-video disabled "
                     "(deploy/ images build media/csrc)")

@@ -172,3 +172,79 @@ def test_espnet_default_tts_is_vits_model():
     a = np.asarray(tts.params["embed"], np.float32)
     b = np.asarray(other.params["embed"], np.float32)
     assert not np.allclose(a, b)
+
+
+def test_seamless_lang_ids_strict_with_real_maps():
+    """With checkpoint generation maps present, an unknown target language
+    raises instead of silently decoding with the pad token; both bare and
+    __tok__-styled map keys resolve."""
+    b = SeamlessBackend(aux_maps={
+        "text_decoder_lang_to_code_id": {"__fra__": 42, "ell": 7},
+        "vocoder_lang_code_to_id": {"fra": 3, "ell": 1},
+    })
+    assert b._lang_ids("fra") == (42, 3)
+    assert b._lang_ids("ell") == (7, 1)
+    with pytest.raises(ValueError, match="deu"):
+        b._lang_ids("deu")
+    # no maps at all (weightless byte fallback) → token 0, no raise
+    assert SeamlessBackend()._lang_ids("deu") == (0, 0)
+
+
+def test_seamless_features_survive_tiny_clips():
+    """Sub-frame-pair audio (finding: 1-frame ddof=1 variance = NaN, 0-pair
+    stacking = empty mask) pads to a valid finite feature sequence."""
+    from expressive_speech_translation_tpu.pipeline.alternate_backends import (
+        seamless_features,
+    )
+
+    for n in (1, 160, 400, 700):
+        feats, mask = seamless_features(np.zeros(n, np.float32) + 0.01)
+        assert np.isfinite(feats).all()
+        assert mask.any()
+
+
+def test_seamless_from_models_dir_discovery(tmp_path, monkeypatch):
+    """est bake --seamless output is actually consumed at runtime: a baked
+    tree + generation_maps.json under EST_MODELS_DIR/seamless constructs a
+    weighted backend; without it the weightless toy instance is returned."""
+    import json
+
+    from expressive_speech_translation_tpu.models import seamless as sm
+    from expressive_speech_translation_tpu.models.common import host_init
+    from expressive_speech_translation_tpu.models.loaders import save_converted
+
+    cfg = sm.SeamlessConfig.toy()
+    params = host_init(sm.init_seamless, 3, cfg)
+    save_converted(params, cfg, tmp_path / "seamless")
+    (tmp_path / "seamless" / "generation_maps.json").write_text(
+        json.dumps({"text_decoder_lang_to_code_id": {"fra": 5},
+                    "vocoder_lang_code_to_id": {"fra": 2}}))
+    monkeypatch.setenv("EST_MODELS_DIR", str(tmp_path))
+
+    b = SeamlessBackend.from_models_dir(num_beams=2)
+    assert b._params is not None
+    assert b.cfg.hidden == cfg.hidden
+    assert b._lang_ids("fra") == (5, 2)
+
+    monkeypatch.delenv("EST_MODELS_DIR")
+    b2 = SeamlessBackend.from_models_dir(num_beams=2)
+    assert b2._params is None and b2.aux == {}
+
+
+def test_char_inputs_truncation_keeps_counts_consistent():
+    """When subword characters overflow max_chars, char_counts must be
+    clamped alongside char_ids — otherwise hard_upsample aligns units to pad
+    positions past the truncation point."""
+    from expressive_speech_translation_tpu.models import seamless as sm
+
+    id_to_text, char_to_id = sm.byte_char_maps(64)
+    ids = np.array([[4, 8, 7, 9, 11, 5, 6, 10]], np.int64)  # 8 subwords × 2 chars
+    max_chars = 5                                            # forces overflow
+    char_ids, char_counts = sm.char_inputs_for_t2u(
+        ids, id_to_text, char_to_id, pad_token_id=0, max_chars=max_chars)
+    assert char_ids.shape[1] == max_chars
+    assert int(char_counts.sum()) == max_chars               # not 16
+    # a non-overflowing call is untouched
+    char_ids2, char_counts2 = sm.char_inputs_for_t2u(
+        ids, id_to_text, char_to_id, pad_token_id=0, max_chars=32)
+    assert int(char_counts2.sum()) == 16

@@ -107,6 +107,20 @@ def test_loaders_cli(hf_whisper_dir, tmp_path):
     assert cfg["d_model"] == 64
 
 
+def test_loaders_cli_accepts_every_bake_flag(tmp_path):
+    """The standalone converter CLI and `est bake` must support the same
+    model set — --seamless was missing from one of them once."""
+    import argparse
+
+    for flag in ("--asr", "--nmt", "--tts", "--musetalk", "--musetalk-whisper",
+                 "--diff2lip", "--openvoice", "--ecapa", "--seamless"):
+        # argparse exits 2 on unknown flags; a missing-file error from the
+        # converter itself proves the flag parsed
+        with pytest.raises((WeightsNotFoundError, Exception)) as e:
+            loaders.main([flag, str(tmp_path / "nope"), "--out", str(tmp_path)])
+        assert not isinstance(e.value, (SystemExit, argparse.ArgumentError)), flag
+
+
 @pytest.mark.slow
 def test_bake_musetalk_roundtrip(tmp_path):
     """MuseTalk release layout (sd-vae-ft-mse/ + musetalk/) → bake_models

@@ -26,8 +26,12 @@ import torch.nn as nn  # noqa: E402
 import torch.nn.functional as F  # noqa: E402
 from torch.nn.utils import weight_norm  # noqa: E402
 
+# n_spec=65 keeps F'=2 after the six stride-2 convs so the ReferenceEncoder
+# flatten order (channel-major, torch .transpose(1,2).view) is observable —
+# with F'=1 a frequency-major flatten would pass this test while corrupting
+# real-checkpoint speaker embeddings.
 CFG = ov.OpenVoiceConfig(
-    n_spec=33, inter_channels=8, hidden=16, se_dim=16, n_flows=2,
+    n_spec=65, inter_channels=8, hidden=16, se_dim=16, n_flows=2,
     flow_wn_layers=2, post_wn_layers=3, upsample_initial=32,
     upsample_rates=(8, 8, 2, 2), upsample_kernels=(16, 16, 4, 4),
     resblock_kernels=(3, 7), resblock_dilations=((1, 3), (1, 3)),

@@ -83,8 +83,9 @@ def test_torchscript_checkpoint_discovery(tmp_path, monkeypatch):
     torch = pytest.importorskip("torch")
 
     class Embedder(torch.nn.Module):
-        def forward(self, x):          # [1, S, S, 3] crop → [1, 12]
-            flat = x.mean(dim=(1, 2))  # [1, 3]
+        def forward(self, x):          # [1, 3, S, S] NCHW crop → [1, 12]
+            assert x.shape[1] == 3     # the documented ArcFace contract
+            flat = x.mean(dim=(2, 3))  # [1, 3]
             return flat.repeat(1, 4)
 
     class FakeDetector(torch.nn.Module):
@@ -107,6 +108,27 @@ def test_torchscript_checkpoint_discovery(tmp_path, monkeypatch):
     assert vm.deepfake_artifact_score(frames) == pytest.approx(0.8808, abs=1e-3)
     # same clip → identical crops → identical embeddings → distance 0
     assert vm.visual_identity_distance(frames, frames) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_learned_model_runtime_failure_degrades_to_proxy():
+    """A mounted model that crashes at metric time must not take down the
+    battery — each member falls back to its classical proxy."""
+    vmod._reset()
+    reg = vmod.registry()
+
+    def boom(_x):
+        raise RuntimeError("shape mismatch")
+
+    reg.provide("arcface", boom)
+    reg.provide("deepfake", boom)
+    reg.provide("visual_emotion", boom)
+    frames = synthetic_clip(n=16)
+    d = vm.visual_identity_distance(frames, frames)
+    assert np.isfinite(d)                    # proxy result, not an exception
+    s = vm.deepfake_artifact_score(frames)
+    assert np.isnan(s) or 0.0 <= s <= 1.0
+    assert isinstance(vm.classify_visual_emotion(frames), str)
+    vmod._reset()
 
 
 def test_unknown_format_degrades_to_proxy(tmp_path, monkeypatch):
