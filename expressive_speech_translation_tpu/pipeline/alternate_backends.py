@@ -353,8 +353,6 @@ class ESPnetBackend(TranslationBackend):
         asr_factory: Optional[Callable[[str], Any]] = None,
         tts_factory: Optional[Callable[[str], Any]] = None,
     ):
-        from .engines import FakeAsr
-
         def default_tts(lang: str):
             # a real VITS-family synthesizer per language (the reference's
             # espnet/kan-bayashi_ljspeech_vits unit of caching), not a stub
@@ -362,7 +360,26 @@ class ESPnetBackend(TranslationBackend):
 
             return VitsTTSModel(lang)
 
-        self._asr_factory = asr_factory or (lambda lang: FakeAsr())
+        def default_asr(lang: str):
+            # a real whisper engine per language (the reference caches one
+            # espnet ASR model per language): baked weights when
+            # EST_MODELS_DIR/asr is mounted, tiny random instance otherwise
+            import os
+            from pathlib import Path
+
+            from ..models import whisper as wjm
+            from .jax_engines import JaxWhisperAsr
+
+            root = os.environ.get("EST_MODELS_DIR")
+            if root and (Path(root) / "asr" / "config.json").exists():
+                from ..models.loaders import load_converted
+
+                params, cfg = load_converted(Path(root) / "asr",
+                                             wjm.WhisperConfig)
+                return JaxWhisperAsr(cfg, params)
+            return JaxWhisperAsr(wjm.WhisperConfig.tiny())
+
+        self._asr_factory = asr_factory or default_asr
         self._tts_factory = tts_factory or default_tts
         self._asr_models: Dict[str, Any] = {}
         self._tts_models: Dict[str, Any] = {}

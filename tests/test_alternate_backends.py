@@ -162,6 +162,12 @@ def test_espnet_default_tts_is_vits_model():
     tts = backend._tts_models["fra"]
     assert isinstance(tts, VitsTTSModel)
     assert backend._load_tts_model("fra") is tts  # cached
+    # the default per-language ASR is the real whisper engine, not a stub
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxWhisperAsr
+
+    asr = backend._asr_models["eng"]
+    assert isinstance(asr, JaxWhisperAsr)
+    assert backend._load_asr_model("eng") is asr  # cached
 
     short = tts.synthesize("Hi.")
     long = tts.synthesize("This considerably longer sentence should synthesize "
