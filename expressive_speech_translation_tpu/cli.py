@@ -288,6 +288,35 @@ def cmd_embed(args) -> int:
     return 0
 
 
+def cmd_verify_quality(args) -> int:
+    """BASELINE five-config quality-parity harness (evals/verify_quality.py):
+    per-config BLEU delta + ECAPA speaker-similarity delta vs stored torch-
+    reference outputs, gated at ≤0.5 BLEU / ≤0.01 spk-sim (BASELINE.md), or a
+    labeled structure-only report when run weightless."""
+    from .evals.verify_quality import run_verify_quality
+
+    configs = tuple(int(c) for c in args.configs.split(",")) if args.configs \
+        else (1, 2, 3, 4, 5)
+    fixtures = {}
+    if args.harvard:
+        fixtures["harvard"] = args.harvard
+    if args.short_audio:
+        fixtures["short_audio"] = args.short_audio
+    if args.video:
+        fixtures["short_video"] = args.video
+    report = run_verify_quality(
+        out_dir=args.out,
+        models_dir=args.weights or os.environ.get("EST_MODELS_DIR"),
+        reference_dir=args.reference_outputs,
+        configs=configs,
+        engines_mode=args.engines,
+        fixtures=fixtures or None,
+        max_seconds=args.max_seconds,
+    )
+    print(json.dumps(report, ensure_ascii=False, indent=2))
+    return 0 if report["overall"] in ("pass", "structure-only") else 1
+
+
 def cmd_bake(args) -> int:
     """Convert HF checkpoints to native orbax trees (deploy/Dockerfile.models)."""
     from .models.loaders import bake_models
@@ -344,6 +373,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weights", help="models root with an ecapa/ subtree "
                    "(defaults to EST_MODELS_DIR)")
     p.set_defaults(fn=cmd_embed)
+
+    p = sub.add_parser(
+        "verify-quality",
+        help="BASELINE five-config BLEU/spk-sim parity harness")
+    p.add_argument("--out", required=True, help="report + outputs directory")
+    p.add_argument("--weights", help="models root (defaults to EST_MODELS_DIR)")
+    p.add_argument("--reference-outputs",
+                   help="dir of stored torch-reference outputs "
+                        "(configN.json [+ wav]; see docs/VERIFY_QUALITY.md)")
+    p.add_argument("--configs", help="comma list, e.g. 1,2,5 (default all)")
+    p.add_argument("--engines", choices=("fake", "jax"), default="jax")
+    p.add_argument("--harvard", help="override the harvard.wav fixture")
+    p.add_argument("--short-audio", help="override input_audio_short.wav")
+    p.add_argument("--video", help="override input_video_short.mov")
+    p.add_argument("--max-seconds", type=float,
+                   help="cap each fixture's audio length")
+    p.set_defaults(fn=cmd_verify_quality)
 
     p = sub.add_parser(
         "bake", help="convert HF checkpoints to native trees (models/loaders)")
