@@ -23,19 +23,154 @@ and mouths on real video (verified on the committed speaking-head fixture):
 
 All of it is numpy/scipy host code: this is per-clip video prep (the reference
 runs MediaPipe on CPU too), not a TPU hot path.
+
+When a learned detector checkpoint is mounted it takes over face
+localization automatically (classical stays the fallback): see
+:func:`learned_detector` — the same ``$EST_MODELS_DIR`` discovery seam the
+visual eval battery uses (evals/visual_models.py).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
-from typing import List, Optional, Sequence, Tuple
+import os
+from pathlib import Path
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 log = logging.getLogger(__name__)
 
 BBox = Tuple[int, int, int, int]  # (y0, x0, y1, x1) — half-open
+
+
+# ------------------------------------------------------- learned-detector seam
+#
+# The reference localizes with learned models everywhere: MediaPipe FaceMesh
+# (services/visual_speech_detector.py:33-46), DWPose for MuseTalk
+# (Docker/api_inference_logic.py:42-73), vendored S3FD for diff2lip
+# (Backend/diff2lip/face_detection/). None ship in this environment, so the
+# production path discovers one under ``$EST_MODELS_DIR/face_detector`` when
+# weights are mounted and falls back to the classical detector below
+# otherwise.
+#
+# ``config.json`` contract (mirrors evals/visual_models.py):
+#   {"format": "torchscript", "file": "model.pt", "min_score": 0.5}
+# The scripted module maps one float32 frame [1,3,H,W] in [0,1] (NCHW — what
+# real S3FD/RetinaFace exports take) to an [N,5] tensor of
+# (x0, y0, x1, y1, score) boxes in pixels; the highest-scoring box above
+# ``min_score`` wins. Tests and bespoke deployments can inject a per-frame
+# callable directly via :func:`provide_learned_detector`.
+
+# per-frame detector: frame [H,W,3] uint8/float → (y0,x0,y1,x1) or None
+FrameDetector = Callable[[np.ndarray], Optional[BBox]]
+
+_UNSET = object()
+_learned: object = _UNSET
+
+
+def _load_torchscript_detector(d: Path, cfg: dict) -> FrameDetector:
+    import torch
+
+    mod = torch.jit.load(str(d / cfg.get("file", "model.pt")), map_location="cpu")
+    mod.eval()
+    min_score = float(cfg.get("min_score", 0.5))
+
+    def fn(frame: np.ndarray) -> Optional[BBox]:
+        f = np.asarray(frame)
+        if f.ndim == 2:  # grayscale → stacked channels
+            f = np.repeat(f[..., None], 3, axis=-1)
+        x = np.ascontiguousarray(f, dtype=np.float32)
+        if x.max() > 1.5:  # uint8-range input → [0,1]
+            x = x / 255.0
+        with torch.no_grad():
+            out = mod(torch.from_numpy(x).permute(2, 0, 1)[None])
+        boxes = np.asarray(out, np.float32).reshape(-1, 5)
+        boxes = boxes[boxes[:, 4] >= min_score]
+        if len(boxes) == 0:
+            return None
+        x0, y0, x1, y1, _ = boxes[int(np.argmax(boxes[:, 4]))]
+        h, w = f.shape[:2]
+        y0, y1 = int(np.clip(y0, 0, h - 1)), int(np.clip(y1, 1, h))
+        x0, x1 = int(np.clip(x0, 0, w - 1)), int(np.clip(x1, 1, w))
+        if y1 - y0 < 2 or x1 - x0 < 2:
+            return None
+        return (y0, x0, y1, x1)
+
+    return fn
+
+
+_DETECTOR_LOADERS = {"torchscript": _load_torchscript_detector}
+
+
+def learned_detector() -> Optional[FrameDetector]:
+    """Singleton with lazy ``$EST_MODELS_DIR/face_detector`` discovery.
+    ``None`` → the classical detector carries localization."""
+    global _learned
+    if _learned is _UNSET:
+        _learned = _discover_learned()
+    return _learned  # type: ignore[return-value]
+
+
+def provide_learned_detector(fn: Optional[FrameDetector]) -> None:
+    """Inject a learned per-frame detector (tests / bespoke deployments)."""
+    global _learned
+    _learned = fn
+
+
+def _reset_learned() -> None:
+    """Drop the cached detector (tests re-discover after env changes)."""
+    global _learned
+    _learned = _UNSET
+
+
+def _discover_learned() -> Optional[FrameDetector]:
+    root = os.environ.get("EST_MODELS_DIR")
+    if not root:
+        return None
+    d = Path(root) / "face_detector"
+    cfg_path = d / "config.json"
+    if not cfg_path.exists():
+        return None
+    try:
+        cfg = json.loads(cfg_path.read_text())
+        fmt = cfg.get("format", "")
+        if fmt not in _DETECTOR_LOADERS:
+            raise ValueError(f"unknown face-detector format {fmt!r}")
+        fn = _DETECTOR_LOADERS[fmt](d, cfg)
+        log.info("face: learned detector from %s (%s)", d, fmt)
+        return fn
+    except Exception as e:  # noqa: BLE001 — localization degrades to classical
+        log.warning("face: learned detector load failed (%s); using classical", e)
+        return None
+
+
+def _learned_clip_bbox(
+    frames: Sequence[np.ndarray], det: FrameDetector, max_samples: int,
+) -> Optional[BBox]:
+    """Clip-stable box from a per-frame learned detector: median over sampled
+    frames' detections (the same role 5-frame bbox smoothing plays for the
+    reference's per-frame DWPose/S3FD boxes — api_inference_logic.py:89-97)."""
+    idx = _sample_indices(len(frames), max_samples)
+    boxes = []
+    for i in idx:
+        try:
+            b = det(np.asarray(frames[i]))
+        except Exception as e:  # noqa: BLE001
+            log.warning("face: learned detector failed on a frame (%s); "
+                        "falling back to classical", e)
+            return None
+        if b is not None:
+            boxes.append(b)
+    if not boxes:
+        return None
+    med = np.median(np.asarray(boxes, np.float32), axis=0)
+    h, w = np.asarray(frames[0]).shape[:2]
+    y0, x0, y1, x1 = (int(round(v)) for v in med)
+    return (max(0, y0), max(0, x0), min(h, max(y1, y0 + 2)),
+            min(w, max(x1, x0 + 2)))
 
 
 def _ycbcr(frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -94,11 +229,26 @@ def detect_face_bbox(
     skin and motion coincide hardest (tuned on the committed speaking-head
     fixture where largest-blob picking grabs the speaker's shadow on wood
     panelling instead).
+
+    When a learned detector is mounted (``$EST_MODELS_DIR/face_detector``) it
+    carries localization instead — every consumer (MuseTalk, diff2lip, the
+    visual speech detector, windowed tracking) funnels through here, so the
+    seam upgrades all of them at once. Per-frame failures fall back to the
+    classical path below.
     """
     from scipy import ndimage
 
     if len(frames) == 0:
         return None
+    det = learned_detector()
+    if det is not None:
+        box = _learned_clip_bbox(frames, det, max_samples)
+        if box is not None:
+            return box
+        # a mounted detector that found no face on any sampled frame is an
+        # honest no-face answer ONLY if it ran; _learned_clip_bbox returns
+        # None on execution failure too — classical continues below either
+        # way (a missed small face costs less than a crashed clip)
     h, w = np.asarray(frames[0]).shape[:2]
     if len(frames) == 1:
         idx_pairs = []
