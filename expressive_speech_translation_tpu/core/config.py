@@ -108,6 +108,14 @@ class ServeConfig:
     tts_batching: bool = False
     tts_max_batch: int = 8
     tts_batch_wait_ms: float = 20.0
+    # OIDC-style auth gate on the creator studio. The reference wires
+    # react-oidc-context + a Cognito config at the app root but ships it
+    # COMMENTED OUT (Frontend/src/index.js:5-21) — so the gate defaults to
+    # disabled (authority "") and activates when an authority is configured
+    # (EST_SERVE__AUTH_AUTHORITY / EST_SERVE__AUTH_CLIENT_ID).
+    auth_authority: str = ""
+    auth_client_id: str = ""
+    auth_scope: str = "phone openid email"  # index.js cognitoAuthConfig.scope
 
 
 @dataclass(frozen=True)

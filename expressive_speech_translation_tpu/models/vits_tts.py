@@ -164,6 +164,10 @@ class VitsTTSModel:
         self.language = language
         self.cfg = cfg
         self.sample_rate = cfg.sample_rate
+        # no checkpoint path exists for this family yet: instances are always
+        # randomly initialised — surfaced through ESPnetBackend.weights_info
+        # so /available-backends labels the backend "random"
+        self.weightless = True
         self.max_chars = max_chars
         self.max_frames = max_frames
         seed = zlib.crc32(f"vits:{language}".encode()) & 0x7FFFFFFF

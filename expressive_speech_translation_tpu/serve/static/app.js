@@ -47,7 +47,11 @@ async function init() {
     for (const name of b.backends) {
       const opt = document.createElement("option");
       opt.value = name;
-      opt.textContent = name + (name === b.default ? " (default)" : "");
+      // surface weight provenance: a random-weight backend must never be
+      // silently selectable as production-ready (route "weights" map)
+      const w = (b.weights || {})[name];
+      const tag = w && w !== "loaded" ? ` \u26a0 ${w} weights` : "";
+      opt.textContent = name + (name === b.default ? " (default)" : "") + tag;
       $("backend").appendChild(opt);
     }
   } catch (e) {
@@ -56,14 +60,66 @@ async function init() {
   renderPodcasts();
 }
 
+// ---- OIDC-style auth gate (Frontend/src/index.js:5-21: react-oidc-context
+// wired at the app root against a Cognito authority, shipped COMMENTED OUT —
+// so this gate is inert until /auth-config reports enabled=true)
+const auth = { cfg: null };
+const GATED_VIEWS = ["studio", "dub", "podcasts"];
+
+function authSession() {
+  try { return JSON.parse(localStorage.getItem("est_auth") || "null"); }
+  catch { return null; }
+}
+
+function authRequired(view) {
+  return !!(auth.cfg && auth.cfg.enabled) && !authSession() &&
+         GATED_VIEWS.includes(view);
+}
+
+function signinUrl() {
+  // authorization-code redirect, the commented cognitoAuthConfig's shape
+  // (response_type "code", scope "phone openid email")
+  const c = auth.cfg;
+  const q = new URLSearchParams({
+    client_id: c.client_id,
+    redirect_uri: location.origin + location.pathname,
+    response_type: c.response_type || "code",
+    scope: c.scope || "openid",
+  });
+  return `${c.authority.replace(/\/$/, "")}/oauth2/authorize?${q.toString()}`;
+}
+
+async function initAuth() {
+  try { auth.cfg = await (await fetch("/auth-config")).json(); }
+  catch { auth.cfg = null; }
+  // authorization-code landing: store the session, clean the URL
+  const code = new URLSearchParams(location.search).get("code");
+  if (code) {
+    localStorage.setItem("est_auth", JSON.stringify({ code, ts: Date.now() }));
+    history.replaceState(null, "", location.pathname);
+  }
+  $("login-go").addEventListener("click", () => {
+    try { location.assign(signinUrl()); }
+    catch (e) { $("login-error").textContent = String(e.message || e); }
+  });
+}
+
 // ---- top-level views (App.js route shell)
+function showView(view) {
+  const target = authRequired(view) ? "login" : view;
+  for (const b of $("nav").children) {
+    b.classList.toggle("active", b.dataset.view === view);
+  }
+  for (const v of ["home", "studio", "dub", "text", "analytics", "podcasts",
+                   "pricing", "login"]) {
+    $(`view-${v}`).hidden = v !== target;
+  }
+}
+
 $("nav").addEventListener("click", (ev) => {
   const btn = ev.target.closest("button[data-view]");
   if (!btn) return;
-  for (const b of $("nav").children) b.classList.toggle("active", b === btn);
-  for (const v of ["home", "studio", "dub", "text", "analytics", "podcasts", "pricing"]) {
-    $(`view-${v}`).hidden = v !== btn.dataset.view;
-  }
+  showView(btn.dataset.view);
 });
 
 // landing CTA → creator studio (App.js Link to="/creator-studio")
@@ -986,8 +1042,8 @@ const DUB_LANGUAGES = [
   ["jpn", "Japanese", "🇯🇵"], ["cmn", "Chinese (Simplified)", "🇨🇳"],
   ["ukr", "Ukrainian", "🇺🇦"],
   // rest alphabetical
-  ["ben", "Bengali", "🇧🇩"], ["cat", "Catalan", "🏴"],
-  ["cmn_Hant", "Chinese (Traditional)", "🇹🇼"], ["cym", "Welsh", "🏴"],
+  ["ben", "Bengali", "🇧🇩"], ["cat", "Catalan", "🏴󠁥󠁳󠁣󠁴󠁿"],
+  ["cmn_Hant", "Chinese (Traditional)", "🇹🇼"], ["cym", "Welsh", "🏴󠁧󠁢󠁷󠁬󠁳󠁿"],
   ["dan", "Danish", "🇩🇰"], ["eng", "English", "🇬🇧"], ["est", "Estonian", "🇪🇪"],
   ["fin", "Finnish", "🇫🇮"], ["hin", "Hindi", "🇮🇳"], ["ind", "Indonesian", "🇮🇩"],
   ["kor", "Korean", "🇰🇷"], ["mlt", "Maltese", "🇲🇹"], ["nld", "Dutch", "🇳🇱"],
@@ -1021,7 +1077,9 @@ function initDub() {
     for (const name of b.backends) {
       const opt = document.createElement("option");
       opt.value = name;
-      opt.textContent = name + (name === b.default ? " (default)" : "");
+      const w = (b.weights || {})[name];
+      const tag = w && w !== "loaded" ? ` \u26a0 ${w} weights` : "";
+      opt.textContent = name + (name === b.default ? " (default)" : "") + tag;
       $("dub-backend").appendChild(opt);
     }
   }).catch(() => {});
@@ -1179,4 +1237,4 @@ $("tt-go").addEventListener("click", async () => {
 
 initDub();
 initTextTool();
-init();
+initAuth().then(init);
