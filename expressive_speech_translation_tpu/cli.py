@@ -313,6 +313,10 @@ def cmd_verify_quality(args) -> int:
         fixtures=fixtures or None,
         max_seconds=args.max_seconds,
     )
+    if args.promote_reference:
+        from .evals.verify_quality import promote_reference
+
+        report["promoted"] = promote_reference(report, args.promote_reference)
     print(json.dumps(report, ensure_ascii=False, indent=2))
     return 0 if report["overall"] in ("pass", "structure-only") else 1
 
@@ -389,6 +393,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--video", help="override input_video_short.mov")
     p.add_argument("--max-seconds", type=float,
                    help="cap each fixture's audio length")
+    p.add_argument("--promote-reference", metavar="DIR",
+                   help="after the run, promote its outputs into DIR as a "
+                        "reference-outputs set (one-command A/B: run config "
+                        "A with this, config B with --reference-outputs DIR)")
     p.set_defaults(fn=cmd_verify_quality)
 
     p = sub.add_parser(

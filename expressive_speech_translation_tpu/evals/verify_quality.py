@@ -522,6 +522,91 @@ _RUNNERS = {
 }
 
 
+# -------------------------------------------------------- reference promotion
+
+
+def promote_reference(report: Dict[str, Any], ref_dir: str | Path,
+                      *, video_io: Any = None) -> Dict[str, str]:
+    """Promote a completed run's outputs into a reference-outputs dir.
+
+    This is how A/B quality comparisons become one command: run config A
+    (``--promote-reference refs/``), then run config B with
+    ``--reference-outputs refs/`` — the BLEU/spk-sim deltas between the two
+    builds (bf16 vs int8, bucketed vs exact ASR context, old vs new
+    checkpoint) come out gated. It is also the exact layout a torch-reference
+    run must produce (docs/VERIFY_QUALITY.md).
+
+    Returns {config_key: written-file} for what was promoted; configs that
+    did not run are skipped. Config 4 needs a media backend (``video_io`` or
+    the native shim) to extract the dubbed track from the output MP4.
+    """
+    import shutil
+
+    ref = Path(ref_dir)
+    ref.mkdir(parents=True, exist_ok=True)
+    written: Dict[str, str] = {}
+    configs = report.get("configs", {})
+
+    def _store(n: int, target_text: Optional[str], audio_src: Optional[Path],
+               key: str) -> None:
+        meta: Dict[str, Any] = {}
+        if target_text:
+            meta["target_text"] = target_text
+        if audio_src is not None:
+            shutil.copy(audio_src, ref / f"config{n}.wav")
+            meta["audio"] = f"config{n}.wav"
+        (ref / f"config{n}.json").write_text(json.dumps(meta,
+                                                        ensure_ascii=False))
+        written[key] = f"config{n}.json"
+
+    c = configs.get("1_asr_nmt")
+    if c and c.get("ran"):
+        out = dict(c["outputs"])
+        (ref / "config1.json").write_text(json.dumps(
+            {"source_text": out.get("source_text"),
+             "target_text": out.get("target_text")}, ensure_ascii=False))
+        written["1_asr_nmt"] = "config1.json"
+    for n, key in ((2, "2_s2st_clone"), (5, "5_mcv_greek_batch")):
+        c = configs.get(key)
+        if c and c.get("ran"):
+            _store(n, c["outputs"].get("transcripts", {}).get("target"),
+                   Path(c["outputs"]["audio"]), key)
+    c = configs.get("3_openvoice")
+    if c and c.get("ran"):
+        _store(3, None, Path(c["outputs"]["audio"]), "3_openvoice")
+    c = configs.get("4_video_lipsync")
+    if c and c.get("ran"):
+        video = Path(c["outputs"]["video"])
+        try:
+            if video.suffix.lower() == ".wav":
+                # test rigs where 'videos' are WAVs (FakeVideoIO)
+                audio, sr = _read_wav_path(video)
+            elif video_io is not None:
+                audio, sr = video_io.extract_audio(str(video))
+            else:
+                from ..media import native
+
+                if not native.available():
+                    raise RuntimeError("no media backend to extract the track")
+                audio, sr = native.NativeVideoIO().extract_audio(str(video))
+            from ..media.wavio import write_wav
+
+            write_wav(ref / "config4.wav", _to_16k_mono(audio, sr), 16_000)
+            (ref / "config4.json").write_text(json.dumps(
+                {"target_text": c["outputs"].get("transcripts", {}).get("target"),
+                 "audio": "config4.wav"}, ensure_ascii=False))
+            written["4_video_lipsync"] = "config4.json"
+        except Exception as e:  # noqa: BLE001 — promote what's promotable
+            log.warning("promote: config 4 track extraction failed (%s)", e)
+    return written
+
+
+def _read_wav_path(p: Path):
+    from ..media.wavio import read_wav
+
+    return read_wav(p)
+
+
 # ------------------------------------------------------------------- driver
 
 

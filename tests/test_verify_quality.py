@@ -173,27 +173,14 @@ def test_structure_only_without_reference(rig, tmp_path):
         == "structure-only"
 
 
-def _build_reference_from(report, run_dir, ref_dir):
-    """Promote a run's own outputs into a reference-outputs dir (what a torch
-    reference run would produce, by construction identical here)."""
-    import shutil
-
-    ref_dir.mkdir()
-    c = report["configs"]
-    (ref_dir / "config1.json").write_text(json.dumps(c["1_asr_nmt"]["outputs"]))
-    for n, key, audio_name in ((2, "2_s2st_clone", "config2.wav"),
-                               (5, "5_mcv_greek_batch", "config5.wav")):
-        out = c[key]["outputs"]
-        shutil.copy(out["audio"], ref_dir / audio_name)
-        (ref_dir / f"config{n}.json").write_text(json.dumps({
-            "target_text": out["transcripts"]["target"], "audio": audio_name}))
-    shutil.copy(c["3_openvoice"]["outputs"]["audio"], ref_dir / "config3.wav")
-    (ref_dir / "config3.json").write_text(json.dumps({"audio": "config3.wav"}))
-    # config 4's output "video" is a WAV under the FakeVideoIO rig
-    shutil.copy(c["4_video_lipsync"]["outputs"]["video"], ref_dir / "config4.wav")
-    (ref_dir / "config4.json").write_text(json.dumps({
-        "target_text": c["4_video_lipsync"]["outputs"]["transcripts"]["target"],
-        "audio": "config4.wav"}))
+def _build_reference_from(report, run_dir, ref_dir, video_io=None):
+    """Promote a run's own outputs into a reference-outputs dir through the
+    PRODUCTION promotion path (what `--promote-reference` runs) — proving
+    promote → re-run → gates-pass round-trips."""
+    written = vq.promote_reference(report, ref_dir,
+                                   video_io=video_io or FakeVideoIO())
+    assert set(written) == {k for k, c in report["configs"].items()
+                            if c.get("ran")}
 
 
 def test_matching_reference_passes_gates(rig, tmp_path):
@@ -266,3 +253,32 @@ def test_cli_verify_quality_fake_engines(rig, tmp_path, capsys):
     assert report["weights"] == "fake"
     assert set(report["configs"]) == {"1_asr_nmt", "5_mcv_greek_batch"}
     assert all(c["ran"] for c in report["configs"].values())
+
+
+def test_cli_promote_then_ab_compare(rig, tmp_path, capsys):
+    """--promote-reference → --reference-outputs round-trip through the CLI:
+    run A promotes its outputs, run B scores 0-delta against them (the
+    one-command A/B workflow for comparing builds/configs)."""
+    from expressive_speech_translation_tpu import cli
+
+    common = ["--engines", "fake", "--configs", "1,5",
+              "--harvard", rig["fixtures"]["harvard"],
+              "--short-audio", rig["fixtures"]["short_audio"],
+              "--max-seconds", "3"]
+    ref = tmp_path / "ab_ref"
+    rc = cli.main(["verify-quality", "--out", str(tmp_path / "a"),
+                   "--promote-reference", str(ref), *common])
+    assert rc == 0
+    a = json.loads(capsys.readouterr().out)
+    assert set(a["promoted"]) == {"1_asr_nmt", "5_mcv_greek_batch"}
+    assert (ref / "config1.json").exists()
+    assert (ref / "config5.wav").exists()
+
+    rc = cli.main(["verify-quality", "--out", str(tmp_path / "b"),
+                   "--reference-outputs", str(ref), *common])
+    assert rc == 0
+    b = json.loads(capsys.readouterr().out)
+    # identical build → zero BLEU delta on both configs
+    for key in ("1_asr_nmt", "5_mcv_greek_batch"):
+        assert b["configs"][key]["metrics"]["bleu_delta"] == 0.0
+        assert b["configs"][key]["gates"]["bleu"] == "pass"
