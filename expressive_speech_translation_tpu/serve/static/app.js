@@ -266,21 +266,51 @@ $("recbtn").addEventListener("click", toggleRecording);
 
 // =================== waveform player (WaveformPlayer.js) ===================
 
-function drawWave(canvas, data, playedFrac = 0) {
+// wavesurfer zoom + regions parity (WaveformPlayer.js wires wavesurfer.js,
+// whose zoom and regions plugins provide these behaviors): wheel-zoom around
+// the cursor, drag-to-create a loop region, double-click clears it. `view`
+// holds {zoom, offset (left-edge fraction), region: {start, end} fractions}.
+const wview = { zoom: 1, offset: 0, region: null, drag: null };
+
+function waveZoomAt(view, cursorFrac, factor) {
+  const z = Math.min(64, Math.max(1, view.zoom * factor));
+  // keep the sample under the cursor stationary: solve offset from
+  // cursorFrac = offset + cursorWindowFrac / zoom for the new zoom
+  const within = (cursorFrac - view.offset) * view.zoom; // [0,1] in window
+  view.zoom = z;
+  view.offset = Math.min(1 - 1 / z, Math.max(0, cursorFrac - within / z));
+}
+
+function drawWave(canvas, data, playedFrac = 0, view = null) {
   const { width, height } = canvas.getBoundingClientRect();
   canvas.width = width; canvas.height = height;
   const g = canvas.getContext("2d");
   g.clearRect(0, 0, width, height);
-  const step = Math.max(1, Math.floor(data.length / width));
-  const playedX = Math.floor(playedFrac * width);
+  const zoom = view ? view.zoom : 1;
+  const off = view ? view.offset : 0;
+  const n = data.length;
+  const start = Math.floor(off * n);
+  const span = Math.max(1, Math.floor(n / zoom));
+  const step = Math.max(1, Math.floor(span / width));
   for (let x = 0; x < width; x++) {
     let min = 1, max = -1;
-    for (let i = x * step; i < (x + 1) * step && i < data.length; i++) {
+    const base = start + Math.floor((x / width) * span);
+    for (let i = base; i < base + step && i < n; i++) {
       min = Math.min(min, data[i]); max = Math.max(max, data[i]);
     }
+    if (min > max) continue;
     const y0 = ((1 + min) / 2) * height, y1 = ((1 + max) / 2) * height;
-    g.fillStyle = x <= playedX && playedFrac > 0 ? "#3fb950" : "#58a6ff";
+    const frac = (start + (x / width) * span) / n;
+    g.fillStyle = playedFrac > 0 && frac <= playedFrac ? "#3fb950" : "#58a6ff";
     g.fillRect(x, y0, 1, Math.max(1, y1 - y0));
+  }
+  if (view && view.region) {
+    const xa = (view.region.start - off) * zoom * width;
+    const xb = (view.region.end - off) * zoom * width;
+    g.fillStyle = "rgba(63, 185, 80, 0.22)";
+    g.fillRect(xa, 0, Math.max(1, xb - xa), height);
+    g.fillStyle = "rgba(63, 185, 80, 0.9)";
+    g.fillRect(xa, 0, 1, height); g.fillRect(xb, 0, 1, height);
   }
 }
 
@@ -303,15 +333,54 @@ async function showAudioResult(b64, transcripts) {
     const data = buf.getChannelData(0);
     const canvas = $("wave");
     canvas.hidden = false;
-    drawWave(canvas, data);
+    wview.zoom = 1; wview.offset = 0; wview.region = null; wview.drag = null;
+    const redraw = () =>
+      drawWave(canvas, data, $("audioel").currentTime / (buf.duration || 1),
+               wview);
+    drawWave(canvas, data, 0, wview);
     const audioEl = $("audioel");
-    // playhead + click-seek (WaveformPlayer.js seek semantics)
-    audioEl.addEventListener("timeupdate", () =>
-      drawWave(canvas, data, audioEl.currentTime / (buf.duration || 1)));
-    canvas.onclick = (ev) => {
+    const fracAt = (ev) => {
       const rect = canvas.getBoundingClientRect();
-      audioEl.currentTime = ((ev.clientX - rect.left) / rect.width) * buf.duration;
+      const x = Math.min(1, Math.max(0, (ev.clientX - rect.left) / rect.width));
+      return wview.offset + x / wview.zoom;
     };
+    // playhead + region LOOP playback (wavesurfer regions: playback inside a
+    // drag-created region loops it)
+    audioEl.addEventListener("timeupdate", () => {
+      const r = wview.region;
+      if (r && buf.duration &&
+          audioEl.currentTime / buf.duration > r.end && !audioEl.paused) {
+        audioEl.currentTime = r.start * buf.duration;
+      }
+      redraw();
+    });
+    // click-seek (WaveformPlayer.js seek semantics), zoom-window-aware;
+    // suppressed when the mouseup ends a region drag
+    canvas.onclick = (ev) => {
+      if (wview.drag && wview.drag.moved) { wview.drag = null; return; }
+      wview.drag = null;
+      audioEl.currentTime = fracAt(ev) * buf.duration;
+    };
+    // wheel-zoom around the cursor (wavesurfer zoom plugin)
+    canvas.onwheel = (ev) => {
+      ev.preventDefault();
+      waveZoomAt(wview, fracAt(ev), ev.deltaY < 0 ? 1.3 : 1 / 1.3);
+      redraw();
+    };
+    // drag-to-create region; double-click clears (wavesurfer regions plugin)
+    canvas.onmousedown = (ev) => { wview.drag = { a: fracAt(ev), moved: false }; };
+    canvas.onmousemove = (ev) => {
+      if (!wview.drag) return;
+      if (!(ev.buttons & 1)) { wview.drag = null; return; }  // left btn released off-canvas
+      const b = fracAt(ev);
+      if (Math.abs(b - wview.drag.a) * wview.zoom > 0.004) {
+        wview.drag.moved = true;
+        wview.region = { start: Math.min(wview.drag.a, b),
+                         end: Math.max(wview.drag.a, b) };
+        redraw();
+      }
+    };
+    canvas.ondblclick = () => { wview.region = null; redraw(); };
     initTransport(audioEl, buf.duration);
     state.sourceBuffer = await decodeSourceUpload();
     renderAnalytics(buf, state.sourceBuffer);
@@ -486,7 +555,7 @@ function levelTrack(data, rate) {
   return out;
 }
 
-function drawChart(canvas, values, { lo, hi, color = "#58a6ff" }) {
+function drawChart(canvas, values, { lo, hi, color = "#58a6ff", unit = "" }) {
   const { width, height } = canvas.getBoundingClientRect();
   canvas.width = width; canvas.height = height;
   const g = canvas.getContext("2d");
@@ -503,6 +572,29 @@ function drawChart(canvas, values, { lo, hi, color = "#58a6ff" }) {
     if (pen) g.lineTo(x, y); else { g.moveTo(x, y); pen = true; }
   }
   g.stroke();
+  // hover tooltip (recharts <Tooltip/> parity — the reference dashboard's
+  // charts show the series value at the cursor): crosshair + value readout,
+  // title attribute carries the text for headless assertions
+  canvas.onmousemove = (ev) => {
+    const rect = canvas.getBoundingClientRect();
+    const i = Math.round(((ev.clientX - rect.left) / rect.width) *
+                         (values.length - 1));
+    const v = values[Math.min(Math.max(i, 0), values.length - 1)];
+    drawChart(canvas, values, { lo, hi, color, unit });  // clear old crosshair
+    const gg = canvas.getContext("2d");
+    const x = (i / Math.max(values.length - 1, 1)) * canvas.width;
+    gg.strokeStyle = "#8b949e"; gg.setLineDash([3, 3]);
+    gg.beginPath(); gg.moveTo(x, 0); gg.lineTo(x, canvas.height); gg.stroke();
+    gg.setLineDash([]);
+    const label = isFinite(v) ? `${v.toFixed(1)}${unit}` : "—";
+    canvas.title = label;
+    gg.fillStyle = "#c9d1d9"; gg.font = "11px sans-serif";
+    gg.fillText(label, Math.min(x + 6, canvas.width - 48), 12);
+  };
+  canvas.onmouseleave = () => {
+    canvas.title = "";
+    drawChart(canvas, values, { lo, hi, color, unit });
+  };
 }
 
 // per-clip voice statistics powering the dashboard tiles and radar
@@ -680,8 +772,8 @@ function renderAnalytics(buf, srcBuf = null) {
     ([t, v, c]) => `<div class="tile"><p>${t}</p><h3>${v}</h3>${c}</div>`).join("");
   $("an-tiles").hidden = false;
   $("an-charts").hidden = false;
-  drawChart($("an-pitch"), st.pitch, { lo: 50, hi: 400 });
-  drawChart($("an-level"), st.level, { lo: -60, hi: 0, color: "#3fb950" });
+  drawChart($("an-pitch"), st.pitch, { lo: 50, hi: 400, unit: " Hz" });
+  drawChart($("an-level"), st.level, { lo: -60, hi: 0, color: "#3fb950", unit: " dB" });
   if (src) {
     $("an-note").textContent =
       "Measured from the latest translation — translated output vs your source.";

@@ -360,3 +360,35 @@ def test_login_gate_guards_studio_views(client, js):
     assert "initAuth().then(init)" in js
     # server side of the flow responds
     assert client.get("/auth-config").status_code == 200
+
+
+def test_waveform_zoom_and_regions_parity(js):
+    """wavesurfer zoom + regions parity on the canvas player: wheel-zoom
+    anchored at the cursor, drag-to-create a loop region, double-click
+    clears, click-seek stays window-aware."""
+    zoom = js[js.index("function waveZoomAt"):]
+    zoom = zoom[:zoom.index("\n}")]
+    assert "Math.min(64, Math.max(1," in zoom          # zoom clamp [1, 64]
+    assert "cursorFrac" in zoom                         # anchored at cursor
+    draw = js[js.index("function drawWave"):]
+    draw = draw[:draw.index("\n}")]
+    assert "view.region" in draw                        # region overlay drawn
+    # interactions wired on the result waveform
+    assert "canvas.onwheel" in js and "ev.preventDefault()" in js
+    assert "canvas.onmousedown" in js and "canvas.ondblclick" in js
+    assert "wview.region = { start:" in js
+    # region loop playback on timeupdate
+    assert "audioEl.currentTime = r.start * buf.duration" in js
+    # click-seek converts through the zoom window
+    assert "wview.offset + x / wview.zoom" in js
+
+
+def test_analytics_chart_tooltip_parity(js):
+    """recharts <Tooltip/> parity: hover crosshair + value readout on the
+    measured pitch/level charts, units included, cleared on mouseleave."""
+    chart = js[js.index("function drawChart"):]
+    chart = chart[:chart.index("\n}")]
+    assert "canvas.onmousemove" in chart
+    assert "canvas.onmouseleave" in chart
+    assert "canvas.title = label" in chart              # headless-assertable
+    assert 'unit: " Hz"' in js and 'unit: " dB"' in js
