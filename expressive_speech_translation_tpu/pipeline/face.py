@@ -610,8 +610,30 @@ def per_frame_face_boxes(
     """Per-frame face boxes: windowed detections → linear interpolation →
     phase-correlation flow refinement between anchors (``refine``) → 5-frame
     smoothing (the reference's per-frame S3FD/DWPose boxes get the same
-    5-frame smoothing — api_inference_logic.py:89-97, diff2lip smooth_boxes)."""
+    5-frame smoothing — api_inference_logic.py:89-97, diff2lip smooth_boxes).
+
+    With a learned detector mounted the pipeline is the reference's exact
+    shape instead: TRUE per-frame detection + 5-frame smoothing, no windowed
+    interpolation or flow refinement needed. Frames the detector misses
+    inherit the previous detection (the reference's coord_placeholder reuse);
+    a clip it misses entirely falls through to the classical path."""
     n = len(frames)
+    det = learned_detector()
+    if det is not None and n > 0:
+        try:
+            boxes, last = [], None
+            for f in frames:
+                b = det(np.asarray(f))
+                if b is not None:
+                    last = b
+                boxes.append(last)
+            if last is not None:
+                first = next(b for b in boxes if b is not None)
+                boxes = [b if b is not None else first for b in boxes]
+                return smooth_boxes(boxes) if n > 1 else list(boxes)
+        except Exception as e:  # noqa: BLE001 — degrade to classical
+            log.warning("face: per-frame learned detection failed (%s); "
+                        "using classical tracking", e)
     tracks = track_face_windows(frames, fps, window_s=window_s)
     if not tracks or all(t is None for t in tracks):
         h, w = np.asarray(frames[0]).shape[:2]

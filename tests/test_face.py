@@ -463,3 +463,35 @@ def test_real_fixture_per_frame_drift_bounded(fixture_frames):
     assert min(cont) >= 0.85, f"min containment in labeled head {min(cont):.2f}"
     centers = np.asarray([((b[0] + b[2]) / 2, (b[1] + b[3]) / 2) for b in boxes])
     assert np.abs(np.diff(centers, axis=0)).max() < 12.0
+
+
+def test_per_frame_boxes_use_learned_detector_per_frame():
+    """With a learned detector mounted, per_frame_face_boxes runs TRUE
+    per-frame detection + 5-frame smoothing (api_inference_logic.py:89-97
+    shape) — one call per frame, misses inherit the previous detection."""
+    calls = []
+
+    def det(frame):
+        i = len(calls)
+        calls.append(i)
+        if i % 5 == 2:
+            return None              # simulated per-frame miss
+        return (10 + i, 20 + i, 60 + i, 70 + i)   # drifting box
+
+    F.provide_learned_detector(det)
+    frames = synthetic_clip(n=12)
+    boxes = F.per_frame_face_boxes(frames, fps=24.0)
+    assert len(calls) == 12          # per-frame, not per-window
+    assert len(boxes) == 12
+    # smoothing: centres drift ~1 px/frame, smoothed boxes monotone-ish
+    ys = [b[0] for b in boxes]
+    assert ys == sorted(ys)
+    assert ys[0] >= 10 and ys[-1] <= 22
+
+
+def test_per_frame_boxes_learned_total_miss_falls_back():
+    F.provide_learned_detector(lambda f: None)
+    frames = synthetic_clip(n=12)
+    boxes = F.per_frame_face_boxes(frames, fps=24.0)
+    assert len(boxes) == 12          # classical windowed path carried it
+    assert all(b[1] < 120 < b[3] for b in boxes)
