@@ -578,20 +578,26 @@ def promote_reference(report: Dict[str, Any], ref_dir: str | Path,
     if c and c.get("ran"):
         video = Path(c["outputs"]["video"])
         try:
-            if video.suffix.lower() == ".wav":
-                # test rigs where 'videos' are WAVs (FakeVideoIO)
-                audio, sr = _read_wav_path(video)
-            elif video_io is not None:
-                audio, sr = video_io.extract_audio(str(video))
+            with open(video, "rb") as f:
+                is_riff_wav = f.read(4) == b"RIFF"
+            if is_riff_wav:
+                # test rigs where 'videos' are WAV bytes (FakeVideoIO):
+                # copy bit-identically — a decode/re-encode round-trip would
+                # add int16 quantization noise to the stored reference
+                shutil.copy(video, ref / "config4.wav")
             else:
-                from ..media import native
+                if video_io is not None:
+                    audio, sr = video_io.extract_audio(str(video))
+                else:
+                    from ..media import native
 
-                if not native.available():
-                    raise RuntimeError("no media backend to extract the track")
-                audio, sr = native.NativeVideoIO().extract_audio(str(video))
-            from ..media.wavio import write_wav
+                    if not native.available():
+                        raise RuntimeError(
+                            "no media backend to extract the track")
+                    audio, sr = native.NativeVideoIO().extract_audio(str(video))
+                from ..media.wavio import write_wav
 
-            write_wav(ref / "config4.wav", _to_16k_mono(audio, sr), 16_000)
+                write_wav(ref / "config4.wav", _to_16k_mono(audio, sr), 16_000)
             (ref / "config4.json").write_text(json.dumps(
                 {"target_text": c["outputs"].get("transcripts", {}).get("target"),
                  "audio": "config4.wav"}, ensure_ascii=False))
@@ -599,12 +605,6 @@ def promote_reference(report: Dict[str, Any], ref_dir: str | Path,
         except Exception as e:  # noqa: BLE001 — promote what's promotable
             log.warning("promote: config 4 track extraction failed (%s)", e)
     return written
-
-
-def _read_wav_path(p: Path):
-    from ..media.wavio import read_wav
-
-    return read_wav(p)
 
 
 # ------------------------------------------------------------------- driver
@@ -639,6 +639,47 @@ def run_verify_quality(
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     models_dir = models_dir or os.environ.get("EST_MODELS_DIR")
+    unknown = [n for n in configs if n not in _RUNNERS]
+    if unknown:
+        raise ValueError(f"unknown config number(s) {unknown}; "
+                         f"valid: {sorted(_RUNNERS)}")
+
+    # --weights/models_dir must act exactly like EST_MODELS_DIR for EVERY
+    # env-discovered component (jax_engines baked weights, the face-detector
+    # seam config 4 hits, the visual-model seams) — so it stays exported for
+    # the WHOLE run, not just engine construction, and cached discoveries are
+    # dropped so they re-discover under the new root.
+    prev_env = os.environ.get("EST_MODELS_DIR")
+    env_set = bool(models_dir) and str(models_dir) != prev_env
+    if env_set:
+        os.environ["EST_MODELS_DIR"] = str(models_dir)
+        from ..pipeline import face as _face
+
+        _face._reset_learned()
+    try:
+        return _run_verify_quality_inner(
+            t0=t0, out=out, models_dir=models_dir,
+            reference_dir=reference_dir, configs=configs, engines=engines,
+            engines_mode=engines_mode, scorer=scorer, video_io=video_io,
+            tone_convert=tone_convert, fixtures=fixtures,
+            max_seconds=max_seconds, bleu_gate=bleu_gate, spk_gate=spk_gate)
+    finally:
+        if env_set:
+            if prev_env is None:
+                os.environ.pop("EST_MODELS_DIR", None)
+            else:
+                os.environ["EST_MODELS_DIR"] = prev_env
+            from ..pipeline import face as _face
+
+            _face._reset_learned()
+
+
+def _run_verify_quality_inner(
+    *, t0, out, models_dir, reference_dir, configs, engines, engines_mode,
+    scorer, video_io, tone_convert, fixtures, max_seconds, bleu_gate,
+    spk_gate,
+) -> Dict[str, Any]:
+    from ..pipeline.cascaded import CascadedBackend
 
     if engines is None:
         if engines_mode == "fake":
@@ -648,16 +689,7 @@ def run_verify_quality(
         else:
             from ..pipeline.jax_engines import jax_engines
 
-            prev = os.environ.get("EST_MODELS_DIR")
-            try:
-                if models_dir:
-                    os.environ["EST_MODELS_DIR"] = str(models_dir)
-                engines = jax_engines()
-            finally:
-                if prev is None:
-                    os.environ.pop("EST_MODELS_DIR", None)
-                else:
-                    os.environ["EST_MODELS_DIR"] = prev
+            engines = jax_engines()
     backend = CascadedBackend(engines)
     backend.initialize()
 
@@ -706,7 +738,11 @@ def run_verify_quality(
 
     report["overall"] = overall_verdict(report["configs"], mode)
     if any(not c.get("ran") for c in report["configs"].values()):
-        report["overall"] = "fail" if mode == "quality-parity" else report["overall"]
+        # a crashed config fails a parity run outright and downgrades a
+        # structure-only run to "incomplete" (nonzero CLI exit either way —
+        # a structure check where the plumbing threw must not read as green)
+        report["overall"] = ("fail" if mode == "quality-parity"
+                             else "incomplete")
         report.setdefault("notes", []).append(
             "one or more configs failed to run — see per-config 'error'")
     report["elapsed_s"] = round(time.monotonic() - t0, 1)

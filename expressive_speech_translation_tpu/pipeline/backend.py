@@ -81,6 +81,17 @@ class TranslationManager:
     def available_backends(self) -> List[str]:
         return list(self._backends)
 
+    def peek_backend(self, name: str) -> Optional[TranslationBackend]:
+        """Registered backend WITHOUT lazy initialization (health/metadata
+        probes must not pay — or mask — an engine build)."""
+        return self._backends.get(name)
+
+    def backend_weights(self) -> Dict[str, str]:
+        """Per-backend weight provenance ("loaded" | "random" | "fake" |
+        "unknown"), initialization-free — the /available-backends payload."""
+        return {name: getattr(b, "weights_info", lambda: "unknown")()
+                for name, b in self._backends.items()}
+
     @property
     def default_backend(self) -> Optional[str]:
         return self._default

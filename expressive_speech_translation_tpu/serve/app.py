@@ -345,15 +345,10 @@ class App:
         # Backend/app.py:382-389); "weights" adds per-backend provenance so a
         # random-weight alternate is never silently selectable as if
         # production-ready (VERDICT r4 weak #5)
-        names = self.manager.available_backends()
         return _json({
-            "backends": names,
+            "backends": self.manager.available_backends(),
             "default": self.manager.default_backend,
-            "weights": {
-                n: getattr(self.manager._backends[n], "weights_info",
-                           lambda: "unknown")()
-                for n in names
-            },
+            "weights": self.manager.backend_weights(),
         })
 
     def route_auth_config(self, request: Request) -> Response:
@@ -420,7 +415,7 @@ class App:
             "status": "ok",
             "uptime_seconds": round(time.time() - self.started_at, 1),
             "backends": {
-                name: {"initialized": getattr(self.manager._backends[name], "initialized", False)}
+                name: {"initialized": getattr(self.manager.peek_backend(name), "initialized", False)}
                 for name in self.manager.available_backends()
             },
         })
@@ -436,7 +431,7 @@ class App:
         placement: dict = {}
         name = self.manager.default_backend
         if name is not None:
-            b = self.manager._backends[name]
+            b = self.manager.peek_backend(name)
             backend_ok = bool(getattr(b, "initialized", False))
             weights = getattr(b, "weights_info", lambda: "unknown")()
             placement = getattr(b, "placement_info", dict)()

@@ -27,6 +27,15 @@ const state = {
 };
 const $ = (id) => document.getElementById(id);
 
+// option label for a backend selector: name + default marker + weight
+// provenance tag (a random/fake-weight backend is never silently presented
+// as production-ready)
+function backendOptionLabel(name, b) {
+  const w = (b.weights || {})[name];
+  const tag = w && w !== "loaded" ? ` \u26a0 ${w} weights` : "";
+  return name + (name === b.default ? " (default)" : "") + tag;
+}
+
 // ---- init: populate languages + backends from the API
 async function init() {
   try {
@@ -47,11 +56,7 @@ async function init() {
     for (const name of b.backends) {
       const opt = document.createElement("option");
       opt.value = name;
-      // surface weight provenance: a random-weight backend must never be
-      // silently selectable as production-ready (route "weights" map)
-      const w = (b.weights || {})[name];
-      const tag = w && w !== "loaded" ? ` \u26a0 ${w} weights` : "";
-      opt.textContent = name + (name === b.default ? " (default)" : "") + tag;
+      opt.textContent = backendOptionLabel(name, b);
       $("backend").appendChild(opt);
     }
   } catch (e) {
@@ -1169,9 +1174,7 @@ function initDub() {
     for (const name of b.backends) {
       const opt = document.createElement("option");
       opt.value = name;
-      const w = (b.weights || {})[name];
-      const tag = w && w !== "loaded" ? ` \u26a0 ${w} weights` : "";
-      opt.textContent = name + (name === b.default ? " (default)" : "") + tag;
+      opt.textContent = backendOptionLabel(name, b);
       $("dub-backend").appendChild(opt);
     }
   }).catch(() => {});

@@ -292,10 +292,11 @@ def test_backend_selector_surfaces_weight_provenance(client, js):
     for name, w in body["weights"].items():
         assert w in ("loaded", "random", "fake", "unknown")
 
-    # both selectors read the weights map and tag non-loaded backends
-    assert js.count("b.weights") >= 2
-    assert js.count('!== "loaded"') >= 2
-    assert "weights`" in js or "weights ̀" in js or "weights" in js
+    # one shared label helper reads the weights map and tags non-loaded
+    # backends; both selectors render through it
+    assert "function backendOptionLabel" in js
+    assert js.count("backendOptionLabel(name, b)") >= 2
+    assert '!== "loaded"' in js and "weights`" in js
 
 
 # ----------------------------------------------------------- OIDC auth gate

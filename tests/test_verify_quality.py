@@ -233,6 +233,39 @@ def test_failed_config_reported_not_fatal(rig, tmp_path):
     assert "error" in report["configs"]["1_asr_nmt"]
     # configs 2/5 don't need harvard and still ran
     assert report["configs"]["2_s2st_clone"]["ran"]
+    # a crashed config downgrades a structure run to "incomplete" — a
+    # structure check where the plumbing threw must not read as green
+    # (and the CLI exits nonzero on it)
+    assert report["overall"] == "incomplete"
+
+
+def test_unknown_config_number_is_a_clean_error(rig, tmp_path):
+    with pytest.raises(ValueError, match="unknown config number"):
+        vq.run_verify_quality(out_dir=tmp_path / "bad", configs=(1, 6),
+                              engines=rig["engines"], scorer=rig["scorer"],
+                              fixtures=rig["fixtures"])
+
+
+def test_models_dir_exported_for_whole_run(rig, tmp_path, monkeypatch):
+    """--weights must behave exactly like EST_MODELS_DIR for every env-
+    discovered seam (e.g. the face detector during config 4), so the env
+    stays exported across the configs and is restored afterwards."""
+    import os
+
+    monkeypatch.delenv("EST_MODELS_DIR", raising=False)
+    seen = {}
+
+    def probe(ctx):
+        seen["env"] = os.environ.get("EST_MODELS_DIR")
+        return {"outputs": {}, "metrics": {}}
+
+    monkeypatch.setitem(vq._RUNNERS, 1, probe)
+    vq.run_verify_quality(out_dir=tmp_path / "env", configs=(1,),
+                          models_dir=str(tmp_path / "models"),
+                          engines=rig["engines"], scorer=rig["scorer"],
+                          fixtures=rig["fixtures"])
+    assert seen["env"] == str(tmp_path / "models")
+    assert "EST_MODELS_DIR" not in os.environ   # restored
 
 
 def test_cli_verify_quality_fake_engines(rig, tmp_path, capsys):
