@@ -348,6 +348,13 @@ def _bench_stages(scale: str, repeats: int) -> dict:
 
     # ---------------- ASR ----------------
     asr_params = cast_floats(wj.init_whisper(jax.random.PRNGKey(0), asr_cfg), dtype)
+    # param counts for MFU taken PRE-quantization: int8 trees carry an extra
+    # 2-D embed_q copy beside the float table, which would double-count the
+    # embedding (model FLOPs are dtype-independent)
+    stage_flops = {}
+    stage_flops["asr"] = 2.0 * (
+        _matmul_param_count(asr_params["encoder"]) * (audio_seconds * 100 / 2)
+        + _matmul_param_count(asr_params["decoder"]) * (4 + 48))
     if quant:
         asr_params = wj.quantize_whisper_decoder(asr_params)
     audio = jnp.asarray((0.1 * g.standard_normal(int(16000 * audio_seconds))).astype(np.float32))
@@ -364,18 +371,17 @@ def _bench_stages(scale: str, repeats: int) -> dict:
                                 max_new_tokens=48, min_new_tokens=48)
 
     stage_seconds["asr"], asr_tokens = _timed(asr, asr_params, audio, prompt, repeats=repeats)
-    # analytical stage FLOPs (VERDICT r4 weak #2: MFU on the record): encoder
-    # runs T_enc = 10 s × 100 mel-fps / 2 (conv stride) positions; decoder
-    # processes 4 prompt + 48 generated positions with KV cache (2·P per
-    # position)
-    stage_flops = {}
-    stage_flops["asr"] = 2.0 * (
-        _matmul_param_count(asr_params["encoder"]) * (audio_seconds * 100 / 2)
-        + _matmul_param_count(asr_params["decoder"]) * (4 + 48))
     del asr_params
 
     # ---------------- NMT ----------------
     nmt_params = cast_floats(nj.init_nllb(jax.random.PRNGKey(1), nmt_cfg), dtype)
+    # 48 encoder positions; 1 bos + 64 generated decoder positions; the tied
+    # embedding matrix is the output head (a matmul per decode position).
+    # Counted pre-quantization (see ASR note).
+    stage_flops["nmt"] = 2.0 * (
+        _matmul_param_count(nmt_params["encoder"]) * 48
+        + (_matmul_param_count(nmt_params["decoder"])
+           + int(nmt_params["embed"].size)) * 65)
     if quant:
         nmt_params = nj.quantize_nllb_decoder(nmt_params)
     src = jnp.asarray(g.integers(4, min(nmt_cfg.vocab_size - 4, 250_000), (1, 48)), jnp.int32)
@@ -386,16 +392,15 @@ def _bench_stages(scale: str, repeats: int) -> dict:
                            num_beams=1, max_new_tokens=64, min_new_tokens=64)
 
     stage_seconds["nmt"], _ = _timed(nmt, nmt_params, src, repeats=repeats)
-    # 48 encoder positions; 1 bos + 64 generated decoder positions; the tied
-    # embedding matrix is the output head (a matmul per decode position)
-    stage_flops["nmt"] = 2.0 * (
-        _matmul_param_count(nmt_params["encoder"]) * 48
-        + (_matmul_param_count(nmt_params["decoder"])
-           + int(nmt_params["embed"].size)) * 65)
     del nmt_params
 
     # ---------------- TTS ----------------
     tts_params = cast_floats(cv.init_cosyvoice(jax.random.PRNGKey(2), tts_cfg), dtype)
+    # prefill [sos] text(64) [task] prompt_speech(75) = 141 positions + the
+    # decode steps, 2·P per position; counted pre-quantization (see ASR note)
+    n_tts_tokens = int(audio_seconds * 25)  # 25 Hz speech tokens
+    stage_flops["tts_lm"] = (2.0 * _matmul_param_count(tts_params["lm"])
+                             * (141 + n_tts_tokens))
     if quant:
         # weight-only int8 LM decode (1.7x at 0.5B; see models/cosyvoice.py
         # quantize_speech_lm) — off by default so the headline stays bf16
@@ -408,7 +413,6 @@ def _bench_stages(scale: str, repeats: int) -> dict:
     spk = jnp.asarray(g.standard_normal((1, tts_cfg.flow.spk_embed_dim)), dtype)
     pmel = jnp.asarray(g.standard_normal((1, 150, tts_cfg.flow.n_mels)), dtype)
     pmm = jnp.ones((1, 150), bool)
-    n_tts_tokens = int(audio_seconds * 25)  # 25 Hz speech tokens
 
     @jax.jit
     def tts(params, key):
@@ -431,9 +435,6 @@ def _bench_stages(scale: str, repeats: int) -> dict:
 
     tts_lm_s, _ = _timed(tts_lm, tts_params["lm"], jax.random.PRNGKey(5),
                          repeats=repeats)
-    # prefill [sos] text(64) [task] prompt_speech(75) = 141 positions + 250
-    # decode steps, 2·P per position
-    stage_flops["tts_lm"] = 2.0 * _matmul_param_count(tts_params["lm"]) * (141 + n_tts_tokens)
     del tts_params
 
     total = sum(stage_seconds.values())
@@ -632,9 +633,14 @@ def main() -> int:
                 )
 
                 asr_cfg, asr, nmt, tts = _bench_serve.last_engines
+                # forward the FIRST engine's decode policy: passing params=
+                # flips weightless→False, whose default temperature ladder
+                # would run up to 6 fallback decodes per request on random
+                # weights — measuring the ladder, not the context policy
                 asr_exact = JaxWhisperAsr(asr_cfg, params=asr.params,
                                           max_new_tokens=48,
-                                          context_buckets=(30,))
+                                          context_buckets=(30,),
+                                          temperatures=asr.temperatures)
                 bx = CascadedBackend(Engines(asr=asr_exact, nmt=nmt, tts=tts))
                 bx.initialize()
                 _, audio10 = _bench_serve.last_backend or (None, None)
