@@ -138,6 +138,11 @@ class EngineConfig:
     # random-weight/bench runs. Checkpoints without heads always fall back
     # to single-token decode. EST_ENGINES__TTS_MTP.
     tts_mtp: int = 0
+    # Lossless speculative decode for B=1 TTS requests: MTP drafts are
+    # VERIFIED against the true-context sampler (token-identical output to
+    # single-token decoding) instead of accepted blindly. Needs MTP heads
+    # (tts_mtp>1 or a trained checkpoint). EST_ENGINES__TTS_SPEC.
+    tts_spec: bool = False
     # (30,) = exact whisper semantics (every chunk encodes the padded 30 s
     # window). Restricted-context buckets like (10, 20, 30) are a latency
     # trick with a documented accuracy cost (positional-embedding

@@ -54,6 +54,11 @@ class SpeechLMConfig:
     # multi-token prediction: extra heads predicting t+2..t+K per step
     # (FlashTTS-style MTP; 1 = standard next-token decoding)
     mtp: int = 1
+    # lossless speculative decoding over the MTP heads (B=1 only): drafts are
+    # VERIFIED against the true-context sampler instead of accepted blindly,
+    # so the emitted stream is token-identical to mtp=1 decoding while still
+    # amortizing the weight stream over multiple positions per pass
+    spec_decode: bool = False
 
     @property
     def eos_speech(self) -> int:
@@ -184,6 +189,12 @@ def generate_speech_tokens(
     """Autoregressive speech-token generation with RAS sampling.
 
     Returns (tokens [B, max_new_tokens] int32 padded with eos, lengths [B]).
+
+    Keys are POSITION-FOLDED (``fold_in(key, i)`` for generated index i) rather
+    than split-chained: the sampling computation for index i then depends only
+    on (key, i, prefix), which is what lets the lossless speculative mode
+    (:func:`generate_speech_tokens_spec`) reproduce this loop's token stream
+    exactly while drafting several positions per backbone pass.
     """
     emb, mask = build_prompt_embeddings(
         params, cfg, text_tokens, text_mask, prompt_speech, prompt_speech_mask
@@ -205,8 +216,8 @@ def generate_speech_tokens(
         return (i < max_new_tokens) & ~jnp.all(done)
 
     def body(state):
-        i, h, cache, tokens, recent, key, done = state
-        key, sk = jax.random.split(key)
+        i, h, cache, tokens, recent, done = state
+        sk = jax.random.fold_in(key, i)
         nxt, recent, done = _sample_next(
             params, cfg, sk, h, recent, done, i, min_new_tokens)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i))
@@ -221,13 +232,13 @@ def generate_speech_tokens(
             rope_pos=last_idx + 1 + i, prompt_len=last_idx + 1,
             prompt_capacity=p_len,
         )
-        return i + 1, h, cache, tokens, recent, key, done
+        return i + 1, h, cache, tokens, recent, done
 
     state = (
-        jnp.asarray(0, jnp.int32), h_last, cache, tokens0, recent0, key,
+        jnp.asarray(0, jnp.int32), h_last, cache, tokens0, recent0,
         jnp.zeros((b,), bool),
     )
-    _, _, _, tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
+    _, _, _, tokens, _, _ = jax.lax.while_loop(cond, body, state)
     lengths = jnp.sum((tokens != cfg.eos_speech).astype(jnp.int32), axis=1)
     return tokens, lengths
 
@@ -319,6 +330,159 @@ def generate_speech_tokens_mtp(
     _, _, _, tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
     tokens = tokens[:, :max_new_tokens]
     lengths = jnp.sum((tokens != cfg.eos_speech).astype(jnp.int32), axis=1)
+    return tokens, lengths
+
+
+def generate_speech_tokens_spec(
+    params: Params,
+    cfg: SpeechLMConfig,
+    key,
+    text_tokens: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    prompt_speech: jnp.ndarray,
+    prompt_speech_mask: jnp.ndarray,
+    *,
+    max_new_tokens: int = 512,
+    min_new_tokens: int = 2,
+    with_stats: bool = False,
+):
+    """LOSSLESS speculative decoding over the MTP heads (B=1 latency path).
+
+    Where :func:`generate_speech_tokens_mtp` accepts every MTP draft (K
+    tokens per backbone pass, small trained-in quality cost), this variant
+    emits a stream TOKEN-IDENTICAL to :func:`generate_speech_tokens` (K=1)
+    while still amortizing the HBM weight stream — the binding constraint of
+    B=1 decode — over up to K positions per pass. The mechanism is
+    speculative sampling with common random numbers:
+
+    - the verifier for generated index i runs EXACTLY the K=1 loop body
+      (:func:`_sample_next`: control masking, min-new-tokens gate, RAS) on the
+      true-context hidden state with the position-folded key ``fold_in(key,
+      i)`` — so whatever it samples IS what K=1 would have emitted;
+    - the draft for index i runs the SAME sampler (same key, same window
+      evolution) on ``mtp_heads[j-1]``'s logits from one pass earlier. With
+      identical Gumbel noise, draft == verifier sample whenever the two
+      distributions agree around the mode — trained MTP heads
+      (tests/test_mtp_quality.py) make this the common case;
+    - per pass, ``decode_span`` ingests [pending, d_1..d_{K-1}] in one
+      multi-position dispatch; verifier samples s_j are read off its hidden
+      states; emission stops at the first s_j ≠ d_j (the mismatch position
+      still emits s_j — the true sample, a free correction) or runs through
+      a bonus K-th sample when every draft matched. ≥1 token per pass is
+      guaranteed (s_1 is always computable), so progress never stalls.
+
+    Cache discipline: accepted tokens land in consecutive slots, so the next
+    pass's span write at ``p_len + n - 1`` overwrites exactly the slots of
+    rejected drafts; ``decode_span``'s absolute-position causal mask never
+    reads a stale slot.
+
+    Exactness domain (same as any speculative-sampling implementation): the
+    stream is BIT-identical to K=1 whenever ``decode_span``'s hidden states
+    match ``decode_step``'s bitwise — true on CPU f32 (asserted across seeds
+    in tests/test_spec_decode.py) and on TPU f32 under
+    ``jax_default_matmul_precision=highest`` (verified on-chip; at default
+    TPU precision the S=K vs S=1 matmul tilings differ in low-order bits).
+    At serving precision (bf16) each emitted token still comes from the
+    true-context K=1 sampler — the verifier IS that computation on the real
+    prefix — so the output DISTRIBUTION is the K=1 sampler's even when a
+    low-order-bit difference resamples a boundary token; contrast accept-all
+    MTP, whose drafts come from the weaker t+j heads unverified.
+
+    B=1 only: variable per-row acceptance would need per-row cache write
+    offsets (scatter); batch throughput belongs to the accept-all MTP / dp
+    paths anyway — this is the latency knob. Returns (tokens [1,
+    max_new_tokens], lengths [1]); with ``with_stats`` adds
+    {"backbone_passes", "emitted"} for tokens-per-pass accounting.
+    """
+    k_mtp = cfg.mtp
+    assert k_mtp > 1, "spec decode needs MTP heads (cfg.mtp > 1)"
+    if text_tokens.shape[0] != 1:
+        raise ValueError(
+            "generate_speech_tokens_spec is the B=1 latency path; use "
+            "generate_speech_tokens(_mtp) for batched synthesis")
+    b = 1
+    emb, mask = build_prompt_embeddings(
+        params, cfg, text_tokens, text_mask, prompt_speech, prompt_speech_mask
+    )
+    _, p_len, _ = emb.shape
+    # Each pass writes K slots starting at p_len + n - 1 with n < max_new
+    total = p_len + max_new_tokens + k_mtp
+    cache = q2.init_kv_cache(cfg.backbone, b, total, emb.dtype)
+    hidden, cache = q2.prefill(params["backbone"], cfg.backbone, emb, cache, length_mask=mask)
+    last_idx = jnp.sum(mask.astype(jnp.int32), axis=1) - 1
+    h0 = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)  # [1,1,H]
+
+    n_buf = max_new_tokens + k_mtp
+    tokens0 = jnp.full((b, n_buf), cfg.eos_speech, jnp.int32)
+    recent0 = jnp.full((b, cfg.win_size), -1, jnp.int32)
+
+    # x_0 is sampled exactly as K=1's step 0 (true context, fold_in(key, 0))
+    t0, recent1, done0 = _sample_next(
+        params, cfg, jax.random.fold_in(key, 0), h0, recent0,
+        jnp.zeros((b,), bool), jnp.asarray(0, jnp.int32), min_new_tokens)
+    tokens1 = jax.lax.dynamic_update_slice(tokens0, t0[:, None], (0, 0))
+
+    def cond(state):
+        n, *_, done, passes = state
+        return (n < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        n, t_pend, h, cache, tokens, recent, done, passes = state
+        # ---- drafts: mtp_heads[j-1](h) proposes x_{n-1+j}; same sampler,
+        # same position-folded key, same window evolution as the verifier
+        recent_d = recent
+        drafts = []
+        for j in range(1, k_mtp):
+            pos = n - 1 + j
+            logits_d = _mask_control_logits(
+                dense(params["mtp_heads"][j - 1], h[:, 0, :]), cfg,
+                pos, min_new_tokens)
+            d = _ras_sample(jax.random.fold_in(key, pos), logits_d, recent_d, cfg)
+            recent_d = jnp.concatenate([recent_d[:, 1:], d[:, None]], axis=1)
+            drafts.append(d)
+        # ---- one multi-position pass ingests [pending, drafts]
+        span = jnp.stack([t_pend] + drafts, axis=1)              # [1, K]
+        x = params["speech_embed"][span]
+        h_span, cache = q2.decode_span(
+            params["backbone"], cfg.backbone, x, p_len + n - 1, cache,
+            rope_pos=last_idx + n, prompt_len=last_idx + 1,
+            prompt_capacity=p_len,
+        )
+        # ---- verify: s_j = the true K=1 sample for x_{n-1+j}; emit while
+        # every earlier draft matched (plus the bonus K-th when all matched)
+        acc = ~done
+        rec, dn = recent, done
+        s_list, flags = [], []
+        for j in range(1, k_mtp + 1):
+            pos = n - 1 + j
+            s, rec, dn = _sample_next(
+                params, cfg, jax.random.fold_in(key, pos),
+                h_span[:, j - 1 : j, :], rec, dn, pos, min_new_tokens)
+            s_list.append(s)
+            flags.append(acc)
+            if j < k_mtp:
+                acc = acc & (s == drafts[j - 1]) & (s != cfg.eos_speech)
+        s_vec = jnp.stack(s_list, axis=1)                        # [1, K]
+        flag_vec = jnp.stack(flags, axis=1)                      # [1, K] bool
+        e = jnp.sum(flag_vec.astype(jnp.int32))                  # scalar ≥ 1
+        s_masked = jnp.where(flag_vec, s_vec, cfg.eos_speech)
+        tokens = jax.lax.dynamic_update_slice(tokens, s_masked, (0, n))
+        done = done | jnp.any(flag_vec & (s_vec == cfg.eos_speech), axis=1)
+        # window after the emitted prefix: last win of (recent ++ s_1..s_e)
+        full = jnp.concatenate([recent, s_masked], axis=1)
+        recent = jax.lax.dynamic_slice(full, (0, e), (b, cfg.win_size))
+        t_pend = jax.lax.dynamic_slice(s_masked, (0, e - 1), (b, 1))[:, 0]
+        h = jax.lax.dynamic_slice_in_dim(h_span, e - 1, 1, axis=1)
+        return n + e, t_pend, h, cache, tokens, recent, done, passes + 1
+
+    state = (jnp.asarray(1, jnp.int32), t0, h0, cache, tokens1, recent1,
+             done0, jnp.asarray(0, jnp.int32))
+    n_fin, _, _, _, tokens, _, _, passes = jax.lax.while_loop(cond, body, state)
+    tokens = tokens[:, :max_new_tokens]
+    lengths = jnp.sum((tokens != cfg.eos_speech).astype(jnp.int32), axis=1)
+    if with_stats:
+        return tokens, lengths, {"backbone_passes": passes,
+                                 "emitted": jnp.minimum(n_fin, max_new_tokens)}
     return tokens, lengths
 
 
@@ -790,7 +954,12 @@ def synthesize(
     a GSPMD mesh (pallas_call cannot be auto-partitioned).
     """
     k_lm, k_flow = jax.random.split(key)
-    gen = generate_speech_tokens_mtp if cfg.lm.mtp > 1 else generate_speech_tokens
+    if cfg.lm.mtp > 1 and cfg.lm.spec_decode and text_tokens.shape[0] == 1:
+        gen = generate_speech_tokens_spec       # lossless: K=1-identical stream
+    elif cfg.lm.mtp > 1:
+        gen = generate_speech_tokens_mtp        # accept-all throughput mode
+    else:
+        gen = generate_speech_tokens
     tokens, lengths = gen(
         params["lm"], cfg.lm, k_lm, text_tokens, text_mask,
         prompt_speech_tokens, prompt_speech_mask, max_new_tokens=max_new_tokens,

@@ -755,6 +755,7 @@ class JaxCosyVoiceTts:
         quantize: bool = False,
         official=None,
         mtp: int = 0,
+        spec: bool = False,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — the speech-LM params are
         placed by the tensor-parallel partition rules (models/cosyvoice.py
@@ -771,7 +772,14 @@ class JaxCosyVoiceTts:
         width — only honored when the params will actually contain the heads
         (random init, or a checkpoint trained with cfg.mtp == K); a
         checkpoint without heads downgrades to single-token with a warning
-        instead of failing the whole server."""
+        instead of failing the whole server.
+        ``spec``: lossless speculative decoding — B=1 requests verify the MTP
+        drafts against the true-context sampler (models/cosyvoice.py
+        generate_speech_tokens_spec), emitting the exact single-token stream
+        while amortizing the weight stream over up to K positions per pass.
+        Requires MTP heads; ignored (with the same downgrade warning path)
+        when the effective width is 1. Batched requests keep the accept-all
+        MTP path."""
         from ..models import ecapa, qwen2 as q2
 
         self.official = official
@@ -780,9 +788,11 @@ class JaxCosyVoiceTts:
             # MTP width is a property of the trained heads: honor the
             # checkpoint, never a mismatched config or override.
             want = _reconcile_mtp(ocfg.lm.mtp, mtp, oparams)
-            if want != ocfg.lm.mtp:
+            want_spec = spec and want > 1
+            if want != ocfg.lm.mtp or want_spec != ocfg.lm.spec_decode:
                 ocfg = dataclasses.replace(
-                    ocfg, lm=dataclasses.replace(ocfg.lm, mtp=want))
+                    ocfg, lm=dataclasses.replace(
+                        ocfg.lm, mtp=want, spec_decode=want_spec))
             self.official_cfg = ocfg
             # config VIEW for the shared conditioning/bucketing code paths
             # (spk_embed_dim / n_mels / text_vocab / samples-per-token)
@@ -806,9 +816,11 @@ class JaxCosyVoiceTts:
                 vocoder=cvm.VocoderConfig(base_channels=256),
             )
             want = _reconcile_mtp(self.cfg.lm.mtp, mtp, params)
-            if want != self.cfg.lm.mtp:
+            want_spec = spec and want > 1
+            if want != self.cfg.lm.mtp or want_spec != self.cfg.lm.spec_decode:
                 self.cfg = dataclasses.replace(
-                    self.cfg, lm=dataclasses.replace(self.cfg.lm, mtp=want))
+                    self.cfg, lm=dataclasses.replace(
+                        self.cfg.lm, mtp=want, spec_decode=want_spec))
             self.weightless = params is None
             if params is None:
                 log.warning("JaxCosyVoiceTts: random weights (no checkpoint supplied)")
@@ -1235,7 +1247,7 @@ def jax_engines(*, batch_tts: bool = False, batch_asr: bool = False,
         kwargs.get("tts_cfg"), kwargs.get("tts_params"),
         kwargs.get("tts_tokenizer", shared_tok), quantize=quantize,
         mesh=_mesh("tts"), official=kwargs.get("tts_official"),
-        mtp=kwargs.get("tts_mtp", 0))
+        mtp=kwargs.get("tts_mtp", 0), spec=kwargs.get("tts_spec", False))
     if batch_tts:
         from ..serve.batching import BatchedTts
 

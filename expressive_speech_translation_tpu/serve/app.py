@@ -467,6 +467,7 @@ def create_app(
                 quantize=config.engines.quantize,
                 asr_context_buckets=tuple(config.engines.asr_context_buckets),
                 tts_mtp=config.engines.tts_mtp,
+                tts_spec=config.engines.tts_spec,
                 stage_parallel=config.engines.stage_parallel,
                 stage_tp=config.engines.stage_tp,
                 batch_tts=config.serve.tts_batching,
@@ -484,6 +485,7 @@ def create_app(
                 quantize=config.engines.quantize,
                 asr_context_buckets=tuple(config.engines.asr_context_buckets),
                 tts_mtp=config.engines.tts_mtp,
+                tts_spec=config.engines.tts_spec,
             )
             engines = remote_engines(
                 HttpTransport(config.endpoints.cosyvoice_url),

@@ -566,6 +566,40 @@ def test_tts_engine_mtp_forced():
     assert np.isfinite(wave_q).all() and len(wave_q) > 0
 
 
+def test_tts_engine_spec_lossless_vs_k1():
+    """tts_spec=True (EngineConfig.tts_spec): B=1 synthesis routes through the
+    verified speculative decoder and must produce the SAME waveform as the
+    single-token engine — the heads only change how many backbone passes it
+    takes. (Shared init parts are seed-identical across mtp widths: heads
+    draw from their own key.)"""
+    from expressive_speech_translation_tpu.models import qwen2 as q2m
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxCosyVoiceTts
+
+    cfg = cv.CosyVoiceConfig(
+        lm=cv.SpeechLMConfig(
+            backbone=q2m.Qwen2Config(hidden=32, layers=1, heads=4, kv_heads=2,
+                                     ffn_dim=64, max_positions=512),
+            text_vocab=128, speech_token_size=61),
+        flow=cv.FlowConfig(token_vocab=64, dim=32, layers=1, heads=4, n_steps=2),
+        vocoder=cv.VocoderConfig(base_channels=32, upsample_rates=(8, 6, 10),
+                                 upsample_kernels=(16, 12, 20)),
+    )
+    tts_spec = JaxCosyVoiceTts(cfg, dtype=jnp.float32, seconds_per_char=0.02,
+                               mtp=2, spec=True)
+    assert tts_spec.cfg.lm.spec_decode and tts_spec.cfg.lm.mtp == 2
+    tts_k1 = JaxCosyVoiceTts(cfg, dtype=jnp.float32, seconds_per_char=0.02)
+    w_spec = tts_spec.synthesize("lossless speculative decode")
+    w_k1 = tts_k1.synthesize("lossless speculative decode")
+    assert np.isfinite(w_spec).all() and len(w_spec) == len(w_k1)
+    np.testing.assert_allclose(w_spec, w_k1, atol=1e-5, rtol=1e-5)
+
+    # spec without heads downgrades with the mtp path (never crashes)
+    plain = host_init_params(cfg)
+    tts_dg = JaxCosyVoiceTts(cfg, plain, dtype=jnp.float32,
+                             seconds_per_char=0.02, mtp=2, spec=True)
+    assert tts_dg.cfg.lm.mtp == 1 and not tts_dg.cfg.lm.spec_decode
+
+
 def test_tts_engine_mtp_width_mismatch_downgrades():
     """A forced/config MTP width that disagrees with the checkpoint's head
     count must downgrade to the checkpoint's own width (heads+1), not index
