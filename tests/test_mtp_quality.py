@@ -135,3 +135,34 @@ def test_mtp_generation_agrees_with_k1(trained):
     assert (t1[:n] == expect).mean() >= 0.95
     assert int(len1[0]) == pytest.approx(n, abs=2)
     assert int(len2[0]) == pytest.approx(n, abs=2)
+
+
+def test_spec_decode_acceptance_with_trained_heads(trained):
+    """The LOSSLESS mode on trained heads: the stream must equal K=1 exactly
+    (not just 95% like accept-all) AND the measured tokens-per-pass must
+    approach K — the trained-head acceptance number the serving speedup
+    rides on (generate_speech_tokens_spec)."""
+    params, _ = trained
+    cfg = MTP_LM if MTP_LM.spec_decode else __import__("dataclasses").replace(
+        MTP_LM, spec_decode=True)
+    text = jnp.full((1, 1), 7, jnp.int32)
+    tmask = jnp.ones((1, 1), bool)
+    prompt = jnp.asarray([[5, 6, 7]], jnp.int32)
+    pmask = jnp.ones((1, 3), bool)
+    kw = dict(max_new_tokens=TS, min_new_tokens=2)
+
+    tok1, len1 = cv.generate_speech_tokens(
+        params, cfg, jax.random.PRNGKey(11), text, tmask, prompt, pmask, **kw)
+    toks, lens, stats = cv.generate_speech_tokens_spec(
+        params, cfg, jax.random.PRNGKey(11), text, tmask, prompt, pmask,
+        with_stats=True, **kw)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(tok1))
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(len1))
+    emitted = int(stats["emitted"])
+    passes = int(stats["backbone_passes"])
+    tpp = (emitted - 1) / max(passes, 1)   # t0 is sampled pre-loop
+    assert emitted > 10
+    # K=2: perfect acceptance → 2 tokens/pass; trained heads must land close
+    assert tpp >= 1.7, (
+        f"trained-head spec decode averaged {tpp:.2f} tokens/pass "
+        f"({passes} passes for {emitted} tokens)")
