@@ -27,6 +27,7 @@ vs_baseline = 0.3 / measured_RTF  (>1 = beats the per-chip budget).
 Env knobs: EST_BENCH_SCALE=small|full (default full), EST_BENCH_REPEATS,
 EST_BENCH_QUANT=int8 (weight-only int8 speech-LM decode),
 EST_BENCH_MTP=K (K-token-per-pass speech-LM decode via MTP heads),
+EST_BENCH_SPEC=1 (lossless speculative decode; needs EST_BENCH_MTP>1),
 EST_BENCH_STREAM=0 to skip the streaming time-to-first-audio extra,
 EST_BENCH_MODE=serve|stage|both (default both), EST_BENCH_B8=0 to skip the
 concurrent-batch measurement, EST_BENCH_BUDGET_S (internal wall-clock budget;
@@ -117,8 +118,12 @@ def _bench_serve(scale: str, repeats: int, quant: bool, run_b8: bool):
     # seconds_per_char tuned so a ~55-char random-weight translation maps
     # to ~10 s of speech (250 tokens at 25 Hz) — the stage-sum's budget
     mtp = int(os.environ.get("EST_BENCH_MTP", "0"))
+    # EST_BENCH_SPEC=1: lossless speculative decode (needs EST_BENCH_MTP>1).
+    # On random weights acceptance is near-chance, so this measures the
+    # MECHANISM's overhead floor, not the trained-heads speedup.
+    spec = os.environ.get("EST_BENCH_SPEC", "") == "1"
     tts = JaxCosyVoiceTts(tts_cfg, seconds_per_char=0.18, quantize=quant,
-                          mtp=mtp)
+                          mtp=mtp, spec=spec)
 
     def build(batched: bool) -> Engines:
         if not batched:

@@ -159,19 +159,30 @@ def _mask_control_logits(logits: jnp.ndarray, cfg: SpeechLMConfig,
                      logits.at[:, cfg.eos_speech].set(neg), logits)
 
 
-def _sample_next(params: Params, cfg: SpeechLMConfig, sk, h: jnp.ndarray,
-                 recent: jnp.ndarray, done: jnp.ndarray, step,
-                 min_new_tokens: int):
-    """One single-token decode sample, shared by the batch and streaming
-    loops: control masking, min-new-tokens gate, RAS, EOS hold for finished
-    rows, recent-window roll. h [B, 1, H] → (nxt [B], recent, done)."""
-    logits = _mask_control_logits(
-        dense(params["head"], h[:, 0, :]), cfg, step, min_new_tokens)
+def _sample_from_logits(cfg: SpeechLMConfig, sk, logits: jnp.ndarray,
+                        recent: jnp.ndarray, done: jnp.ndarray, step,
+                        min_new_tokens: int):
+    """Sampling tail of the single-token decode given raw head logits [B, V]:
+    control masking, min-new-tokens gate, RAS, EOS hold for finished rows,
+    recent-window roll. Split from :func:`_sample_next` so the speculative
+    verifier can batch the K head matmuls into one ([1,K,H] @ [H,V]) and
+    still run this exact per-position computation on each row."""
+    logits = _mask_control_logits(logits, cfg, step, min_new_tokens)
     nxt = _ras_sample(sk, logits, recent, cfg)
     nxt = jnp.where(done, cfg.eos_speech, nxt)
     recent = jnp.concatenate([recent[:, 1:], nxt[:, None]], axis=1)
     done = done | (nxt == cfg.eos_speech)
     return nxt, recent, done
+
+
+def _sample_next(params: Params, cfg: SpeechLMConfig, sk, h: jnp.ndarray,
+                 recent: jnp.ndarray, done: jnp.ndarray, step,
+                 min_new_tokens: int):
+    """One single-token decode sample, shared by the batch and streaming
+    loops. h [B, 1, H] → (nxt [B], recent, done)."""
+    return _sample_from_logits(
+        cfg, sk, dense(params["head"], h[:, 0, :]), recent, done, step,
+        min_new_tokens)
 
 
 def generate_speech_tokens(
@@ -449,15 +460,19 @@ def generate_speech_tokens_spec(
             prompt_capacity=p_len,
         )
         # ---- verify: s_j = the true K=1 sample for x_{n-1+j}; emit while
-        # every earlier draft matched (plus the bonus K-th when all matched)
+        # every earlier draft matched (plus the bonus K-th when all matched).
+        # One [1,K,H] @ [H,V] matmul streams the main head ONCE per pass —
+        # per-position dense() calls would re-read the head matrix K times
+        # on exactly the HBM-bound path this decoder exists to relieve.
+        verif_logits = dense(params["head"], h_span)            # [1, K, V]
         acc = ~done
         rec, dn = recent, done
         s_list, flags = [], []
         for j in range(1, k_mtp + 1):
             pos = n - 1 + j
-            s, rec, dn = _sample_next(
-                params, cfg, jax.random.fold_in(key, pos),
-                h_span[:, j - 1 : j, :], rec, dn, pos, min_new_tokens)
+            s, rec, dn = _sample_from_logits(
+                cfg, jax.random.fold_in(key, pos),
+                verif_logits[:, j - 1, :], rec, dn, pos, min_new_tokens)
             s_list.append(s)
             flags.append(acc)
             if j < k_mtp:
@@ -484,6 +499,19 @@ def generate_speech_tokens_spec(
         return tokens, lengths, {"backbone_passes": passes,
                                  "emitted": jnp.minimum(n_fin, max_new_tokens)}
     return tokens, lengths
+
+
+def select_generator(lm_cfg: SpeechLMConfig, batch_size: int):
+    """THE routing rule from (config, batch size) to a decode function —
+    shared by the native and official synthesis chains so a change here can
+    never give them different decode behavior for the same config: lossless
+    speculative for B=1 when opted in, accept-all MTP when heads exist,
+    single-token otherwise."""
+    if lm_cfg.mtp > 1 and lm_cfg.spec_decode and batch_size == 1:
+        return generate_speech_tokens_spec
+    if lm_cfg.mtp > 1:
+        return generate_speech_tokens_mtp
+    return generate_speech_tokens
 
 
 # ============================================================ flow matching
@@ -954,12 +982,7 @@ def synthesize(
     a GSPMD mesh (pallas_call cannot be auto-partitioned).
     """
     k_lm, k_flow = jax.random.split(key)
-    if cfg.lm.mtp > 1 and cfg.lm.spec_decode and text_tokens.shape[0] == 1:
-        gen = generate_speech_tokens_spec       # lossless: K=1-identical stream
-    elif cfg.lm.mtp > 1:
-        gen = generate_speech_tokens_mtp        # accept-all throughput mode
-    else:
-        gen = generate_speech_tokens
+    gen = select_generator(cfg.lm, text_tokens.shape[0])
     tokens, lengths = gen(
         params["lm"], cfg.lm, k_lm, text_tokens, text_mask,
         prompt_speech_tokens, prompt_speech_mask, max_new_tokens=max_new_tokens,

@@ -94,12 +94,7 @@ def synthesize_official(
     # cfg.lm.mtp > 1) decodes K tokens per backbone pass even when serving
     # through the official flow+HiFT chain — the reference's own deployment
     # pattern of swapping just llm.pt (Docker/Dockerfile.cosyvoice:49-52).
-    if cfg.lm.mtp > 1 and cfg.lm.spec_decode and text_tokens.shape[0] == 1:
-        gen = cv.generate_speech_tokens_spec    # lossless: K=1-identical stream
-    elif cfg.lm.mtp > 1:
-        gen = cv.generate_speech_tokens_mtp     # accept-all throughput mode
-    else:
-        gen = cv.generate_speech_tokens
+    gen = cv.select_generator(cfg.lm, text_tokens.shape[0])
     tokens, lengths = gen(
         params["lm"], cfg.lm, k_lm, text_tokens, text_mask,
         prompt_speech_tokens, prompt_speech_mask,

@@ -737,6 +737,21 @@ def _reconcile_mtp(cfg_mtp: int, forced: int, params) -> int:
     return have
 
 
+def _reconcile_spec(forced: bool, cfg_spec: bool, width: int) -> bool:
+    """Lossless speculative decode is requested by the override OR the config
+    (like mtp, an unset override defers to the config) and is only honorable
+    at an effective MTP width > 1 — downgrading must be LOUD, or an operator
+    setting EST_ENGINES__TTS_SPEC=1 on a headless checkpoint silently serves
+    single-token decode believing spec is active."""
+    wanted = forced or cfg_spec
+    if wanted and width <= 1:
+        log.warning(
+            "tts_spec requested but the effective MTP width is 1 (no trained "
+            "heads / no tts_mtp) — serving standard single-token decode")
+        return False
+    return wanted
+
+
 class JaxCosyVoiceTts:
     """TTS engine: CosyVoice synthesize with speaker conditioning from the
     reference audio (kaldi-fbank prompt mel + ECAPA speaker embedding)."""
@@ -775,11 +790,12 @@ class JaxCosyVoiceTts:
         instead of failing the whole server.
         ``spec``: lossless speculative decoding — B=1 requests verify the MTP
         drafts against the true-context sampler (models/cosyvoice.py
-        generate_speech_tokens_spec), emitting the exact single-token stream
-        while amortizing the weight stream over up to K positions per pass.
-        Requires MTP heads; ignored (with the same downgrade warning path)
-        when the effective width is 1. Batched requests keep the accept-all
-        MTP path."""
+        generate_speech_tokens_spec), emitting the single-token sampler's
+        stream while amortizing the weight stream over up to K positions per
+        pass. False defers to the config's ``spec_decode`` (like ``mtp=0``);
+        requesting it without MTP heads downgrades to single-token decode
+        with a LOUD warning (_reconcile_spec). Batched requests keep the
+        accept-all MTP path."""
         from ..models import ecapa, qwen2 as q2
 
         self.official = official
@@ -788,7 +804,7 @@ class JaxCosyVoiceTts:
             # MTP width is a property of the trained heads: honor the
             # checkpoint, never a mismatched config or override.
             want = _reconcile_mtp(ocfg.lm.mtp, mtp, oparams)
-            want_spec = spec and want > 1
+            want_spec = _reconcile_spec(spec, ocfg.lm.spec_decode, want)
             if want != ocfg.lm.mtp or want_spec != ocfg.lm.spec_decode:
                 ocfg = dataclasses.replace(
                     ocfg, lm=dataclasses.replace(
@@ -816,7 +832,7 @@ class JaxCosyVoiceTts:
                 vocoder=cvm.VocoderConfig(base_channels=256),
             )
             want = _reconcile_mtp(self.cfg.lm.mtp, mtp, params)
-            want_spec = spec and want > 1
+            want_spec = _reconcile_spec(spec, self.cfg.lm.spec_decode, want)
             if want != self.cfg.lm.mtp or want_spec != self.cfg.lm.spec_decode:
                 self.cfg = dataclasses.replace(
                     self.cfg, lm=dataclasses.replace(

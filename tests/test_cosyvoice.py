@@ -566,7 +566,7 @@ def test_tts_engine_mtp_forced():
     assert np.isfinite(wave_q).all() and len(wave_q) > 0
 
 
-def test_tts_engine_spec_lossless_vs_k1():
+def test_tts_engine_spec_lossless_vs_k1(caplog):
     """tts_spec=True (EngineConfig.tts_spec): B=1 synthesis routes through the
     verified speculative decoder and must produce the SAME waveform as the
     single-token engine — the heads only change how many backbone passes it
@@ -593,11 +593,22 @@ def test_tts_engine_spec_lossless_vs_k1():
     assert np.isfinite(w_spec).all() and len(w_spec) == len(w_k1)
     np.testing.assert_allclose(w_spec, w_k1, atol=1e-5, rtol=1e-5)
 
-    # spec without heads downgrades with the mtp path (never crashes)
+    # spec without heads downgrades with the mtp path (never crashes) — and
+    # LOUDLY, so an operator can see EST_ENGINES__TTS_SPEC=1 was not honored
     plain = host_init_params(cfg)
-    tts_dg = JaxCosyVoiceTts(cfg, plain, dtype=jnp.float32,
-                             seconds_per_char=0.02, mtp=2, spec=True)
+    import logging
+    with caplog.at_level(logging.WARNING):
+        tts_dg = JaxCosyVoiceTts(cfg, plain, dtype=jnp.float32,
+                                 seconds_per_char=0.02, mtp=2, spec=True)
     assert tts_dg.cfg.lm.mtp == 1 and not tts_dg.cfg.lm.spec_decode
+    assert any("tts_spec" in r.getMessage() for r in caplog.records)
+
+    # spec=False defers to a config that carries spec_decode=True (like
+    # mtp=0 defers to the config width) instead of force-disabling it
+    cfg_spec = dataclasses.replace(
+        cfg, lm=dataclasses.replace(cfg.lm, mtp=2, spec_decode=True))
+    tts_cfg = JaxCosyVoiceTts(cfg_spec, dtype=jnp.float32, seconds_per_char=0.02)
+    assert tts_cfg.cfg.lm.spec_decode and tts_cfg.cfg.lm.mtp == 2
 
 
 def test_tts_engine_mtp_width_mismatch_downgrades():

@@ -143,8 +143,9 @@ def test_spec_decode_acceptance_with_trained_heads(trained):
     approach K — the trained-head acceptance number the serving speedup
     rides on (generate_speech_tokens_spec)."""
     params, _ = trained
-    cfg = MTP_LM if MTP_LM.spec_decode else __import__("dataclasses").replace(
-        MTP_LM, spec_decode=True)
+    # generate_speech_tokens_spec only needs cfg.mtp > 1; the spec_decode
+    # flag is read by synthesize()'s routing, not by the function itself
+    cfg = MTP_LM
     text = jnp.full((1, 1), 7, jnp.int32)
     tmask = jnp.ones((1, 1), bool)
     prompt = jnp.asarray([[5, 6, 7]], jnp.int32)
