@@ -75,6 +75,9 @@ class CascadedBackend(TranslationBackend):
     def placement_info(self):
         return self.engines.placement_info()
 
+    def decode_info(self):
+        return self.engines.decode_info()
+
     # -------------------------------------------------------------- languages
 
     def is_language_supported(self, lang: str) -> bool:

@@ -94,6 +94,28 @@ class Engines:
         self._placement_cache = out
         return out
 
+    def decode_info(self) -> Dict[str, str]:
+        """Per-stage decode configuration an operator can act on — surfaced
+        in /health/model next to weights/placement so speed/quality knobs
+        (int8, bucketed ASR context, accept-all MTP vs lossless spec) are
+        never silently active. One short string per stage."""
+        out: Dict[str, str] = {}
+        for stage, e in (("asr", self.asr), ("nmt", self.nmt), ("tts", self.tts)):
+            e = getattr(e, "engine", e)  # unwrap serving micro-batchers
+            bits = []
+            if getattr(e, "quantized", False):
+                bits.append("int8")
+            buckets = getattr(e, "context_buckets", None)
+            if buckets is not None:
+                bits.append("ctx=" + ("exact" if tuple(buckets) == (30,)
+                                      else str(tuple(buckets))))
+            lm = getattr(getattr(e, "cfg", None), "lm", None)
+            if lm is not None and getattr(lm, "mtp", 1) > 1:
+                bits.append(("spec" if getattr(lm, "spec_decode", False)
+                             else "mtp") + f"K{lm.mtp}")
+            out[stage] = ",".join(bits) if bits else "default"
+        return out
+
 
 # ----------------------------------------------------------------- fake stage
 

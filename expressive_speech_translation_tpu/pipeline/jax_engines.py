@@ -114,6 +114,7 @@ class JaxWhisperAsr:
             log.warning("JaxWhisperAsr: random weights (no checkpoint supplied)")
             params = host_init(wjm.init_whisper, 0, self.cfg)
         self.params = cast_floats(params, dtype)
+        self.quantized = quantize
         if quantize:
             self.params = wjm.quantize_whisper_decoder(self.params)
         self.mesh = mesh
@@ -587,6 +588,7 @@ class JaxNllbNmt:
             log.warning("JaxNllbNmt: random weights (no checkpoint supplied)")
             params = host_init(njm.init_nllb, 1, self.cfg)
         self.params = cast_floats(params, dtype)
+        self.quantized = quantize
         if quantize:
             self.params = njm.quantize_nllb_decoder(self.params)
         self.mesh = mesh
@@ -842,6 +844,7 @@ class JaxCosyVoiceTts:
                 log.warning("JaxCosyVoiceTts: random weights (no checkpoint supplied)")
                 params = host_init(cvm.init_cosyvoice, 2, self.cfg)
         self.params = cast_floats(params, dtype)
+        self.quantized = quantize
         if quantize:
             self.params = dict(self.params)
             self.params["lm"] = cvm.quantize_speech_lm(self.params["lm"])

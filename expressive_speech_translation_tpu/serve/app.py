@@ -429,16 +429,19 @@ class App:
         backend_ok = False
         weights = "unknown"
         placement: dict = {}
+        decode: dict = {}
         name = self.manager.default_backend
         if name is not None:
             b = self.manager.peek_backend(name)
             backend_ok = bool(getattr(b, "initialized", False))
             weights = getattr(b, "weights_info", lambda: "unknown")()
             placement = getattr(b, "placement_info", dict)()
+            decode = getattr(b, "decode_info", dict)()
         return _json({
             "healthy": backend_ok,
             "weights": weights,
             "placement": placement,
+            "decode": decode,
             "process_rss_mb": round(proc.memory_info().rss / 1e6, 1),
             "device_memory": device_memory_stats(),
         }, 200 if backend_ok else 503)

@@ -610,6 +610,16 @@ def test_tts_engine_spec_lossless_vs_k1(caplog):
     tts_cfg = JaxCosyVoiceTts(cfg_spec, dtype=jnp.float32, seconds_per_char=0.02)
     assert tts_cfg.cfg.lm.spec_decode and tts_cfg.cfg.lm.mtp == 2
 
+    # the operator surface names the active decode mode (/health/model)
+    from expressive_speech_translation_tpu.pipeline.engines import (
+        Engines, FakeAsr, FakeNmt,
+    )
+
+    info = Engines(asr=FakeAsr(), nmt=FakeNmt(), tts=tts_spec).decode_info()
+    assert info["tts"] == "specK2" and info["asr"] == "default"
+    info_cfg = Engines(asr=FakeAsr(), nmt=FakeNmt(), tts=tts_k1).decode_info()
+    assert info_cfg["tts"] == "default"
+
 
 def test_tts_engine_mtp_width_mismatch_downgrades():
     """A forced/config MTP width that disagrees with the checkpoint's head

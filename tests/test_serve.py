@@ -112,7 +112,11 @@ def test_health_and_status(client):
         "file": (io.BytesIO(wav_bytes()), "t.wav"), "target_language": "fra"})
     r1 = client.get("/health/model")
     assert r1.status_code == 200
-    assert r1.get_json()["healthy"] is True
+    body = r1.get_json()
+    assert body["healthy"] is True
+    # decode-mode surface rides along with weights/placement (fake engines
+    # report no decode attributes → {} or per-stage defaults)
+    assert "decode" in body
     status = client.get("/translation-service-status").get_json()
     assert status["status"] == "ok"
     assert status["backends"]["cascaded"]["initialized"] is True
