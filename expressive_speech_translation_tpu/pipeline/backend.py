@@ -92,6 +92,14 @@ class TranslationManager:
         return {name: getattr(b, "weights_info", lambda: "unknown")()
                 for name, b in self._backends.items()}
 
+    def backend_decode(self) -> Dict[str, Dict[str, str]]:
+        """Per-backend per-stage decode modes (Engines.decode_info),
+        initialization-free — rides /available-backends next to weights so
+        speed/quality knobs (int8, bucketed ASR context, MTP/spec decode)
+        are operator-visible at selection time."""
+        return {name: getattr(b, "decode_info", dict)()
+                for name, b in self._backends.items()}
+
     @property
     def default_backend(self) -> Optional[str]:
         return self._default

@@ -349,6 +349,7 @@ class App:
             "backends": self.manager.available_backends(),
             "default": self.manager.default_backend,
             "weights": self.manager.backend_weights(),
+            "decode": self.manager.backend_decode(),
         })
 
     def route_auth_config(self, request: Request) -> Response:

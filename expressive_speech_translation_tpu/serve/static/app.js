@@ -29,11 +29,17 @@ const $ = (id) => document.getElementById(id);
 
 // option label for a backend selector: name + default marker + weight
 // provenance tag (a random/fake-weight backend is never silently presented
-// as production-ready)
+// as production-ready) + any non-default decode modes (int8 / bucketed ASR
+// context / MTP or lossless-spec TTS decode)
 function backendOptionLabel(name, b) {
   const w = (b.weights || {})[name];
   const tag = w && w !== "loaded" ? ` \u26a0 ${w} weights` : "";
-  return name + (name === b.default ? " (default)" : "") + tag;
+  const d = (b.decode || {})[name] || {};
+  const modes = Object.entries(d)
+    .filter(([, v]) => v && v !== "default")
+    .map(([stage, v]) => `${stage}:${v}`);
+  const dtag = modes.length ? ` [${modes.join(" ")}]` : "";
+  return name + (name === b.default ? " (default)" : "") + tag + dtag;
 }
 
 // ---- init: populate languages + backends from the API

@@ -102,6 +102,8 @@ def test_supported_languages_and_backends(client):
     body = resp.get_json()
     assert body["default"] == "cascaded"
     assert "cascaded" in body["backends"]
+    # selection-time decode provenance rides along with weight provenance
+    assert "decode" in body and "cascaded" in body["decode"]
 
 
 def test_health_and_status(client):
