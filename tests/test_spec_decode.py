@@ -51,6 +51,23 @@ def test_spec_matches_k1_token_exact(seed):
     assert int(stats["backbone_passes"]) <= max(int(stats["emitted"]) - 1, 1)
 
 
+@pytest.mark.parametrize("max_new", [1, 2, 5])
+def test_spec_matches_k1_at_block_boundaries(max_new):
+    """Budgets that cut a speculative block mid-way (max_new not a multiple
+    of K, or smaller than one block) must still truncate to exactly the K=1
+    stream."""
+    params = cv.init_speech_lm(jax.random.PRNGKey(30), CFG)
+    key = jax.random.PRNGKey(31)
+    args = _inputs(12)
+    tok1, len1 = cv.generate_speech_tokens(
+        params, CFG, key, *args, max_new_tokens=max_new)
+    toks, lens = cv.generate_speech_tokens_spec(
+        params, CFG, key, *args, max_new_tokens=max_new)
+    assert toks.shape == (1, max_new)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(tok1))
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(len1))
+
+
 def test_spec_respects_min_new_tokens():
     params = cv.init_speech_lm(jax.random.PRNGKey(5), CFG)
     toks, lens = cv.generate_speech_tokens_spec(
