@@ -620,6 +620,18 @@ def test_tts_engine_spec_lossless_vs_k1(caplog):
     info_cfg = Engines(asr=FakeAsr(), nmt=FakeNmt(), tts=tts_k1).decode_info()
     assert info_cfg["tts"] == "default"
 
+    # composition: spec × weight-only int8 — the batched verifier logits
+    # ([1,K,H] @ int8 head) and the draft heads all dispatch through the
+    # quantized dense path
+    tts_q = JaxCosyVoiceTts(cfg, dtype=jnp.float32, seconds_per_char=0.02,
+                            mtp=2, spec=True, quantize=True)
+    assert tts_q.params["lm"]["head"]["kernel_q"].dtype == jnp.int8
+    w_q = tts_q.synthesize("int8 spec decode")
+    assert np.isfinite(w_q).all() and len(w_q) > 0
+    from expressive_speech_translation_tpu.pipeline.engines import Engines as _E
+    assert _E(asr=FakeAsr(), nmt=FakeNmt(), tts=tts_q).decode_info()["tts"] == \
+        "int8,specK2"
+
 
 def test_tts_engine_mtp_width_mismatch_downgrades():
     """A forced/config MTP width that disagrees with the checkpoint's head
