@@ -135,8 +135,9 @@ class EngineConfig:
     # Multi-token-prediction decode width for the TTS speech-LM. 0 = follow
     # the checkpoint (an SFT-exported LM with trained MTP heads serves K
     # tokens per backbone pass automatically); K>1 forces the width for
-    # random-weight/bench runs. Checkpoints without heads always fall back
-    # to single-token decode. EST_ENGINES__TTS_MTP.
+    # random-weight/bench runs; K=1 explicitly pins single-token decode
+    # even on an MTP-capable checkpoint. Checkpoints without heads always
+    # fall back to single-token decode. EST_ENGINES__TTS_MTP.
     tts_mtp: int = 0
     # Lossless speculative decode for B=1 TTS requests: MTP drafts are
     # VERIFIED against the true-context sampler (token-identical output to

@@ -113,6 +113,11 @@ class Engines:
             if lm is not None and getattr(lm, "mtp", 1) > 1:
                 bits.append(("spec" if getattr(lm, "spec_decode", False)
                              else "mtp") + f"K{lm.mtp}")
+            if (getattr(e, "conditioning_weightless", False)
+                    and not getattr(e, "weightless", True)):
+                # loaded main weights + random conditioning: cloning carries
+                # no speaker identity — never silent
+                bits.append("cond=random")
             out[stage] = ",".join(bits) if bits else "default"
         return out
 

@@ -48,6 +48,21 @@ def _bucket_capped(n: int, buckets) -> int:
     return min(bucket_size(n, buckets), buckets[-1])
 
 
+def _fit_vocab(ids, vocab_size: int, weightless: bool, label: str) -> np.ndarray:
+    """THE wrap-or-raise tokenizer-id policy, shared by every engine:
+    weightless mode may wrap ids into the toy vocab; a real config must never
+    silently corrupt tokenizer output (VERDICT round-1 weak #3)."""
+    arr = np.asarray(ids, np.int32)
+    if weightless:
+        return arr % vocab_size
+    if arr.size and int(arr.max()) >= vocab_size:
+        raise ValueError(
+            f"{label} token id {int(arr.max())} out of range for vocab "
+            f"{vocab_size} — tokenizer/config mismatch"
+        )
+    return arr
+
+
 def _dp_shard(mesh, *arrays):
     """Commit host batch arrays with dim 0 sharded over the mesh's dp axis.
 
@@ -501,7 +516,10 @@ class JaxWhisperAsr:
         if need:
             from .languages import whisper_token_to_app
 
-            det = np.zeros((len(need), 16_000 * 30), np.float32)
+            # pad to a batch bucket like every other dispatch in this file —
+            # a raw len(need)-row program would recompile the whole encoder
+            # per distinct count of language-less requests
+            det = np.zeros((bucket_batch(len(need)), 16_000 * 30), np.float32)
             for j, i in enumerate(need):
                 x = np.asarray(requests[i]["audio_16k"], np.float32).reshape(-1)
                 seg = x[: 16_000 * 30]
@@ -614,7 +632,11 @@ class JaxNllbNmt:
         self.num_beams = num_beams
         self.max_new_tokens = max_new_tokens
 
-        @functools.partial(jax.jit, static_argnums=(2,))
+        # forced_bos is a TRACED scalar (it only fills the prompt's second
+        # slot — models/nllb.py:261): one compiled program per source bucket
+        # regardless of target language. As a static arg, 19 languages × 6
+        # buckets would compile ~114 distinct encoder+decoder programs.
+        @jax.jit
         def _generate(params, src, forced_bos):
             return njm.generate(
                 params, self.cfg, src, forced_bos,
@@ -635,17 +657,7 @@ class JaxNllbNmt:
         )
 
     def _fit_ids(self, ids: List[int]) -> np.ndarray:
-        """Weightless mode may wrap ids into the toy vocab; a real config must
-        never silently corrupt tokenizer output (VERDICT round-1 weak #3)."""
-        arr = np.asarray(ids, np.int32)
-        if self.weightless:
-            return arr % self.cfg.vocab_size
-        if arr.size and int(arr.max()) >= self.cfg.vocab_size:
-            raise ValueError(
-                f"token id {int(arr.max())} out of range for vocab "
-                f"{self.cfg.vocab_size} — tokenizer/config mismatch"
-            )
-        return arr
+        return _fit_vocab(ids, self.cfg.vocab_size, self.weightless, "NMT")
 
     def _src_bucket(self, n: int) -> int:
         """Source width: smallest bucket ≥ n, doubling above the top bucket
@@ -715,13 +727,15 @@ def _reconcile_mtp(cfg_mtp: int, forced: int, params) -> int:
     """Decode width = the MTP width the params can actually serve.
 
     One rule shared by the native and official-checkpoint TTS paths: the
-    requested width (a forced override wins over the config) is honored only
+    requested width (a forced override wins over the config; 0 = unset,
+    defer to the config — and ``forced=1`` is an EXPLICIT request to pin
+    single-token decode even on an MTP-capable checkpoint) is honored only
     up to the number of heads trained into the params — a wider width would
     index past the heads list at decode time, a params set with no heads can
     only decode single-token. ``params=None`` (random init to come) honors
     the request as-is since the heads will be initialized at that width.
     """
-    wanted = forced if forced > 1 else cfg_mtp
+    wanted = forced if forced >= 1 else cfg_mtp
     if wanted <= 1:
         return 1
     if params is None:
@@ -773,6 +787,8 @@ class JaxCosyVoiceTts:
         official=None,
         mtp: int = 0,
         spec: bool = False,
+        ecapa_weights=None,
+        speech_tokenizer_weights=None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — the speech-LM params are
         placed by the tensor-parallel partition rules (models/cosyvoice.py
@@ -797,7 +813,14 @@ class JaxCosyVoiceTts:
         pass. False defers to the config's ``spec_decode`` (like ``mtp=0``);
         requesting it without MTP heads downgrades to single-token decode
         with a LOUD warning (_reconcile_spec). Batched requests keep the
-        accept-all MTP path."""
+        accept-all MTP path.
+        ``ecapa_weights`` / ``speech_tokenizer_weights``: optional
+        ``(params, cfg)`` for the voice-prompt CONDITIONING models (ECAPA
+        x-vector, FSQ speech tokenizer). Without them conditioning runs on
+        random init — structurally correct but carrying no speaker identity
+        — so loaded main weights with random conditioning are surfaced via
+        ``conditioning_weightless`` (decode_info tags it) instead of
+        silently corrupting cloned output."""
         from ..models import ecapa, qwen2 as q2
 
         self.official = official
@@ -865,13 +888,36 @@ class JaxCosyVoiceTts:
         self.tokenizer = tokenizer or ByteTokenizer()
         self.seconds_per_char = seconds_per_char
         self.dtype = dtype
-        self._ecapa_cfg = ecapa.EcapaConfig(channels=128, bottleneck=64, attn_channels=64)
-        self._ecapa = host_init(ecapa.init_ecapa, 3, self._ecapa_cfg)
+        if ecapa_weights is not None:
+            self._ecapa, self._ecapa_cfg = ecapa_weights
+        else:
+            self._ecapa_cfg = ecapa.EcapaConfig(channels=128, bottleneck=64, attn_channels=64)
+            self._ecapa = host_init(ecapa.init_ecapa, 3, self._ecapa_cfg)
         # the S3-style FSQ speech tokenizer produces prompt speech tokens
         from ..models import speech_tokenizer as st
 
-        self._st_cfg = st.SpeechTokenizerConfig(dim=128, layers=2, heads=4)
-        self._st = host_init(st.init_speech_tokenizer, 4, self._st_cfg)
+        if speech_tokenizer_weights is not None:
+            self._st, self._st_cfg = speech_tokenizer_weights
+        else:
+            self._st_cfg = st.SpeechTokenizerConfig(dim=128, layers=2, heads=4)
+            self._st = host_init(st.init_speech_tokenizer, 4, self._st_cfg)
+        # loaded MAIN weights + random CONDITIONING is the dangerous quadrant:
+        # cloned output silently bears no relation to the reference voice
+        self.conditioning_weightless = ecapa_weights is None
+        if not self.weightless and self.conditioning_weightless:
+            log.warning(
+                "JaxCosyVoiceTts: main TTS weights are loaded but the ECAPA "
+                "conditioning model is RANDOM — voice cloning carries no "
+                "speaker identity (bake ecapa/ into EST_MODELS_DIR)")
+        # ONE place for the voice-prompt window geometry: every site below
+        # must keep mel frames == token_mel_ratio * tokens, or the flow's
+        # positional prompt-strip (feat[:, mel_len1:]) mis-slices generated
+        # frames for checkpoints with token_mel_ratio != 2
+        ratio = self.cfg.flow.token_mel_ratio
+        self._prompt_tokens = 50                 # 2 s of FSQ tokens @ 25 Hz
+        self._prompt_frames = self._prompt_tokens * ratio
+        self._noref_tokens = 2                   # live zero slots, no-ref rows
+        self._noref_frames = self._noref_tokens * ratio
         # sampling keys: a host counter folded into a base key INSIDE the
         # jitted program (an eager per-request jax.random.split is one extra
         # relay round-trip per call)
@@ -944,9 +990,9 @@ class JaxCosyVoiceTts:
 
             spk = ecapa.embed_audio(ecapa_params, self._ecapa_cfg, ref16[None])
             ref24 = resample(ref16, 16_000, 24_000)
-            pmel = kaldi_fbank(ref24[None], sr=24_000)[:, :100].astype(dtype)
+            pmel = kaldi_fbank(ref24[None], sr=24_000)[:, : self._prompt_frames].astype(dtype)
             ids = st.tokenize_audio(st_params, self._st_cfg, ref24)
-            psp = (ids[None, :50] % self.cfg.lm.speech_token_size).astype(jnp.int32)
+            psp = (ids[None, : self._prompt_tokens] % self.cfg.lm.speech_token_size).astype(jnp.int32)
             return spk.astype(dtype), pmel, psp
 
         self._cond_fn = _cond
@@ -961,19 +1007,22 @@ class JaxCosyVoiceTts:
 
             spk = ecapa.embed_audio(ecapa_params, self._ecapa_cfg, ref16)
             ref24 = resample(ref16, 16_000, 24_000)
-            pmel = kaldi_fbank(ref24, sr=24_000)[:, :100].astype(dtype)
+            pmel = kaldi_fbank(ref24, sr=24_000)[:, : self._prompt_frames].astype(dtype)
             st_mel = kaldi_fbank(ref24, sr=24_000, frame_length_ms=40.0,
                                  frame_shift_ms=20.0, n_mels=self._st_cfg.n_mels)
             ids, _ = st.encode(st_params, self._st_cfg, st_mel,
                                jnp.ones(st_mel.shape[:2], bool))
-            psp = (ids[:, :50] % self.cfg.lm.speech_token_size).astype(jnp.int32)
-            hr = has_ref
+            psp = (ids[:, : self._prompt_tokens] % self.cfg.lm.speech_token_size).astype(jnp.int32)
+            # cast the multiplier to the SERVING dtype: a float32 has_ref
+            # would promote spk/pmel to f32, running batched conditioning at
+            # a different precision than the single-request path
+            hr = has_ref.astype(dtype)
             spk = spk.astype(dtype) * hr[:, None]
             pmel = pmel * hr[:, None, None]
-            psp = psp * hr[:, None].astype(jnp.int32)
+            psp = psp * has_ref.astype(jnp.int32)[:, None]
             # rows without a reference keep 2 live (zero) prompt slots — same
             # conditioning the single-request path uses
-            psm = hr[:, None].astype(bool) | (jnp.arange(psp.shape[1])[None, :] < 2)
+            psm = hr[:, None].astype(bool) | (jnp.arange(psp.shape[1])[None, :] < self._noref_tokens)
             return spk, pmel, psp, psm
 
         self._cond_b_fn = _cond_b
@@ -1009,15 +1058,7 @@ class JaxCosyVoiceTts:
         return self.cfg.flow.token_mel_ratio * hop
 
     def _fit_text_ids(self, ids: List[int]) -> np.ndarray:
-        arr = np.asarray(ids, np.int32)
-        if self.weightless:
-            return arr % self.cfg.lm.text_vocab
-        if arr.size and int(arr.max()) >= self.cfg.lm.text_vocab:
-            raise ValueError(
-                f"text token id {int(arr.max())} out of range for text vocab "
-                f"{self.cfg.lm.text_vocab} — tokenizer/config mismatch"
-            )
-        return arr
+        return _fit_vocab(ids, self.cfg.lm.text_vocab, self.weightless, "text")
 
     def _prepare_conditioning(self, text: str, reference_audio_16k,
                               style_prompt: str = ""):
@@ -1042,8 +1083,8 @@ class JaxCosyVoiceTts:
             spk, pmel, psp = self._cond_fn(self._ecapa, self._st, ref)
         else:
             spk = jnp.zeros((1, self.cfg.flow.spk_embed_dim))
-            pmel = jnp.zeros((1, 4, self.cfg.flow.n_mels), self.dtype)
-            psp = np.zeros((1, 2), np.int32)
+            pmel = jnp.zeros((1, self._noref_frames, self.cfg.flow.n_mels), self.dtype)
+            psp = np.zeros((1, self._noref_tokens), np.int32)
         pmm = jnp.ones(pmel.shape[:2], bool)
 
         seconds = float(np.clip(len(text) * self.seconds_per_char, 0.6, 30.0))
@@ -1116,7 +1157,7 @@ class JaxCosyVoiceTts:
         # reference attend over the full prompt window; rows without keep
         # only 4 live (zero) frames — the same conditioning synthesize() uses
         frames = np.arange(pmel.shape[1])[None, :]
-        pmm = (has_ref_host[:, None] > 0) | (frames < 4)
+        pmm = (has_ref_host[:, None] > 0) | (frames < self._noref_frames)
         seconds = max(
             float(np.clip(len(r["text"]) * self.seconds_per_char, 0.6, 30.0))
             for r in requests
@@ -1250,6 +1291,23 @@ def jax_engines(*, batch_tts: bool = False, batch_asr: bool = False,
 
             kwargs["tts_official"] = load_official_tts(root)
             log.info("loaded baked official CosyVoice triple from %s", root)
+        # voice-prompt CONDITIONING weights (est bake --ecapa; an optional
+        # trained FSQ tokenizer tree uses the same save_converted format).
+        # Without these, cloning conditioning runs on random init even when
+        # the main TTS weights are real — JaxCosyVoiceTts warns.
+        if (root / "ecapa" / "config.json").exists() and "tts_ecapa" not in kwargs:
+            from ..models import ecapa as ecm
+
+            kwargs["tts_ecapa"] = load_converted(root / "ecapa", ecm.EcapaConfig)
+            log.info("loaded baked ECAPA conditioning from %s", root / "ecapa")
+        if ((root / "speech_tokenizer" / "config.json").exists()
+                and "tts_speech_tokenizer" not in kwargs):
+            from ..models import speech_tokenizer as stm
+
+            kwargs["tts_speech_tokenizer"] = load_converted(
+                root / "speech_tokenizer", stm.SpeechTokenizerConfig)
+            log.info("loaded baked FSQ speech tokenizer from %s",
+                     root / "speech_tokenizer")
 
     shared_tok = kwargs.get("tokenizer")
     asr: Any = JaxWhisperAsr(
@@ -1266,7 +1324,9 @@ def jax_engines(*, batch_tts: bool = False, batch_asr: bool = False,
         kwargs.get("tts_cfg"), kwargs.get("tts_params"),
         kwargs.get("tts_tokenizer", shared_tok), quantize=quantize,
         mesh=_mesh("tts"), official=kwargs.get("tts_official"),
-        mtp=kwargs.get("tts_mtp", 0), spec=kwargs.get("tts_spec", False))
+        mtp=kwargs.get("tts_mtp", 0), spec=kwargs.get("tts_spec", False),
+        ecapa_weights=kwargs.get("tts_ecapa"),
+        speech_tokenizer_weights=kwargs.get("tts_speech_tokenizer"))
     if batch_tts:
         from ..serve.batching import BatchedTts
 

@@ -47,15 +47,21 @@ _APP_TO_WHISPER = {
 }
 
 
-def whisper_lang_token(app_code: str) -> int:
-    return WHISPER_LANG_TOKENS[_APP_TO_WHISPER[app_code]]
+def whisper_lang_token(code: str) -> int:
+    return WHISPER_LANG_TOKENS[_APP_TO_WHISPER.get(code, code)]
 
 
-def whisper_lang_index(app_code: str) -> int:
+def whisper_lang_index(code: str) -> int:
     """Position of the language inside whisper's 99-token language block —
     combine with ``cfg.lang_token_start`` so non-standard vocab layouts (tiny
-    parity-test models) resolve the right token."""
-    return _WHISPER_LANG_ORDER.index(_APP_TO_WHISPER[app_code])
+    parity-test models) resolve the right token.
+
+    Accepts an app code ("ukr") OR a whisper short code ("uk"): language
+    detection on audio outside the 19-language app table reports the whisper
+    short code (whisper_token_to_app's fallback), and the decode prompt must
+    keep using THAT language — round-tripping it through the app table used
+    to raise and silently fall back to an English prompt."""
+    return _WHISPER_LANG_ORDER.index(_APP_TO_WHISPER.get(code, code))
 
 
 def nllb_placeholder_lang_ids(vocab_size: int) -> dict[str, int]:

@@ -66,6 +66,55 @@ def test_jax_engines_picks_up_baked_weights(hf_whisper_dir, tmp_path, monkeypatc
     assert "text" in out and "words" in out
 
 
+def test_jax_engines_picks_up_baked_conditioning(tmp_path, monkeypatch):
+    """A baked ecapa/ tree must reach the TTS voice-prompt conditioning —
+    otherwise cloning silently runs on a random x-vector even when every
+    main model is loaded."""
+    import jax
+
+    from expressive_speech_translation_tpu.models import ecapa as ec
+    from expressive_speech_translation_tpu.models.common import host_init
+
+    cfg = ec.EcapaConfig(channels=32, bottleneck=16, attn_channels=16)
+    params = host_init(ec.init_ecapa, 7, cfg)
+    loaders.save_converted(params, cfg, tmp_path / "ecapa")
+    monkeypatch.setenv("EST_MODELS_DIR", str(tmp_path))
+    from expressive_speech_translation_tpu.pipeline.jax_engines import jax_engines
+
+    eng = jax_engines(scale="toy")
+    tts = eng.tts
+    assert tts.conditioning_weightless is False
+    assert tts._ecapa_cfg.channels == 32
+    # random main weights + loaded conditioning is fine (no cond=random tag);
+    # the tag is for the inverse quadrant
+    assert "cond=random" not in eng.decode_info()["tts"]
+
+
+def test_decode_info_flags_random_conditioning():
+    """Loaded main weights + random conditioning must be operator-visible."""
+    from expressive_speech_translation_tpu.models import cosyvoice as cv, qwen2 as q2m
+    from expressive_speech_translation_tpu.models.common import host_init
+    from expressive_speech_translation_tpu.pipeline.engines import (
+        Engines, FakeAsr, FakeNmt,
+    )
+    from expressive_speech_translation_tpu.pipeline.jax_engines import JaxCosyVoiceTts
+
+    cfg = cv.CosyVoiceConfig(
+        lm=cv.SpeechLMConfig(
+            backbone=q2m.Qwen2Config(hidden=32, layers=1, heads=4, kv_heads=2,
+                                     ffn_dim=64, max_positions=512),
+            text_vocab=128, speech_token_size=61),
+        flow=cv.FlowConfig(token_vocab=64, dim=32, layers=1, heads=4, n_steps=2),
+        vocoder=cv.VocoderConfig(base_channels=32, upsample_rates=(8, 6, 10),
+                                 upsample_kernels=(16, 12, 20)),
+    )
+    params = host_init(cv.init_cosyvoice, 2, cfg)   # "loaded" main weights
+    tts = JaxCosyVoiceTts(cfg, params, seconds_per_char=0.02)
+    assert tts.conditioning_weightless is True and tts.weightless is False
+    info = Engines(asr=FakeAsr(), nmt=FakeNmt(), tts=tts).decode_info()
+    assert "cond=random" in info["tts"]
+
+
 def test_bake_tts_llm(tmp_path):
     """--tts bakes the speech-LM (llm.pt, the Greek-SFT checkpoint); missing
     checkpoints fail with the actionable not-found error."""

@@ -557,6 +557,13 @@ def test_tts_engine_mtp_forced():
     chunks = list(tts.synthesize_streaming("stream with mtp heads"))
     assert len(chunks) >= 1 and all(np.isfinite(c).all() for c in chunks)
 
+    # forced mtp=1 is an EXPLICIT pin to single-token decode, honored even
+    # when the config/checkpoint is MTP-capable (0 = defer to the config)
+    cfg_m2 = dataclasses.replace(cfg, lm=dataclasses.replace(cfg.lm, mtp=2))
+    tts_pin = JaxCosyVoiceTts(cfg_m2, dtype=jnp.float32,
+                              seconds_per_char=0.02, mtp=1)
+    assert tts_pin.cfg.lm.mtp == 1
+
     # composition: MTP × weight-only int8 (quantize_speech_lm covers the
     # extra heads; dense() dispatches on kernel_q inside sample_k)
     tts_q = JaxCosyVoiceTts(cfg, dtype=jnp.float32, seconds_per_char=0.02,

@@ -429,3 +429,24 @@ def test_empty_translation_raises_for_loaded_weights():
         Engines(asr=FakeAsr(), nmt=EmptyNmtWeightless(), tts=FakeTts()))
     out = weightless.translate_speech(audio, "eng", "fra")  # must not raise
     assert "audio" in out
+
+
+def test_detected_whisper_short_code_keeps_its_language():
+    """Language detection on audio outside the 19-language app table reports
+    the whisper short code; the decode prompt must keep using THAT language
+    instead of silently falling back to an English prompt (the app-code
+    round-trip used to raise and substitute eng)."""
+    from expressive_speech_translation_tpu.pipeline.languages import (
+        whisper_lang_index, whisper_lang_token, whisper_token_to_app,
+    )
+
+    # "uk" (Ukrainian) is in the app table; "vi" (Vietnamese) is NOT
+    assert whisper_token_to_app(50278) in ("vi",)  # 50259 + 19 = vi
+    assert whisper_lang_index("vi") == 19
+    assert whisper_lang_token("vi") == 50278
+    # app codes still resolve
+    assert whisper_lang_index("ukr") == whisper_lang_index("uk")
+    # garbage still raises (the caller's except-fallback handles it)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        whisper_lang_index("xx")
