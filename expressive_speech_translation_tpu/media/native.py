@@ -199,6 +199,24 @@ class NativeVideoIO:
     def extract_audio(self, video_path: str) -> Tuple[np.ndarray, int]:
         return decode_audio(video_path, target_channels=1)
 
+    def frames(self, video_path: str, *, frame_step: int = 3,
+               max_frames: int = 1200) -> Tuple[np.ndarray, float]:
+        """Subsampled RGB frames for visual speech mapping → (frames,
+        EFFECTIVE fps = source_fps / frame_step).
+
+        Returns an EMPTY array when the cap truncates the clip: the visual
+        mapper derives the clip duration from len(frames)/fps, so a
+        truncated set would squeeze the dubbed audio into the first part of
+        the video — strictly worse than the natural-flow fallback.
+        """
+        fr, fps = decode_video(video_path, max_frames=max_frames,
+                               frame_step=frame_step)
+        if len(fr) >= max_frames:
+            log.info("frames(%s): clip longer than the %d-frame mapping cap; "
+                     "visual mapping skipped", video_path, max_frames)
+            return fr[:0], fps / frame_step
+        return fr, fps / frame_step
+
     def mux(self, video_path: str, audio: np.ndarray, sr: int, out_path: str) -> None:
         mux_audio_video(video_path, audio, sr, out_path)
 

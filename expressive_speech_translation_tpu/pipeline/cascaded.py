@@ -62,6 +62,10 @@ class CascadedBackend(TranslationBackend):
         silence = np.zeros(16_000, np.float32)
         try:
             self.engines.asr.transcribe(silence)
+            # warm ALL three stages (the reference warms the full chain):
+            # without this the first real request pays the NLLB compile
+            # in-request instead of at startup
+            self.engines.nmt.translate("Hello world.", "eng", "fra")
             self.engines.tts.synthesize("Hello world.", reference_audio_16k=silence)
         except Exception:  # noqa: BLE001 — warm-up failures are fatal at startup
             log.exception("backend warm-up failed")
@@ -122,6 +126,10 @@ class CascadedBackend(TranslationBackend):
         process_id = f"{time.time_ns():x}"[-8:]  # cascaded_backend.py:398
         if not self.is_language_supported(target_lang):
             raise ValidationError(f"Unsupported target language: {target_lang}")
+        if not self.is_language_supported(source_lang):
+            # a typo'd source would otherwise silently degrade to an
+            # English-prompted ASR + untagged NMT and return garbage with 200
+            raise ValidationError(f"Unsupported source language: {source_lang}")
 
         x = np.asarray(audio, np.float32).reshape(-1)
         timer = StageTimer(audio_seconds=len(x) / 16_000.0)
@@ -132,7 +140,6 @@ class CascadedBackend(TranslationBackend):
             asr = self.engines.asr.transcribe(x, language=source_lang)
         source_text = asr.get("text", "")
         words = asr.get("words", [])
-        pauses = self.extract_pauses(words)
 
         with timer.stage("nmt"):
             target_text = self.engines.nmt.translate(
@@ -143,12 +150,11 @@ class CascadedBackend(TranslationBackend):
         # (cascaded_backend.py:445-446) — but only when real weights are
         # loaded. Weightless structure mode keeps running (its garbage-in
         # state is already surfaced via weights_info in /health and
-        # responses). Unwrap serving micro-batchers the same way
-        # engines.weights_info does, and default to "don't hard-fail" for
-        # unknown engines (fakes, wrappers) so the check can only fire when
-        # an engine positively declares weightless=False.
-        nmt_inner = getattr(self.engines.nmt, "engine", self.engines.nmt)
-        if not target_text.strip() and getattr(nmt_inner, "weightless", True) is False:
+        # responses). The Batched* facades forward ``weightless`` from the
+        # inner engine, and unknown engines (fakes, wrappers) default to
+        # "don't hard-fail": the check only fires when an engine positively
+        # declares weightless=False.
+        if not target_text.strip() and getattr(self.engines.nmt, "weightless", True) is False:
             raise RuntimeError("Translation result was empty.")
 
         reference = (self.reference_audio_for_cloning(x)
@@ -172,7 +178,7 @@ class CascadedBackend(TranslationBackend):
             from ..ops.host_dsp import loudness_normalize_np
 
             out = self._apply_natural_temporal_mapping(
-                tts_audio, x, words, pauses,
+                tts_audio, x, words,
                 original_video_frames=original_video_frames, video_fps=video_fps,
             )
             out = loudness_normalize_np(out, TARGET_LUFS)
@@ -208,8 +214,7 @@ class CascadedBackend(TranslationBackend):
             text, NLLB_LANGUAGES.get(source_lang, source_lang),
             NLLB_LANGUAGES.get(target_lang, target_lang),
         )
-        nmt_inner = getattr(self.engines.nmt, "engine", self.engines.nmt)
-        if not target_text.strip() and getattr(nmt_inner, "weightless", True) is False:
+        if not target_text.strip() and getattr(self.engines.nmt, "weightless", True) is False:
             raise RuntimeError("Translation result was empty.")
         out: Dict[str, Any] = {"source_text": text, "target_text": target_text}
         if synthesize:
@@ -316,18 +321,25 @@ class CascadedBackend(TranslationBackend):
         translated: np.ndarray,
         source: np.ndarray,
         words: List[Dict[str, float]],
-        pauses: List[Dict[str, float]],
         *,
         original_video_frames: Optional[list] = None,
         video_fps: float = 25.0,
     ) -> np.ndarray:
         """Visual-guided mapping when video frames are available; natural-flow
-        fallback otherwise or on failure (cascaded_backend.py:220-339)."""
+        fallback otherwise or on failure (cascaded_backend.py:220-339).
+        Pause extraction rides inside timing_profile (>250 ms gaps) — there is
+        deliberately no second pause computation here."""
         if original_video_frames:
             try:
                 from .visual_speech_detector import VisualSpeechDetector
 
-                detector = self.visual_mapper.detector or VisualSpeechDetector(fps=video_fps)
+                # a preset detector is honored only when its frame clock
+                # matches THIS request's video — segment times scale with
+                # frame_skip/fps, so a 25 fps detector on 30 fps frames
+                # inflates every boundary by 1.2x
+                detector = self.visual_mapper.detector
+                if detector is None or getattr(detector, "fps", video_fps) != video_fps:
+                    detector = VisualSpeechDetector(fps=video_fps)
                 segments = detector.detect_speech_segments(original_video_frames)
                 if segments:
                     total = len(original_video_frames) / video_fps

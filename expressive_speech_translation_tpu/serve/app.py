@@ -78,7 +78,8 @@ class App:
         self.limiter = RateLimiter(self.config.serve.default_limits)
         self.video_processor = (
             VideoProcessor(video_io, temp_root=self.config.temp_dir,
-                           max_video_mb=self.config.audio.max_video_mb)
+                           max_video_mb=self.config.audio.max_video_mb,
+                           audio_processor=self.audio_processor)
             if video_io is not None else None
         )
         if url_fetcher is None:

@@ -450,3 +450,58 @@ def test_detected_whisper_short_code_keeps_its_language():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         whisper_lang_index("xx")
+
+
+def test_translate_speech_rejects_unknown_source_language():
+    """A typo'd source must 400 like a bad target does — not silently decode
+    with an English ASR prompt and untagged NMT."""
+    from expressive_speech_translation_tpu.core.errors import ValidationError
+    from expressive_speech_translation_tpu.pipeline.cascaded import CascadedBackend
+    from expressive_speech_translation_tpu.pipeline.engines import fake_engines
+
+    backend = CascadedBackend(fake_engines())
+    with pytest.raises(ValidationError, match="source language"):
+        backend.translate_speech(np.zeros(16000, np.float32), "fre", "deu")
+
+
+def test_visual_detector_rebuilt_on_fps_mismatch():
+    """A preset detector with the wrong frame clock must not scale segment
+    times: mapping with video_fps=30 may not reuse a 25 fps detector."""
+    from expressive_speech_translation_tpu.pipeline.cascaded import CascadedBackend
+    from expressive_speech_translation_tpu.pipeline.engines import fake_engines
+    from expressive_speech_translation_tpu.pipeline.visual_speech_detector import (
+        VisualSpeechDetector,
+    )
+
+    backend = CascadedBackend(fake_engines())
+    used = {}
+
+    class SpyDetector(VisualSpeechDetector):
+        def detect_speech_segments(self, frames):
+            used["fps"] = self.fps
+            return []
+
+    backend.visual_mapper.detector = SpyDetector(fps=25.0)
+    frames = [np.zeros((8, 8, 3), np.uint8)] * 12
+    backend._apply_natural_temporal_mapping(
+        np.zeros(1600, np.float32), np.zeros(16000, np.float32), [],
+        original_video_frames=frames, video_fps=30.0)
+    # mismatched preset replaced by a 30 fps detector (the spy never ran)
+    assert "fps" not in used
+    backend._apply_natural_temporal_mapping(
+        np.zeros(1600, np.float32), np.zeros(16000, np.float32), [],
+        original_video_frames=frames, video_fps=25.0)
+    assert used["fps"] == 25.0
+
+
+def test_initialize_warms_all_three_stages():
+    from expressive_speech_translation_tpu.pipeline.cascaded import CascadedBackend
+    from expressive_speech_translation_tpu.pipeline.engines import fake_engines
+
+    engines = fake_engines()
+    calls = []
+    orig = engines.nmt.translate
+    engines.nmt.translate = lambda *a, **k: (calls.append(a), orig(*a, **k))[1]
+    backend = CascadedBackend(engines)
+    backend.initialize()
+    assert calls, "warm-up never touched the NMT stage"

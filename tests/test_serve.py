@@ -515,3 +515,108 @@ def test_use_voice_cloning_flag_reaches_tts(client):
         assert resp.status_code == 200
         resp.get_data()  # drain the SSE stream so the pipeline runs
         assert calls and calls[0] is expect_ref, (flag, calls)
+
+
+def _sse_frames(resp):
+    return [json.loads(line[6:]) for line in
+            resp.get_data(as_text=True).split("\n\n") if line.startswith("data: ")]
+
+
+class Mp4VideoIO(FakeVideoIO):
+    """Writes outputs with a real ISO-BMFF header so the MP4 watermark
+    applies, and records the paths it was handed."""
+
+    def __init__(self):
+        self.mux_args = None
+
+    def mux(self, video_path, audio, sr, out_path):
+        self.mux_args = (video_path, out_path)
+        open(out_path, "wb").write(
+            b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00isomiso2" + bytes(2000))
+
+    lipsync = mux
+
+
+def test_process_video_watermarks_delivered_mp4(tmp_path):
+    """Provenance must ride the DELIVERED artifact: the base64 MP4 in the
+    final SSE frame carries the free-box payload and WaterMark.verify
+    accepts it (a watermark on a deleted temp WAV reaches no one)."""
+    from expressive_speech_translation_tpu.pipeline.watermark import WaterMark
+
+    app = create_app(video_io=Mp4VideoIO())
+    c = Client(app)
+    resp = c.post("/process-video", data={
+        "file": (io.BytesIO(b"fakevideo" * 100), "clip.mp4"),
+        "target_language": "fra",
+    })
+    frames = _sse_frames(resp)
+    final = frames[-1]
+    assert final["phase"] == "complete", final
+    out = tmp_path / "delivered.mp4"
+    out.write_bytes(base64.b64decode(final["result"]["video"]))
+    payload = WaterMark.extract_watermark_mp4(out)
+    assert payload and payload["req_id"] == final["result"]["request_id"]
+    assert WaterMark.verify(out)
+
+
+def test_process_video_upload_name_cannot_collide():
+    """An upload literally named output.mp4 (or dubbed.wav) must not be
+    read/written as a pipeline artifact."""
+    vio = Mp4VideoIO()
+    app = create_app(video_io=vio)
+    c = Client(app)
+    resp = c.post("/process-video", data={
+        "file": (io.BytesIO(b"fakevideo" * 100), "output.mp4"),
+        "target_language": "fra",
+    })
+    frames = _sse_frames(resp)
+    assert frames[-1]["phase"] == "complete", frames[-1]
+    src_path, out_path = vio.mux_args
+    assert src_path != out_path
+    assert "upload" in src_path
+
+
+def test_process_video_surfaces_validation_errors_in_stream():
+    """Client errors raised after the SSE stream is committed must carry the
+    user-safe message, not a generic failure frame."""
+    app = create_app(video_io=Mp4VideoIO())
+    c = Client(app)
+    resp = c.post("/process-video", data={
+        "file": (io.BytesIO(b"fakevideo" * 100), "clip.mp4"),
+        "target_language": "xxx",
+    })
+    frames = _sse_frames(resp)
+    assert "Unsupported target language" in frames[-1]["error"]
+
+
+def test_process_video_passes_frames_for_visual_mapping():
+    """A VideoIO exposing frames() routes them (plus the effective fps) into
+    translate_speech so the visual-guided temporal mapping can run."""
+    seen = {}
+
+    class FramesVideoIO(Mp4VideoIO):
+        def frames(self, video_path):
+            return np.zeros((10, 8, 8, 3), np.uint8), 12.5
+
+    class SpyBackend:
+        initialized = True
+        sample_rate = 16_000
+
+        def initialize(self):
+            pass
+
+        def is_language_supported(self, lang):
+            return True
+
+        def translate_speech(self, audio, s, t, **kw):
+            seen.update(kw)
+            return {"audio": np.zeros((1, 1600), np.float32),
+                    "transcripts": {}}
+
+    from expressive_speech_translation_tpu.serve.video import VideoProcessor
+
+    vp = VideoProcessor(FramesVideoIO())
+    out = list(vp.process_video(b"x" * 100, SpyBackend(), "eng", "fra"))
+    assert any("complete" in f for f in out)
+    assert len(seen["original_video_frames"]) == 10
+    assert seen["video_fps"] == 12.5
