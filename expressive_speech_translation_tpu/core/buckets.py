@@ -11,6 +11,16 @@ from __future__ import annotations
 from typing import Iterator, Sequence, Tuple
 
 
+BATCH_BUCKETS = (1, 2, 4, 8, 16)   # serving batch-size ladder (one compiled
+                                    # program per rung)
+
+
+def bucket_batch(n: int, buckets: Sequence[int] = BATCH_BUCKETS) -> int:
+    """Smallest batch bucket >= n (serve.batching re-exports this; the policy
+    lives here so pipeline code never imports from the HTTP layer)."""
+    return bucket_size(n, buckets)
+
+
 def bucket_size(n: int, buckets: Sequence[int]) -> int:
     """Smallest bucket ≥ n; keeps doubling above the top bucket."""
     for b in buckets:

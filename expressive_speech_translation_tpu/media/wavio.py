@@ -18,7 +18,13 @@ from ..core.errors import MediaError
 
 def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
     """→ (audio float32 [T] or [C, T], sample_rate)."""
-    data = Path(path).read_bytes()
+    return read_wav_bytes(Path(path).read_bytes(), label=str(path))
+
+
+def read_wav_bytes(data: bytes, *, label: str = "<bytes>") -> Tuple[np.ndarray, int]:
+    """In-memory decode — the serving hot path must not round-trip uploads
+    through a disk temp file just to parse them."""
+    path = label  # error messages below
     if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise MediaError(f"{path} is not a RIFF/WAVE file")
     pos, fmt, raw, fmt_body = 12, None, None, None
@@ -74,6 +80,12 @@ def write_wav(
 ) -> None:
     """audio: float32 [T] or [C, T] in [-1, 1] (PCM_16 default, matching the
     reference's soundfile PCM_16 writes, cascaded_backend.py:388)."""
+    Path(path).write_bytes(wav_bytes(audio, sr, bits=bits))
+
+
+def wav_bytes(audio: np.ndarray, sr: int, *, bits: int = 16) -> bytes:
+    """In-memory encode — every /translate response carries a base64 WAV,
+    which must not cost two disk passes per request."""
     x = np.asarray(audio, np.float32)
     if x.ndim == 2:
         x = x.T.reshape(-1)  # interleave channels
@@ -96,4 +108,4 @@ def write_wav(
         + b"fmt " + struct.pack("<IHHIIHH", 16, fmt_code, channels, sr, sr * block, block, bits)
         + b"data" + struct.pack("<I", len(raw))
     )
-    Path(path).write_bytes(header + raw)
+    return header + raw

@@ -506,7 +506,7 @@ class JaxWhisperAsr:
         """
         if not requests:
             return []
-        from ..serve.batching import bucket_batch
+        from ..core.buckets import bucket_batch
 
         chunk = 16_000 * self.context_buckets[-1]
         langs = [r.get("language") for r in requests]
@@ -698,7 +698,7 @@ class JaxNllbNmt:
             for lo, hi in row_slices(len(requests), 16):
                 out.extend(self.translate_batch(requests[lo:hi]))
             return out
-        from ..serve.batching import bucket_batch
+        from ..core.buckets import bucket_batch
 
         results: List[Optional[str]] = [None] * len(requests)
         by_target: Dict[int, List[int]] = {}
@@ -1128,7 +1128,7 @@ class JaxCosyVoiceTts:
             for lo, hi in row_slices(n, 16):
                 outs.extend(self.synthesize_batch(requests[lo:hi]))
             return outs
-        from ..serve.batching import bucket_batch
+        from ..core.buckets import bucket_batch
 
         nb = bucket_batch(n)
         # text packing: pure numpy (shared bucket width across the batch)

@@ -20,9 +20,9 @@ from __future__ import annotations
 
 import atexit
 import base64
-import io
 import json
 import logging
+import os
 import signal
 import sys
 import time
@@ -37,7 +37,7 @@ from werkzeug.wrappers import Request, Response
 
 from ..core.config import AppConfig
 from ..core.errors import ESTError, ValidationError, error_id
-from ..media.wavio import read_wav, write_wav
+from ..media.wavio import read_wav_bytes
 from ..obs.logging_setup import new_request_id, setup_logging
 from ..pipeline.audio_processor import AudioProcessor
 from ..pipeline.backend import TranslationManager
@@ -54,11 +54,11 @@ def _json(payload: Dict[str, Any], status: int = 200) -> Response:
 
 
 def _wav_bytes(audio: np.ndarray, sr: int = 16_000) -> bytes:
-    import tempfile
+    # in-memory encode: every /translate response carries a base64 WAV —
+    # no disk round-trip on the serving hot path
+    from ..media.wavio import wav_bytes
 
-    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-        write_wav(f.name, audio, sr)
-        return Path(f.name).read_bytes()
+    return wav_bytes(audio, sr)
 
 
 class App:
@@ -117,6 +117,13 @@ class App:
             "process_audio_url": (self.config.serve.audio_url_limit,),
             "upload_podcast": (self.config.serve.podcast_limit,),
         }
+        # exempt from the DEFAULT limits (100/hour would 429 a k8s liveness
+        # probe after ~17 min, an SPA status poll after ~50 min, and static
+        # assets after a few dozen page loads); the expensive routes above
+        # keep their explicit budgets
+        self._unlimited_endpoints = frozenset({
+            "health_model", "service_status", "auth_config", "static", "index",
+        })
 
     # ------------------------------------------------------------------ WSGI
 
@@ -151,14 +158,16 @@ class App:
             if not (ct.startswith("multipart/form-data") or ct.startswith("application/json")):
                 raise ValidationError("Content-Type must be multipart/form-data or application/json")
 
-        limits = self._route_limits.get(endpoint, ())
         # Flask-Limiter semantics: limit counters are scoped per (client,
         # route) — static-asset and status-poll hits must not consume the
-        # translate budget
-        ok, rule = self.limiter.check(
-            f"{request.remote_addr or 'anon'}|{endpoint}", limits)
-        if not ok:
-            return _json({"error": f"Rate limit exceeded ({rule})"}, 429)
+        # translate budget — and health/status/static skip even the default
+        # limits (liveness probes and SPA polling must never 429)
+        if endpoint not in self._unlimited_endpoints:
+            limits = self._route_limits.get(endpoint, ())
+            ok, rule = self.limiter.check(
+                f"{request.remote_addr or 'anon'}|{endpoint}", limits)
+            if not ok:
+                return _json({"error": f"Rate limit exceeded ({rule})"}, 429)
 
         return getattr(self, f"route_{endpoint}")(request, **args)
 
@@ -193,11 +202,7 @@ class App:
             raise ValidationError(
                 f"Upload exceeds {self.config.audio.max_audio_upload_mb:g} MB")
         if suffix == ".wav":
-            import tempfile
-
-            with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-                Path(f.name).write_bytes(raw)
-                audio, sr = read_wav(f.name)
+            audio, sr = read_wav_bytes(raw, label=file.filename)
         else:
             from ..media import decode_audio_bytes
 
@@ -213,8 +218,11 @@ class App:
 
     def route_static(self, request: Request, filename: str) -> Response:
         # frontend SPA (serve/static — rebuild of Frontend/src, SURVEY.md §2.17)
+        # containment must compare against "<dir>/": a bare startswith would
+        # also accept any SIBLING whose name starts with "static"
         path = (self._STATIC_DIR / filename).resolve()
-        if not str(path).startswith(str(self._STATIC_DIR.resolve())) or not path.is_file():
+        root = str(self._STATIC_DIR.resolve())
+        if not str(path).startswith(root + os.sep) or not path.is_file():
             raise NotFound()
         mime = self._STATIC_TYPES.get(path.suffix, "application/octet-stream")
         return Response(path.read_bytes(), mimetype=mime)
@@ -228,10 +236,8 @@ class App:
         backend_name = request.form.get("backend")
         audio, sr, _, _ = self._read_upload(request)
 
-        duration = np.asarray(audio).reshape(-1).shape[0] / max(sr, 1)
-        if np.asarray(audio).ndim == 2:
-            duration /= np.asarray(audio).shape[0] * 0 + 1  # [C,T]: same T per channel
-            duration = np.asarray(audio).shape[-1] / max(sr, 1)
+        # [T] or [C, T]: duration is the last axis either way
+        duration = np.asarray(audio).shape[-1] / max(sr, 1)
         self.audio_processor.validate_audio_length(duration)
 
         processed = self.audio_processor.process_audio(audio, orig_sr=sr)
@@ -294,6 +300,14 @@ class App:
         if self.video_processor is None:
             raise ESTError("video processing unavailable: no media backend",
                            user_message="Video processing is not available")
+        # byte-size gate BEFORE the multipart parse buffers the body —
+        # request.files would spool a multi-GB body to disk and file.read()
+        # would load it into RAM before VideoProcessor's own check runs
+        cap = self.video_processor.max_video_mb * 1e6
+        if (request.content_length or 0) > cap + 1e6:   # +1 MB form overhead
+            raise ValidationError(
+                f"Video too large ({(request.content_length or 0)/1e6:.1f} MB "
+                f"> {self.video_processor.max_video_mb:.1f} MB)")
         file = request.files.get("file") or request.files.get("video")
         if file is None:
             raise ValidationError("No video file provided")
@@ -329,7 +343,8 @@ class App:
         synth = str(data.get("synthesize",
                              request.form.get("synthesize", ""))).lower() in (
             "1", "true", "yes")
-        backend = self.manager.get_backend(data.get("backend"))
+        backend = self.manager.get_backend(
+            data.get("backend") or request.form.get("backend"))
         if not hasattr(backend, "translate_text"):
             raise ValidationError(
                 f"backend {type(backend).__name__} has no text mode")
@@ -539,13 +554,21 @@ def main() -> None:
 
         # lazy: building the MuseTalk pipeline (weightless = full SD-scale
         # random init) must not block startup when /process-video is unused;
-        # first video request pays the one-time construction instead
+        # first video request pays the one-time construction instead. The
+        # lock matters: run_simple(threaded=True) serves concurrent requests,
+        # and an unguarded check-then-build would construct the SD-scale
+        # pipeline twice (doubled peak memory + a leaked copy)
+        import threading
+
         _lipsync_cell: list = []
+        _lipsync_lock = threading.Lock()
 
         def _lazy_lipsync(frames, fps, audio, sr):
-            if not _lipsync_cell:
-                _lipsync_cell.append(default_lipsync_fn())
-            return _lipsync_cell[0](frames, fps, audio, sr)
+            with _lipsync_lock:
+                if not _lipsync_cell:
+                    _lipsync_cell.append(default_lipsync_fn())
+                fn = _lipsync_cell[0]
+            return fn(frames, fps, audio, sr)
 
         video_io = est_media.NativeVideoIO(lipsync_fn=_lazy_lipsync)
     else:

@@ -24,15 +24,10 @@ from typing import Any, Callable, List, Optional, Sequence
 log = logging.getLogger(__name__)
 
 
-def bucket_batch(n: int, buckets: Sequence[int] = (1, 2, 4, 8, 16)) -> int:
-    """Smallest bucket ≥ n (callers pad to this so XLA sees few shapes);
-    doubles above the top bucket (never returns < n — shared policy,
-    core/buckets.py). Callers that can receive unbounded bursts should
-    split rows with :func:`core.buckets.row_slices` first so one dispatch
-    never allocates an arbitrarily large device batch."""
-    from ..core.buckets import bucket_size
-
-    return bucket_size(n, buckets)
+# Re-export: the batch-bucket policy lives in core.buckets (pipeline code
+# imports it from there so the model layer never depends on the HTTP layer);
+# this name is kept for serve-side callers/tests.
+from ..core.buckets import bucket_batch  # noqa: F401
 
 
 class MicroBatcher:
@@ -137,35 +132,34 @@ class MicroBatcher:
                     f.set_result(r)
 
 
-class BatchedTts:
-    """TtsEngine facade over a batch-capable engine + MicroBatcher.
+class _BatchedEngine:
+    """Shared facade machinery for the Batched* wrappers: constructor check,
+    MicroBatcher wiring, weightless/stats forwarding, shutdown, and the
+    streaming-bypass contract.
 
-    Drop-in for any single-request call site (``synthesize``) while coalescing
-    concurrent callers into ``engine.synthesize_batch`` dispatches. Streaming
-    requests bypass batching (they own the device interactively).
-    """
+    Streaming methods (``_STREAM_ATTRS``) bypass the batcher — they own the
+    device interactively — and are resolved through ``__getattr__`` so they
+    exist on the facade ONLY when the inner engine has them: ``hasattr``
+    gates on the wrapper stay honest (a class-level forwarder would make
+    hasattr always-True and push every caller into an unreachable-fallback
+    trap)."""
 
-    def __init__(self, engine: Any, *, max_batch: int = 8, max_wait_ms: float = 20.0):
-        if not hasattr(engine, "synthesize_batch"):
-            raise TypeError("engine must expose synthesize_batch(requests)")
+    _BATCH_ATTR = ""                       # e.g. "synthesize_batch"
+    _STREAM_ATTRS: tuple = ()
+    _NAME = "microbatch"
+
+    def __init__(self, engine: Any, *, max_batch: int, max_wait_ms: float):
+        run = getattr(engine, self._BATCH_ATTR, None)
+        if run is None:
+            raise TypeError(f"engine must expose {self._BATCH_ATTR}(requests)")
         self.engine = engine
-        self.sample_rate = getattr(engine, "sample_rate", 24_000)
         self._mb = MicroBatcher(
-            engine.synthesize_batch, max_batch=max_batch,
-            max_wait_ms=max_wait_ms, name="tts-microbatch",
-        )
+            run, max_batch=max_batch, max_wait_ms=max_wait_ms, name=self._NAME)
 
-    def synthesize(self, text: str, *, style_prompt: str = "",
-                   reference_audio_16k: Any = None, language: str = "en"):
-        return self._mb({
-            "text": text, "style_prompt": style_prompt,
-            "reference_audio_16k": reference_audio_16k, "language": language,
-        })
-
-    def synthesize_streaming(self, *args, **kwargs):
-        if not hasattr(self.engine, "synthesize_streaming"):
-            raise AttributeError("wrapped engine has no synthesize_streaming")
-        return self.engine.synthesize_streaming(*args, **kwargs)
+    def __getattr__(self, name: str):
+        if name in self._STREAM_ATTRS:
+            return getattr(self.engine, name)   # AttributeError when absent
+        raise AttributeError(name)
 
     @property
     def weightless(self):
@@ -182,66 +176,54 @@ class BatchedTts:
         self._mb.shutdown()
 
 
-class BatchedAsr:
+class BatchedTts(_BatchedEngine):
+    """TtsEngine facade over a batch-capable engine + MicroBatcher.
+
+    Drop-in for any single-request call site (``synthesize``) while coalescing
+    concurrent callers into ``engine.synthesize_batch`` dispatches. Streaming
+    requests bypass batching (they own the device interactively).
+    """
+
+    _BATCH_ATTR = "synthesize_batch"
+    _STREAM_ATTRS = ("synthesize_streaming",)
+    _NAME = "tts-microbatch"
+
+    def __init__(self, engine: Any, *, max_batch: int = 8, max_wait_ms: float = 20.0):
+        super().__init__(engine, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        self.sample_rate = getattr(engine, "sample_rate", 24_000)
+
+    def synthesize(self, text: str, *, style_prompt: str = "",
+                   reference_audio_16k: Any = None, language: str = "en"):
+        return self._mb({
+            "text": text, "style_prompt": style_prompt,
+            "reference_audio_16k": reference_audio_16k, "language": language,
+        })
+
+
+class BatchedAsr(_BatchedEngine):
     """AsrEngine facade over a batch-capable engine + MicroBatcher
     (counterpart of :class:`BatchedTts` for ``transcribe``)."""
 
+    _BATCH_ATTR = "transcribe_batch"
+    _STREAM_ATTRS = ("transcribe_streaming",)
+    _NAME = "asr-microbatch"
+
     def __init__(self, engine: Any, *, max_batch: int = 8, max_wait_ms: float = 20.0):
-        if not hasattr(engine, "transcribe_batch"):
-            raise TypeError("engine must expose transcribe_batch(requests)")
-        self.engine = engine
-        self._mb = MicroBatcher(
-            engine.transcribe_batch, max_batch=max_batch,
-            max_wait_ms=max_wait_ms, name="asr-microbatch",
-        )
+        super().__init__(engine, max_batch=max_batch, max_wait_ms=max_wait_ms)
 
     def transcribe(self, audio_16k: Any, language: Optional[str] = None):
         return self._mb({"audio_16k": audio_16k, "language": language})
 
-    def transcribe_streaming(self, *args, **kwargs):
-        # per-window streaming is latency-oriented: it bypasses the batcher
-        # and rides the wrapped engine directly (same pattern as BatchedTts.
-        # synthesize_streaming); raises AttributeError when the inner engine
-        # has no streaming path so callers' hasattr gates stay honest
-        if not hasattr(self.engine, "transcribe_streaming"):
-            raise AttributeError("wrapped engine has no transcribe_streaming")
-        return self.engine.transcribe_streaming(*args, **kwargs)
 
-    @property
-    def weightless(self):
-        return getattr(self.engine, "weightless", None)
-
-    @property
-    def stats(self) -> dict:
-        return {"items": self._mb.n_items, "batches": self._mb.n_batches}
-
-    def shutdown(self):
-        self._mb.shutdown()
-
-
-class BatchedNmt:
+class BatchedNmt(_BatchedEngine):
     """NmtEngine facade over a batch-capable engine + MicroBatcher."""
 
+    _BATCH_ATTR = "translate_batch"
+    _NAME = "nmt-microbatch"
+
     def __init__(self, engine: Any, *, max_batch: int = 16, max_wait_ms: float = 10.0):
-        if not hasattr(engine, "translate_batch"):
-            raise TypeError("engine must expose translate_batch(requests)")
-        self.engine = engine
-        self._mb = MicroBatcher(
-            engine.translate_batch, max_batch=max_batch,
-            max_wait_ms=max_wait_ms, name="nmt-microbatch",
-        )
+        super().__init__(engine, max_batch=max_batch, max_wait_ms=max_wait_ms)
 
     def translate(self, text: str, source_lang: str, target_lang: str) -> str:
         return self._mb({"text": text, "source_lang": source_lang,
                          "target_lang": target_lang})
-
-    @property
-    def weightless(self):
-        return getattr(self.engine, "weightless", None)
-
-    @property
-    def stats(self) -> dict:
-        return {"items": self._mb.n_items, "batches": self._mb.n_batches}
-
-    def shutdown(self):
-        self._mb.shutdown()

@@ -620,3 +620,80 @@ def test_process_video_passes_frames_for_visual_mapping():
     assert any("complete" in f for f in out)
     assert len(seen["original_video_frames"]) == 10
     assert seen["video_fps"] == 12.5
+
+
+def test_health_and_static_exempt_from_default_limits():
+    """Liveness probes / SPA polls / asset loads must never 429 (the default
+    100-per-hour budget only guards real work routes)."""
+    cfg = load_config(env={}, **{"serve.default_limits": ["2 per hour"]})
+    app = create_app(config=cfg, video_io=FakeVideoIO())
+    c = Client(app)
+    for _ in range(10):
+        assert c.get("/translation-service-status").status_code == 200
+        assert c.get("/auth-config").status_code == 200
+        assert c.get("/health/model").status_code in (200, 503)  # never 429
+    # real work routes still consume the default budget
+    for _ in range(2):
+        c.post("/translate-text", json={"text": "hi", "target_language": "fra"})
+    r = c.post("/translate-text", json={"text": "hi", "target_language": "fra"})
+    assert r.status_code == 429
+
+
+def test_process_video_content_length_gate():
+    """A huge declared body is refused before the multipart parse buffers it."""
+    from expressive_speech_translation_tpu.core.errors import ValidationError
+    from werkzeug.test import EnvironBuilder
+    from werkzeug.wrappers import Request
+
+    cfg = load_config(env={}, **{"audio.max_video_mb": 1.0})
+    app = create_app(config=cfg, video_io=FakeVideoIO())
+    env = EnvironBuilder(
+        method="POST", path="/process-video",
+        content_type="multipart/form-data; boundary=x").get_environ()
+    # a client-declared 50 MB body (the test client would recompute the
+    # header from a real body; the gate reads the declared length)
+    env["CONTENT_LENGTH"] = str(50 * 1024 * 1024)
+    with pytest.raises(ValidationError, match="too large"):
+        app.dispatch(Request(env))
+
+
+def test_batched_facades_hasattr_honesty():
+    """hasattr on a Batched* wrapper must reflect the INNER engine's
+    streaming capability (a class-level forwarder would trap every caller's
+    fallback path)."""
+    from expressive_speech_translation_tpu.serve.batching import BatchedAsr, BatchedTts
+
+    class PlainAsr:
+        def transcribe_batch(self, reqs):
+            return [{"text": ""} for _ in reqs]
+
+    class StreamingAsr(PlainAsr):
+        def transcribe_streaming(self, audio, language=None):
+            yield {"text": "seg"}
+
+    plain = BatchedAsr(PlainAsr())
+    assert not hasattr(plain, "transcribe_streaming")
+    streaming = BatchedAsr(StreamingAsr())
+    assert hasattr(streaming, "transcribe_streaming")
+    assert list(streaming.transcribe_streaming(None))[0]["text"] == "seg"
+    plain.shutdown(); streaming.shutdown()
+
+    class PlainTts:
+        def synthesize_batch(self, reqs):
+            return [np.zeros(10, np.float32) for _ in reqs]
+
+    t = BatchedTts(PlainTts())
+    assert not hasattr(t, "synthesize_streaming")
+    t.shutdown()
+
+
+def test_wav_bytes_roundtrip_in_memory():
+    from expressive_speech_translation_tpu.media.wavio import (
+        read_wav_bytes, wav_bytes,
+    )
+
+    x = (0.5 * np.sin(np.arange(1600) * 0.1)).astype(np.float32)
+    data = wav_bytes(x, 16000)
+    y, sr = read_wav_bytes(data)
+    assert sr == 16000 and len(y) == len(x)
+    np.testing.assert_allclose(y, x, atol=1e-4)
