@@ -36,6 +36,13 @@ class BeamConfig:
     # With auto-built decoder inputs (start token only; forced BOS counts as
     # generated) this is 1.
     decoder_prompt_len: int = 1
+    # HF MinNewTokensLengthLogitsProcessor parity: EOS is banned while the
+    # token being produced (sequence index pos+1) is < decoder_prompt_len +
+    # min_new_tokens. The ban lives HERE (post-log_softmax in beam search,
+    # where HF's processors run) — banning on raw logits pre-softmax would
+    # renormalize each beam by a different amount and shift cross-beam
+    # ranking away from HF. Greedy argmax is renormalization-invariant.
+    min_new_tokens: int = 0
 
 
 def greedy_search(step_fn: StepFn, prompt: jnp.ndarray, cache, beam_state, cfg: BeamConfig) -> jnp.ndarray:
@@ -53,6 +60,10 @@ def greedy_search(step_fn: StepFn, prompt: jnp.ndarray, cache, beam_state, cfg: 
         pos, tokens, cache, done = state
         tok = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))[:, 0]
         logits, cache = step_fn(tok, pos, cache, beam_state)
+        if cfg.min_new_tokens:
+            logits = jnp.where(
+                pos + 1 < cfg.decoder_prompt_len + cfg.min_new_tokens,
+                logits.at[:, cfg.eos_token].set(NEG_INF), logits)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         in_prompt = pos + 1 < p_len
         cur = jax.lax.dynamic_slice(tokens, (0, jnp.minimum(pos + 1, total - 1)), (b, 1))[:, 0]
@@ -111,6 +122,11 @@ def beam_search(step_fn: StepFn, prompt: jnp.ndarray, cache, beam_state, cfg: Be
         tok = jax.lax.dynamic_slice(tokens, (0, 0, pos), (b, k, 1)).reshape(b * k)
         logits, cache = step_fn(tok, pos, cache, beam_state)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(b, k, -1)
+        if cfg.min_new_tokens:
+            # post-softmax like HF's processor chain: no renormalization
+            logp = jnp.where(
+                pos + 1 < cfg.decoder_prompt_len + cfg.min_new_tokens,
+                logp.at[:, :, cfg.eos_token].set(NEG_INF), logp)
         vocab = logp.shape[-1]
 
         in_prompt = pos + 1 < p_len

@@ -225,6 +225,38 @@ def mha_step(
     return dense(p["o"], _merge_heads(out)), cache_k, cache_v
 
 
+# ------------------------------------------------------- shared decoder plumbing
+
+
+def init_pre_ln_block(key, attn_cfg: "AttnConfig", d_model: int, ffn_dim: int,
+                      *, cross: bool) -> Params:
+    """Pre-LN encoder/decoder block param tree shared by whisper and NLLB
+    (their _init_block copies drifted in nothing but the config type)."""
+    ks = jax.random.split(key, 3)
+    p: Params = {
+        "self_attn": init_attention(ks[0], attn_cfg),
+        "self_attn_ln": init_layer_norm(d_model),
+        "mlp": init_mlp(ks[1], d_model, ffn_dim),
+        "mlp_ln": init_layer_norm(d_model),
+    }
+    if cross:
+        p["cross_attn"] = init_attention(ks[2], attn_cfg)
+        p["cross_attn_ln"] = init_layer_norm(d_model)
+    return p
+
+
+def precompute_layer_cross_kv(layers, attn_cfg: "AttnConfig", enc_out: jnp.ndarray):
+    """Per-layer encoder K/V for cross-attention (computed once per utterance)."""
+    return [attention_kv(b["cross_attn"], attn_cfg, enc_out) for b in layers]
+
+
+def init_decoder_kv_cache(n_layers: int, batch: int, max_len: int, heads: int,
+                          head_dim: int, dtype=jnp.float32):
+    shape = (batch, max_len, heads, head_dim)
+    return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+            for _ in range(n_layers)]
+
+
 # ------------------------------------------------------------------------- mlp
 
 

@@ -95,17 +95,9 @@ def position_ids_from_tokens(tokens: jnp.ndarray, pad_token: int) -> jnp.ndarray
 
 
 def _init_block(key, cfg: NLLBConfig, *, cross: bool) -> Params:
-    ks = jax.random.split(key, 3)
-    p = {
-        "self_attn": init_attention(ks[0], cfg.attn),
-        "self_attn_ln": init_layer_norm(cfg.d_model),
-        "mlp": init_mlp(ks[1], cfg.d_model, cfg.ffn_dim),
-        "mlp_ln": init_layer_norm(cfg.d_model),
-    }
-    if cross:
-        p["cross_attn"] = init_attention(ks[2], cfg.attn)
-        p["cross_attn_ln"] = init_layer_norm(cfg.d_model)
-    return p
+    from .common import init_pre_ln_block
+
+    return init_pre_ln_block(key, cfg.attn, cfg.d_model, cfg.ffn_dim, cross=cross)
 
 
 def init_nllb(key, cfg: NLLBConfig) -> Params:
@@ -133,6 +125,15 @@ def init_nllb(key, cfg: NLLBConfig) -> Params:
 
 def encode(params: Params, cfg: NLLBConfig, tokens: jnp.ndarray) -> jnp.ndarray:
     """tokens [B, T] (pad = cfg.pad_token) → encoder states [B, T, D]."""
+    # same silent-clamp hazard generate() guards on the decoder side: a
+    # source longer than the sinusoid table would reuse the last row for the
+    # tail instead of erroring like HF
+    max_pos_id = tokens.shape[1] + cfg.pad_token
+    if max_pos_id >= params["pos"].shape[0]:
+        raise ValueError(
+            f"source length {tokens.shape[1]} needs position id {max_pos_id} "
+            f"but the position table has {params['pos'].shape[0]} rows "
+            f"(max_positions={cfg.max_positions})")
     scale = float(np.sqrt(cfg.d_model))
     pos_ids = position_ids_from_tokens(tokens, cfg.pad_token)
     x = params["embed"][tokens] * scale + params["pos"][pos_ids]
@@ -149,18 +150,16 @@ def encode(params: Params, cfg: NLLBConfig, tokens: jnp.ndarray) -> jnp.ndarray:
 
 
 def precompute_cross_kv(params: Params, cfg: NLLBConfig, enc_out: jnp.ndarray):
-    return [
-        attention_kv(block["cross_attn"], cfg.attn, enc_out)
-        for block in params["decoder"]["layers"]
-    ]
+    from .common import precompute_layer_cross_kv
+
+    return precompute_layer_cross_kv(params["decoder"]["layers"], cfg.attn, enc_out)
 
 
 def init_kv_cache(cfg: NLLBConfig, batch: int, max_len: int, dtype=jnp.float32):
-    shape = (batch, max_len, cfg.heads, cfg.d_model // cfg.heads)
-    return [
-        {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
-        for _ in range(cfg.decoder_layers)
-    ]
+    from .common import init_decoder_kv_cache
+
+    return init_decoder_kv_cache(cfg.decoder_layers, batch, max_len, cfg.heads,
+                                 cfg.d_model // cfg.heads, dtype)
 
 
 def decode_step(
@@ -242,10 +241,12 @@ def generate(
     # HF parity: the forced BOS counts as a *generated* token, so the horizon
     # is decoder_prompt_len (1) + max_new_tokens — not prompt_len + max_new.
     max_len = 1 + max_new_tokens
-    # The sinusoid table has max_positions+2 rows; decode_step reads row
-    # pos+1+pad_token for pos up to max_len-1.  JAX clamps out-of-range
-    # gathers, which would silently repeat the last row where HF raises.
-    max_pos_id = (max_len - 1) + 1 + cfg.pad_token
+    # The sinusoid table has max_positions+2 rows; the decode loops stop at
+    # pos = max_len-2 (cond: pos < max_len-1) and decode_step reads row
+    # pos+1+pad_token, so the largest id read is (max_len-2)+1+pad.  JAX
+    # clamps out-of-range gathers, which would silently repeat the last row
+    # where HF raises.
+    max_pos_id = (max_len - 2) + 1 + cfg.pad_token
     if max_pos_id >= params["pos"].shape[0]:
         raise ValueError(
             f"max_new_tokens={max_new_tokens} needs position id {max_pos_id} "
@@ -265,25 +266,19 @@ def generate(
 
     def step_fn(token, pos, cache, beam_state):
         cross, pad_mask = beam_state
-        logits, cache = decode_step(params, cfg, token, pos, cache, cross, pad_mask)
-        if min_new_tokens:
-            # HF MinNewTokensLengthLogitsProcessor parity: the processor skips
-            # only the 1-token decoder prompt (the forced BOS counts as
-            # generated), so EOS is banned while the token being produced
-            # (sequence index pos+1) is <= min_new_tokens.
-            logits = jnp.where(
-                pos + 1 < 1 + min_new_tokens,
-                logits.at[:, cfg.eos_token].set(jnp.finfo(logits.dtype).min),
-                logits,
-            )
-        return logits, cache
+        return decode_step(params, cfg, token, pos, cache, cross, pad_mask)
 
+    # min_new_tokens rides BeamConfig: HF's MinNewTokensLengthLogitsProcessor
+    # runs on the log-softmaxed scores in beam search, so banning EOS on raw
+    # logits here would renormalize each beam by a different amount and shift
+    # cross-beam ranking away from HF (greedy is argmax-invariant either way).
     bc = BeamConfig(
         eos_token=cfg.eos_token,
         pad_token=cfg.pad_token,
         max_len=max_len,
         num_beams=num_beams,
         length_penalty=length_penalty,
+        min_new_tokens=min_new_tokens,
     )
     if num_beams <= 1:
         cache = init_kv_cache(cfg, src_tokens.shape[0], max_len, enc_out.dtype)

@@ -97,17 +97,9 @@ class WhisperConfig:
 
 
 def _init_block(key, cfg: WhisperConfig, *, cross: bool) -> Params:
-    ks = jax.random.split(key, 3)
-    p = {
-        "self_attn": init_attention(ks[0], cfg.attn),
-        "self_attn_ln": init_layer_norm(cfg.d_model),
-        "mlp": init_mlp(ks[1], cfg.d_model, cfg.ffn_dim),
-        "mlp_ln": init_layer_norm(cfg.d_model),
-    }
-    if cross:
-        p["cross_attn"] = init_attention(ks[2], cfg.attn)
-        p["cross_attn_ln"] = init_layer_norm(cfg.d_model)
-    return p
+    from .common import init_pre_ln_block
+
+    return init_pre_ln_block(key, cfg.attn, cfg.d_model, cfg.ffn_dim, cross=cross)
 
 
 def init_whisper(key, cfg: WhisperConfig) -> Params:
@@ -178,11 +170,9 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
 
 
 def precompute_cross_kv(params: Params, cfg: WhisperConfig, enc_out: jnp.ndarray):
-    """Per-layer encoder K/V for cross-attention (computed once per utterance)."""
-    return [
-        attention_kv(block["cross_attn"], cfg.attn, enc_out)
-        for block in params["decoder"]["layers"]
-    ]
+    from .common import precompute_layer_cross_kv
+
+    return precompute_layer_cross_kv(params["decoder"]["layers"], cfg.attn, enc_out)
 
 
 def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
@@ -190,12 +180,11 @@ def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
     """Cache sized to the decode budget (prompt + max_new), not the model's
     448-position ceiling: every step reads the whole (masked) cache, so a 68-
     row cache cuts that read 6.6x for typical serving budgets."""
-    shape = (batch, max_len or cfg.max_target_positions,
-             cfg.heads, cfg.d_model // cfg.heads)
-    return [
-        {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
-        for _ in range(cfg.decoder_layers)
-    ]
+    from .common import init_decoder_kv_cache
+
+    return init_decoder_kv_cache(cfg.decoder_layers, batch,
+                                 max_len or cfg.max_target_positions,
+                                 cfg.heads, cfg.d_model // cfg.heads, dtype)
 
 
 def _decode_step_impl(
@@ -330,7 +319,15 @@ def decode_with_alignment(
     cross_kv = precompute_cross_kv(params, cfg, enc_out)
     t_enc = enc_out.shape[1]
     temp = jnp.asarray(0.0 if temperature is None else temperature, jnp.float32)
-    key = key if key is not None else jax.random.PRNGKey(0)
+    if key is None:
+        if isinstance(temperature, (int, float)) and (temperature or 0) > 0:
+            # a silent fixed-key fallback would make every fallback-ladder
+            # rung redraw the SAME Gumbel noise — "sampling" that
+            # deterministically repeats the rejected transcript
+            raise ValueError(
+                "temperature > 0 sampling needs an explicit PRNG key "
+                "(fold a request counter into a base key per call)")
+        key = jax.random.PRNGKey(0)  # greedy path: the key is never consumed
 
     total = p_len + max_new_tokens
     kv_cache = init_kv_cache(cfg, b, dtype=enc_out.dtype, max_len=total)
@@ -590,36 +587,23 @@ def greedy_decode(
 
     total = p_len + max_new_tokens
     kv_cache = init_kv_cache(cfg, b, dtype=enc_out.dtype, max_len=total)
-    tokens0 = jnp.full((b, total), cfg.eos_token, jnp.int32)
-    tokens0 = jax.lax.dynamic_update_slice(tokens0, prompt.astype(jnp.int32), (0, 0))
 
-    def cond(state):
-        pos, tokens, cache, done = state
-        return (pos < total - 1) & ~jnp.all(done)
+    # Drive beam.greedy_search instead of a forked loop copy — the plain and
+    # alignment decode steps drifted once before (_decode_step_impl history);
+    # the search loop must not repeat that. decoder_prompt_len=p_len gives
+    # the whisper min_new_tokens convention (count from the prompt's end);
+    # pad_token=eos reproduces the EOS-padded output contract. An eos_token
+    # outside a tiny test vocab makes the ban a silent no-op (out-of-range
+    # scatter), which is also what the forked copy's clamp amounted to.
+    from .beam import BeamConfig, greedy_search
 
-    def body(state):
-        pos, tokens, cache, done = state
-        tok = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))[:, 0]
-        logits, cache = decode_step(params, cfg, tok, pos, cache, cross_kv)
-        if min_new_tokens:
-            # clamp: out-of-range scatter indices are silently dropped
-            eos_idx = min(cfg.eos_token, cfg.vocab_size - 1)
-            logits = jnp.where(
-                pos + 1 < p_len + min_new_tokens,
-                logits.at[:, eos_idx].set(jnp.finfo(logits.dtype).min),
-                logits,
-            )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        in_prompt = pos + 1 < p_len
-        cur = jax.lax.dynamic_slice(tokens, (0, jnp.minimum(pos + 1, total - 1)), (b, 1))[:, 0]
-        nxt = jnp.where(in_prompt, cur, jnp.where(done, cfg.eos_token, nxt))
-        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
-        done = done | (~in_prompt & (nxt == cfg.eos_token))
-        return pos + 1, tokens, cache, done
+    def step_fn(token, pos, cache, beam_state):
+        return decode_step(params, cfg, token, pos, cache, beam_state)
 
-    state = (jnp.asarray(0, jnp.int32), tokens0, kv_cache, jnp.zeros((b,), bool))
-    _, tokens, _, _ = jax.lax.while_loop(cond, body, state)
-    return tokens
+    bc = BeamConfig(eos_token=cfg.eos_token, pad_token=cfg.eos_token,
+                    max_len=total, decoder_prompt_len=p_len,
+                    min_new_tokens=min_new_tokens)
+    return greedy_search(step_fn, prompt, kv_cache, cross_kv, bc)
 
 
 # ------------------------------------------------------------------ conversion

@@ -127,6 +127,37 @@ def test_beam_generate_matches_hf(hf_pair, src, num_beams):
         np.testing.assert_array_equal(got[b, :t], ref[b, :t])
 
 
+def test_beam_min_new_tokens_matches_hf(hf_pair, src):
+    """min_new_tokens under BEAM search must match HF: the EOS ban runs on
+    log-softmaxed scores (HF's processor chain), not raw logits — a raw-logit
+    ban renormalizes each beam differently and shifts cross-beam ranking."""
+    model, cfg, params = hf_pair
+    mask = (src != 1).astype(np.int64)
+    with torch.no_grad():
+        ref = model.generate(
+            input_ids=torch.from_numpy(src),
+            attention_mask=torch.from_numpy(mask),
+            forced_bos_token_id=250,
+            max_new_tokens=10, min_new_tokens=6, num_beams=4, do_sample=False,
+            early_stopping=True, length_penalty=1.0,
+        ).numpy()
+    got = np.asarray(nj.generate(
+        params, cfg, jnp.asarray(src), 250,
+        max_new_tokens=10, min_new_tokens=6, num_beams=4))
+    for b in range(src.shape[0]):
+        t = min(ref.shape[1], got.shape[1])
+        np.testing.assert_array_equal(got[b, :t], ref[b, :t])
+
+
+def test_encode_rejects_overlong_source(hf_pair):
+    """Sources past the sinusoid table must error like HF, not silently
+    clamp the tail's position rows (the decoder-side guard's counterpart)."""
+    _, cfg, params = hf_pair
+    too_long = jnp.ones((1, cfg.max_positions + 2), jnp.int32) * 5
+    with pytest.raises(ValueError, match="position table"):
+        nj.encode(params, cfg, too_long)
+
+
 def test_generate_jits(hf_pair, src):
     _, cfg, params = hf_pair
     fn = jax.jit(
