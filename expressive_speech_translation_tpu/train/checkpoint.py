@@ -53,6 +53,35 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    # ------------------------------------------------------- resume position
+    #
+    # The orbax tree carries params/opt_state/step but not WHERE in the data
+    # schedule the run was: without (epoch, epoch_start_step) a crash-resume
+    # restarts `for epoch in range(max_epochs)` from 0 and re-trains every
+    # completed epoch a second time — double the configured budget and a
+    # silently shifted LR schedule. The position rides a tiny JSON sidecar
+    # (atomic rename, same crash posture as the orbax writes).
+
+    def save_meta(self, meta: dict) -> None:
+        import json as _json
+        import os as _os
+
+        tmp = self.directory / ".meta.json.tmp"
+        tmp.write_text(_json.dumps(meta))
+        _os.replace(tmp, self.directory / "meta.json")
+
+    def load_meta(self) -> dict:
+        import json as _json
+
+        path = self.directory / "meta.json"
+        if not path.exists():
+            return {}
+        try:
+            return _json.loads(path.read_text())
+        except ValueError:
+            log.warning("unreadable checkpoint meta at %s — resuming from epoch 0", path)
+            return {}
+
     def restore(self, template: TrainState, step: Optional[int] = None) -> Optional[TrainState]:
         target = step if step is not None else self._mgr.latest_step()
         if target is None:

@@ -121,8 +121,18 @@ def pad_batch(
         stacked = np.full((len(arrays), max_len), pad_value, dtype=arrays[0].dtype)
         mask = np.zeros((len(arrays), max_len), dtype=bool)
         for i, a in enumerate(arrays):
-            n = min(a.shape[0], max_len)
-            stacked[i, :n] = a[:n]
+            if a.shape[0] > max_len:
+                # LOUD: silently clipping here while marking the prefix valid
+                # trains EOS onto mid-utterance positions (the corrupted-
+                # supervision bug bucket_length's doubling policy fixed —
+                # this guard keeps any future non-covering bucket list from
+                # reintroducing it invisibly)
+                raise ValueError(
+                    f"pad_batch: sample length {a.shape[0]} exceeds padded "
+                    f"width {max_len} for key {key!r} — bucket list does not "
+                    f"cover the data")
+            n = a.shape[0]
+            stacked[i, :n] = a
             mask[i, :n] = True
         out[key] = stacked
         out[key + "_mask"] = mask

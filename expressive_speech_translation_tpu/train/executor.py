@@ -25,7 +25,17 @@ from .sft import SFTBatch, TrainState, eval_step, init_train_state, make_optimiz
 
 log = logging.getLogger(__name__)
 
-LENGTH_BUCKETS = (32, 64, 128, 200, 256, 512)
+# Sequence-length ladder: covers the filter's 2000-frame admission ceiling
+# with intermediate rungs (768/1536) so 20-80 s utterances pack in pairs
+# (768×2 = 1536 ≤ the 2000-frame budget) instead of doubling straight to a
+# one-sample 1024/2048 batch that is mostly padding.
+LENGTH_BUCKETS = (32, 64, 128, 200, 256, 512, 768, 1024, 1536, 2048)
+# Batch-row ladder: group sizes from the dynamic batcher vary with sort-block
+# boundaries and epoch tails; every distinct B would otherwise recompile the
+# whole scanned pjit step. Rows are cycled up to the next rung (mean-reduced
+# loss → duplicates only reweight slightly, the rows_multiple tradeoff);
+# ~max 33% row overhead from the 3/6/12/24 intermediate rungs.
+BATCH_ROW_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
 
 
 def batches_from_samples(
@@ -50,12 +60,18 @@ def batches_from_samples(
     # accumulate per shape signature and emit once `accum` of one shape exist.
     by_shape: dict = {}
     emitted = 0
+    from ..core.buckets import bucket_size
+
     for group in batcher(stream):
-        if rows_multiple > 1 and len(group) % rows_multiple:
-            # dp sharding needs batch rows divisible by the mesh size; repeat
-            # samples cyclically to the next multiple (loss is mean-reduced,
-            # so duplicates only reweight slightly)
-            deficit = rows_multiple - len(group) % rows_multiple
+        # round rows up to the batch ladder AND the dp multiple: every
+        # distinct row count is a separate compiled step program
+        target = bucket_size(len(group), BATCH_ROW_BUCKETS)
+        if target % rows_multiple:
+            target += rows_multiple - target % rows_multiple
+        if target > len(group):
+            # repeat samples cyclically (loss is mean-reduced, so duplicates
+            # only reweight slightly — same tradeoff as the dp round-up)
+            deficit = target - len(group)
             group = group + [group[i % len(group)] for i in range(deficit)]
         arrays = pad_batch(group, ("text_tokens", "speech_tokens"), buckets=LENGTH_BUCKETS)
         mb = SFTBatch(
@@ -113,9 +129,14 @@ class Executor:
     def init_or_resume(self, key=None) -> TrainState:
         key = key if key is not None else jax.random.PRNGKey(self.cfg.seed)
         state = init_train_state(key, self.lm_cfg, self.optimizer)
+        self._resume_meta: dict = {}
         if self.ckpt is not None:
             restored = self.ckpt.restore(state)
             if restored is not None:
+                # data-schedule position for train(): which epoch the run
+                # died in and the step count at that epoch's start, so the
+                # resumed run continues instead of replaying from epoch 0
+                self._resume_meta = self.ckpt.load_meta()
                 return restored
         return state
 
@@ -145,8 +166,27 @@ class Executor:
         rows tagged ``phase="cv"``."""
         max_epochs = max_epochs or self.cfg.max_epochs
         t_last = time.perf_counter()
-        for epoch in range(max_epochs):
+        # crash-resume: continue from the interrupted epoch, skipping the
+        # batches it already trained (the per-epoch stream is seeded, so the
+        # skip is deterministic); completed epochs are never replayed
+        resume = getattr(self, "_resume_meta", {}) or {}
+        start_epoch = int(resume.get("epoch", 0))
+        skip_first = max(int(state.step) - int(resume.get("epoch_start_step",
+                                                          state.step)), 0)
+        if start_epoch or skip_first:
+            log.info("resuming at epoch %d (+%d batches already trained)",
+                     start_epoch, skip_first)
+        self._resume_meta = {}
+        for epoch in range(start_epoch, max_epochs):
+            if self.ckpt is not None:
+                self.ckpt.save_meta({"epoch": epoch,
+                                     "epoch_start_step": int(state.step) - skip_first})
+            to_skip = skip_first
+            skip_first = 0
             for batch in epoch_batches(epoch):
+                if to_skip:
+                    to_skip -= 1
+                    continue
                 state, metrics = self.train_step(state, batch)
                 step = int(state.step)
                 if step % self.cfg.log_interval == 0:

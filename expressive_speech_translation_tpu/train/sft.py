@@ -55,6 +55,16 @@ def lm_loss(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Teacher-forced next-token CE over the speech segment (+ EOS)."""
     b, ts = batch.speech_tokens.shape
+    seq_len = 2 + batch.text_tokens.shape[1] + ts
+    if seq_len > cfg.backbone.max_positions:
+        # q2.forward slices the RoPE table to seq_len — past the table it
+        # would fail with an opaque broadcast error mid-epoch; refuse with
+        # the actual culprit instead (bucketed lengths can double past the
+        # top bucket, see data.bucket_length)
+        raise ValueError(
+            f"batch sequence length {seq_len} (2 + text {batch.text_tokens.shape[1]}"
+            f" + speech {ts}) exceeds backbone max_positions "
+            f"{cfg.backbone.max_positions}")
     p = params
     if compute_dtype != jnp.float32:
         from ..models.common import cast_floats

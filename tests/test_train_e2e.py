@@ -243,3 +243,48 @@ def test_mtp_train_export_serve_roundtrip(kaldi_dir, tmp_path):
     assert tts.official_cfg.lm.mtp == 2
     wave = tts.synthesize("kalimera mtp")
     assert np.isfinite(wave).all() and len(wave) > 0
+
+
+def test_resume_continues_epoch_schedule_not_from_zero(kaldi_dir, tmp_path):
+    """A crash-resume must finish the CONFIGURED budget, not replay every
+    completed epoch: interrupted at epoch 1, the resumed Executor.train()
+    runs only the remaining epoch-1 batches (and trains the same total step
+    count as an uninterrupted run)."""
+    samples = load_kaldi_dir(kaldi_dir)
+    tc = TrainConfig(learning_rate=3e-3, accum_grad=1, max_epochs=2,
+                     log_interval=100, save_per_step=10_000,
+                     max_frames_in_batch=40, shuffle_buffer=8, sort_buffer=4)
+
+    def epoch_batches(epoch):
+        return batches_from_samples(iter(samples), tc, accum=1,
+                                    seed=tc.seed + epoch)
+
+    # uninterrupted reference run (no checkpointing)
+    ex_ref = Executor(TINY_LM, tc, checkpoint_dir=False)
+    ref_state = ex_ref.train(ex_ref.init_or_resume(), epoch_batches)
+    total_steps = int(ref_state.step)
+    per_epoch = sum(1 for _ in epoch_batches(0))
+    assert total_steps >= 2 * per_epoch - 1  # sanity: two epochs ran
+
+    # interrupted run: full epoch 0 via train(max_epochs=1) records the
+    # schedule position; then 1 manual step INTO epoch 1 + checkpoint = crash
+    ckpt_dir = tmp_path / "ckpt_sched"
+    ex1 = Executor(TINY_LM, tc, checkpoint_dir=str(ckpt_dir))
+    state = ex1.train(ex1.init_or_resume(), epoch_batches, max_epochs=1)
+    ex1.ckpt.save_meta({"epoch": 1, "epoch_start_step": int(state.step)})
+    first_e1 = next(iter(epoch_batches(1)))
+    state, _ = ex1.train_step(state, first_e1)
+    ex1.ckpt.save(state, force=True)
+    ex1.ckpt.wait()
+    crash_step = int(state.step)
+
+    ex2 = Executor(TINY_LM, tc, checkpoint_dir=str(ckpt_dir))
+    state2 = ex2.init_or_resume()
+    assert int(state2.step) == crash_step
+    final = ex2.train(state2, epoch_batches)
+    # resumed run completes epoch 1 only: same total budget as uninterrupted
+    assert int(final.step) == total_steps, (
+        f"resume trained {int(final.step)} steps total; uninterrupted run "
+        f"trained {total_steps}")
+    ex1.ckpt.close()
+    ex2.ckpt.close()
