@@ -137,6 +137,13 @@ class AudioProcessor:
         """Weighted flatness / band-ratio / rhythm / stability score
         (audio_processor.py:206-276). Returns {"has_music", "confidence", ...}."""
         x = jnp.asarray(np.asarray(audio, np.float32).reshape(-1))
+        if x.shape[0] < 1024:
+            # shorter than one analysis frame: the envelope/STFT would be
+            # empty (np.correlate raises on empty input) — a sub-64 ms clip
+            # carries no music evidence; report a benign no-music result
+            return {"has_music": False, "confidence": 0.0, "flatness": 0.0,
+                    "bass_ratio": 0.0, "high_ratio": 0.0, "rhythm": 0.0,
+                    "stability": 0.0}
         flatness = float(jnp.median(ops.spectral_flatness(x)))
 
         real, imag = ops.stft(x, 1024, 256)
@@ -152,8 +159,10 @@ class AudioProcessor:
         ac = np.correlate(env, env, mode="full")[len(env) - 1:]
         ac /= ac[0] + 1e-8
         # peaks in the 0.25–2 s lag range (30–240 BPM); envelope hop = 256
+        # hi is the INCLUSIVE last lag index (clamped to the envelope), so
+        # the slice needs hi+1 or the 2.0 s / 30 BPM bin is never inspected
         lo, hi = int(0.25 * sr / 256), min(int(2.0 * sr / 256), len(ac) - 1)
-        rhythm = float(np.max(ac[lo:hi])) if hi > lo else 0.0
+        rhythm = float(np.max(ac[lo:hi + 1])) if hi >= lo else 0.0
 
         # temporal stability of band energies
         frame_e = mag.sum(axis=-1)
@@ -217,7 +226,12 @@ class AudioProcessor:
         length bucket, with the padded tail masked out of the noise-profile
         estimate."""
         x = np.asarray(audio, np.float32)
-        if x.ndim == 2 and x.shape[0] > 1:
+        if x.ndim == 2 and x.shape[0] > 2:
+            # >2 channels (5.1 etc.): average everything — picking only
+            # front L/R would DROP the center channel, which carries most
+            # dialogue in cinematic mixes
+            x = x.mean(axis=0)
+        elif x.ndim == 2 and x.shape[0] == 2:
             # correlation-aware downmix (ops.stereo_to_mono math, host-side)
             l, r = x[0], x[1]
             corr = float(np.sum(l * r) /

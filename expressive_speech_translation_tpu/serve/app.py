@@ -393,8 +393,14 @@ class App:
         target = data.get("target_language") or request.form.get("target_language")
         if not target:
             raise ValidationError("target_language is required")
-        backend = self.manager.get_backend()
-        result = process_audio_url(url, backend, target, fetcher=self.url_fetcher)
+        # source_language parity with every other audio route — without it,
+        # non-English media was transcribed with an English ASR prompt
+        source = (data.get("source_language")
+                  or request.form.get("source_language") or "eng")
+        backend = self.manager.get_backend(
+            data.get("backend") or request.form.get("backend"))
+        result = process_audio_url(url, backend, target, source,
+                                   fetcher=self.url_fetcher)
         encoded = base64.b64encode(_wav_bytes(result["audio"][0])).decode()
         return _json({"audio": encoded, "transcripts": result.get("transcripts", {})})
 

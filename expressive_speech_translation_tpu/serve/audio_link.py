@@ -43,7 +43,9 @@ def validate_url(url: str) -> str:
         raise ValidationError("Invalid URL") from e
     if parsed.scheme not in ("http", "https") or not parsed.netloc:
         raise ValidationError("Invalid URL (must be http(s))")
-    host = parsed.netloc.lower().split(":")[0]
+    # urlparse.hostname strips userinfo/port and lowercases — splitting
+    # netloc on ":" misread "user:pass@youtube.com" as host "user"
+    host = (parsed.hostname or "").rstrip(".")
     bare = host[4:] if host.startswith("www.") else host
     if any(bare == d or bare.endswith("." + d) for d in DENIED_DOMAINS):
         raise ValidationError(

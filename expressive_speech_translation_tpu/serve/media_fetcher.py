@@ -83,12 +83,13 @@ def ytdlp_fetcher(url: str) -> Tuple[np.ndarray, int]:
 
 
 def _resolve_public_host(url: str) -> str:
-    """SSRF guard: resolve the URL's host ONCE, refuse private/loopback/
-    link-local/reserved address space, and return the validated IP. The
-    caller must CONNECT TO THE RETURNED IP (Host/SNI set to the hostname) —
-    re-resolving at connect time reopens the check to DNS rebinding (a
-    low-TTL name that alternates public ↔ 169.254.169.254 passes a
-    check-then-refetch sequence). Applied per redirect hop."""
+    """SSRF guard: resolve the URL's host ONCE, refuse anything non-global
+    (private/loopback/link-local/reserved/CGNAT...), and return the
+    validated IPs in resolver preference order. The caller must CONNECT TO
+    A RETURNED IP (Host/SNI set to the hostname) — re-resolving at connect
+    time reopens the check to DNS rebinding (a low-TTL name that alternates
+    public ↔ 169.254.169.254 passes a check-then-refetch sequence).
+    Applied per redirect hop."""
     import ipaddress
     import socket
     from urllib.parse import urlsplit
@@ -103,14 +104,22 @@ def _resolve_public_host(url: str) -> str:
     except socket.gaierror as e:
         raise MediaError(f"cannot resolve host {host!r}",
                          user_message="Could not download media from this URL") from e
+    addrs = []
     for info in infos:
         ip = ipaddress.ip_address(info[4][0])
-        if (ip.is_private or ip.is_loopback or ip.is_link_local
-                or ip.is_reserved or ip.is_multicast or ip.is_unspecified):
+        # is_global is the authoritative test (it also covers special-use
+        # ranges the individual flags miss — e.g. CGNAT 100.64.0.0/10, which
+        # is neither private nor reserved yet routes to cloud-internal
+        # networks); the explicit flags stay for clarity and as belt+braces
+        if (not ip.is_global or ip.is_private or ip.is_loopback
+                or ip.is_link_local or ip.is_reserved or ip.is_multicast
+                or ip.is_unspecified):
             raise MediaError(
                 f"host {host!r} resolves to non-public address {ip}",
                 user_message="Could not download media from this URL")
-    return infos[0][4][0]
+        addrs.append(info[4][0])
+    # dedupe preserving getaddrinfo's (RFC 6724) preference order
+    return list(dict.fromkeys(addrs))
 
 
 def _open_pinned(url: str, ip: str, timeout: float):
@@ -162,21 +171,37 @@ def http_media_fetcher(
 
     import urllib3
 
+    import time as _time
+
+    deadline = _time.monotonic() + timeout
     pool = resp = None
-    chunks: list = []
     total = 0
     try:
         try:
             for _ in range(max_redirects + 1):
                 if allow_private_hosts:  # test servers bind loopback
-                    ip = urlsplit(url).hostname or ""
+                    ips = [urlsplit(url).hostname or ""]
                     if urlsplit(url).scheme not in ("http", "https"):
                         raise MediaError(
                             f"refusing non-http(s) URL: {url[:80]}",
                             user_message="Only http/https media URLs are supported")
                 else:
-                    ip = _resolve_public_host(url)
-                pool, resp = _open_pinned(url, ip, timeout)
+                    ips = _resolve_public_host(url)
+                # dual-stack hosts: the first validated address may be a
+                # family this egress cannot reach (AAAA-first on an
+                # IPv4-only network) — try each in order
+                last_err = None
+                for ip in ips:
+                    try:
+                        pool, resp = _open_pinned(url, ip, timeout)
+                        break
+                    except OSError as e:
+                        last_err = e
+                        if pool is not None:
+                            pool.close()
+                            pool = resp = None
+                else:
+                    raise last_err or OSError("no address connected")
                 nxt = resp.get_redirect_location()
                 if nxt:
                     resp.release_conn()
@@ -197,37 +222,47 @@ def http_media_fetcher(
             raise MediaError(f"download failed: {code}",
                              user_message="Could not download media from this URL")
         suffix = Path(url.split("?", 1)[0]).suffix.lower() or ".bin"
-        try:
-            for chunk in resp.stream(1 << 20):
-                total += len(chunk)
-                if total > max_bytes:
-                    raise MediaError(
-                        f"download exceeds {max_bytes} bytes",
-                        user_message="Media file is too large to import from URL")
-                chunks.append(chunk)
-        except (urllib3.exceptions.HTTPError, OSError) as e:
-            raise MediaError(f"download failed: {e}",
-                             user_message="Could not download media from this URL") from e
+        # stream straight into the temp file (buffering the whole download
+        # and then joining it doubled peak memory at the 100 MB cap), with a
+        # WALL-CLOCK deadline: urllib3's read timeout is per-socket-read, so
+        # a slow-trickling server would otherwise pin a worker for hours
+        with tempfile.NamedTemporaryFile(suffix=suffix) as f:
+            try:
+                for chunk in resp.stream(1 << 20):
+                    if _time.monotonic() > deadline:
+                        raise MediaError(
+                            f"download exceeded {timeout:.0f}s wall clock",
+                            user_message="Media download timed out")
+                    total += len(chunk)
+                    if total > max_bytes:
+                        raise MediaError(
+                            f"download exceeds {max_bytes} bytes",
+                            user_message="Media file is too large to import from URL")
+                    f.write(chunk)
+            except (urllib3.exceptions.HTTPError, OSError) as e:
+                raise MediaError(f"download failed: {e}",
+                                 user_message="Could not download media from this URL") from e
+            if total == 0:
+                raise MediaError("empty download",
+                                 user_message="The URL returned no media data")
+            f.flush()
+            from ..media import native
+
+            try:
+                return native.decode_audio(f.name, target_rate=16_000,
+                                           target_channels=1)
+            except MediaError:
+                raise
+            except Exception as e:
+                raise MediaError(
+                    f"downloaded data is not decodable media: {e}",
+                    user_message="The URL did not return a playable audio/video file",
+                ) from e
     finally:
         if resp is not None:
             resp.release_conn()
         if pool is not None:
             pool.close()
-    data = b"".join(chunks)
-    if not data:
-        raise MediaError("empty download",
-                         user_message="The URL returned no media data")
-    with tempfile.NamedTemporaryFile(suffix=suffix) as f:
-        Path(f.name).write_bytes(data)
-        from ..media import native
-
-        try:
-            return native.decode_audio(f.name, target_rate=16_000, target_channels=1)
-        except Exception as e:
-            raise MediaError(
-                f"downloaded data is not decodable media: {e}",
-                user_message="The URL did not return a playable audio/video file",
-            ) from e
 
 
 def default_fetcher(url: str) -> Tuple[np.ndarray, int]:
@@ -235,8 +270,6 @@ def default_fetcher(url: str) -> Tuple[np.ndarray, int]:
     media links; a clear error otherwise."""
     path = url.split("?", 1)[0].lower()
     direct = path.endswith(_MEDIA_SUFFIXES)
-    if ytdlp_available() and not direct:
-        return ytdlp_fetcher(url)
     if direct:
         return http_media_fetcher(url)
     if ytdlp_available():

@@ -505,3 +505,23 @@ def test_initialize_warms_all_three_stages():
     backend = CascadedBackend(engines)
     backend.initialize()
     assert calls, "warm-up never touched the NMT stage"
+
+
+def test_music_detection_handles_sub_frame_audio():
+    from expressive_speech_translation_tpu.pipeline.audio_processor import AudioProcessor
+
+    out = AudioProcessor().detect_background_music(np.zeros(300, np.float32))
+    assert out["has_music"] is False and out["confidence"] == 0.0
+
+
+def test_multichannel_downmix_keeps_center_dialog():
+    """5.1 input: the center channel (dialogue) must survive the downmix —
+    a front-L/R-only mix would nearly silence center-only speech."""
+    from expressive_speech_translation_tpu.pipeline.audio_processor import AudioProcessor
+
+    t = np.arange(16000) / 16000
+    speech = (0.8 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    five_one = np.zeros((6, 16000), np.float32)
+    five_one[2] = speech                      # center channel only
+    out = AudioProcessor().process_audio(five_one, orig_sr=16000)
+    assert float(np.sqrt(np.mean(out ** 2))) > 0.01
