@@ -1,10 +1,12 @@
 """diff2lip: diffusion-based lip-sync (the reference's legacy path, pre-MuseTalk).
 
 Parity with Backend/diff2lip/generate.py (414 LoC) + guided_diffusion:
-mel-window cropping aligned to video fps (:36-43 — 80 Hz mel, 16-step
-windows), face-box smoothing over a 5-frame window (:92-149; the S3FD role is
-filled by the clip-level skin×motion face detector in pipeline/face.py, with a
-centre-crop fallback; a per-frame detector can still be plugged in), DDPM/DDIM
+wav2lip-family mel conditioning (audio/audio.py melspectrogram — the feature
+family the published checkpoints were trained on), mel-window cropping
+aligned to video fps (:36-43 — 80 Hz mel, 16-step windows), face-box
+smoothing over a 5-frame window (:92-149; the S3FD role is filled by
+pipeline/face.py's PER-FRAME boxes — learned detector when mounted, windowed
+tracking + flow refinement otherwise, centre-crop fallback), DDPM/DDIM
 sampling (:159-199) over the guided-diffusion TFG UNet
 (``models/gd_unet.py`` — the checkpoint-exact multi-resolution attention UNet,
 unet.py:400-1070), masked-region conditioning per tfg_process_batch
@@ -24,16 +26,40 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models import musetalk as mtm
 from ..models.common import Params
 from ..models.diffusion import DiffusionConfig, GaussianDiffusion, space_timesteps
 from ..models.gd_unet import GDUNetConfig, gd_unet_apply, init_gd_unet
-from ..ops.mel import kaldi_fbank
 
 log = logging.getLogger(__name__)
 
 
 # ------------------------------------------------------------- mel windowing
+
+
+def wav2lip_mel(audio_16k: np.ndarray, *, n_mels: int = 80) -> np.ndarray:
+    """The EXACT mel family the published diff2lip/wav2lip checkpoints were
+    trained on (audio/audio.py:45-51 melspectrogram + hparams.py:23-63):
+    preemphasis 0.97 → |STFT| (n_fft 800, hop 200 → 80 Hz, 50 ms hann,
+    centered) → slaney mel 55-7600 Hz → 20·log10(max(1e-5, ·)) − 20 →
+    symmetric normalisation to [−4, 4]. A generic fbank (povey frames, HTK
+    mel from 20 Hz, unnormalised natural log) is off-distribution for the
+    converted audio encoder — the UNet then mis-tracks the audio despite
+    weight-exact conversion. Returns [T_mel, n_mels] float32 at 80 Hz."""
+    from ..ops.mel import mel_filterbank
+    from ..ops.stft import stft
+
+    x = np.asarray(audio_16k, np.float32).reshape(-1)
+    if len(x) < 2:
+        x = np.zeros(2, np.float32)
+    pre = np.concatenate([x[:1], x[1:] - 0.97 * x[:-1]])  # lfilter([1,-k],[1])
+    real, imag = stft(jnp.asarray(pre), 800, 200, center=True)
+    mag = np.asarray(jnp.sqrt(real**2 + imag**2))          # [T, 401]
+    fb = mel_filterbank(16_000, 800, n_mels, fmin=55.0, fmax=7600.0,
+                        htk=False, norm="slaney")           # [401, n_mels]
+    mel = mag @ fb
+    s_db = 20.0 * np.log10(np.maximum(1e-5, mel)) - 20.0   # ref_level_db
+    # symmetric_mels normalisation: [-4, 4] against min_level_db = -100
+    return np.clip(8.0 * ((s_db + 100.0) / 100.0) - 4.0, -4.0, 4.0).astype(np.float32)
 
 
 def mel_windows_for_frames(
@@ -43,10 +69,7 @@ def mel_windows_for_frames(
     """Per-video-frame mel crops (generate.py crop_audio_window parity:
     start = 80·t — 80 Hz mel, 16-step syncnet windows): for frame i, a
     [window_frames, n_mels] mel slice starting at its timestamp."""
-    feats = np.asarray(kaldi_fbank(
-        jnp.asarray(np.asarray(audio_16k, np.float32).reshape(-1)[None]),
-        sr=16_000, frame_length_ms=25.0, frame_shift_ms=12.5, n_mels=n_mels,
-    ))[0]  # [T_mel, n_mels] at 80 Hz
+    feats = wav2lip_mel(audio_16k, n_mels=n_mels)  # [T_mel, n_mels] at 80 Hz
     t_mel = feats.shape[0]
     starts = (np.arange(n_frames) / fps * 80.0).astype(np.int64)
     starts = np.clip(starts, 0, max(t_mel - window_frames, 0))
@@ -137,11 +160,13 @@ class Diff2LipPipeline:
         detector: Optional[Callable[[np.ndarray], Tuple[int, int, int, int]]] = None,
         use_ddim: bool = True,
     ):
-        """``detector``: optional per-frame face detector. When None (the
-        default) the clip-level detector (pipeline/face.py — skin×motion face
-        localization, the reference's S3FD role, diff2lip/face_detection/)
-        finds one stable box for the shot, falling back to a centre crop when
-        no face is found."""
+        """``detector``: optional per-frame face detector returning
+        Optional[(y0, x0, y1, x1)] — misses inherit the previous detection
+        (the reference's coord_placeholder reuse). When None (the default)
+        ``face.per_frame_face_boxes`` supplies per-frame boxes (learned
+        detector when mounted; else windowed tracking + flow refinement —
+        the reference's S3FD role, diff2lip/face_detection/), with a centre
+        crop when no face is found anywhere."""
         self.cfg = cfg
         if params is None:
             log.warning("Diff2LipPipeline: random weights (no checkpoint supplied)")
@@ -171,12 +196,15 @@ class Diff2LipPipeline:
         sampler = self.diffusion.ddim_sample_loop if use_ddim else self.diffusion.p_sample_loop
 
         def run(key, crops, ref, mel):
-            noise = jax.random.normal(key, crops.shape, crops.dtype)
+            # split FIRST: consuming `key` in normal() and then splitting the
+            # same key draws the conditioning noise and the sampler's init
+            # noise from correlated streams (documented-unsafe key reuse)
+            k_cond, k_sample = jax.random.split(key)
+            noise = jax.random.normal(k_cond, crops.shape, crops.dtype)
             # cond = visible region of the target + noise in the hidden region
             cond = crops * (1.0 - self._mask) + self._mask * noise
-            key, sub = jax.random.split(key)
             sample = sampler(
-                model_fn, (crops.shape[0], s, s, 3), sub,
+                model_fn, (crops.shape[0], s, s, 3), k_sample,
                 cond_img=cond, ref_img=ref, mel=mel,
             )
             # only the hidden region is generated (generate.py:272-273)
@@ -216,41 +244,82 @@ class Diff2LipPipeline:
         """Re-render mouth regions with the diffusion model; returns uint8
         frames. ``identity_frames`` enables ``--sample_mode cross``
         (cross-identity dubbing) — defaults to self-identity ('reconstruction')."""
+        from ..core.errors import MediaError
+        from .musetalk_pipeline import blend_face_np, clamp_box
+
         key = key if key is not None else jax.random.PRNGKey(0)
+        if len(frames) == 0:
+            raise MediaError("no video frames to lip-sync",
+                             user_message="The video contains no frames")
         n, h, w, _ = frames.shape
         s = self.cfg.image_size
-        identity = identity_frames if identity_frames is not None else frames
 
-        if self.detector is not None:
-            boxes = smooth_boxes([self.detector(f) for f in frames])
+        def _boxes_for(seq: np.ndarray) -> List[Tuple[int, int, int, int]]:
+            hh, ww = seq.shape[1:3]
+            if self.detector is not None:
+                raw, last = [], None
+                for f in seq:
+                    b = self.detector(f)
+                    if b is not None:       # Optional contract: misses carry
+                        last = b            # the previous detection forward
+                    raw.append(last)
+                if last is None:
+                    raw = [center_face_detector(seq[0])] * len(seq)
+                else:
+                    first = next(b for b in raw if b is not None)
+                    raw = [b if b is not None else first for b in raw]
+                raw = smooth_boxes(raw)
+            else:
+                from .face import per_frame_face_boxes
+
+                # per-frame tracking (learned detector when mounted, else
+                # windowed tracking + flow refinement): one clip-level box
+                # paints the jaw onto background once the head moves
+                raw = per_frame_face_boxes(seq, fps)
+            return [clamp_box(b, hh, ww) for b in raw]
+
+        boxes = _boxes_for(frames)
+        if identity_frames is not None:
+            # cross-identity: the identity clip has its OWN face geometry and
+            # may be shorter than the target — detect on it and wrap its index
+            identity = identity_frames
+            id_boxes = _boxes_for(identity)
         else:
-            from .face import frames_face_detector
-
-            boxes = [frames_face_detector(frames)] * n  # stable per-shot box
+            identity, id_boxes = frames, boxes
+        n_id = len(identity)
         mels = mel_windows_for_frames(audio_16k, n, fps, window_frames=self.cfg.mel_window,
                                       n_mels=self.cfg.n_mels)
 
         out = frames.copy()
         for start in range(0, n, batch_size):
-            idx = range(start, min(start + batch_size, n))
+            idx = list(range(start, min(start + batch_size, n)))
             crops, id_crops = [], []
             for i in idx:
                 y0, x0, y1, x1 = boxes[i]
                 crop = jax.image.resize(
                     jnp.asarray(frames[i, y0:y1, x0:x1], jnp.float32) / 127.5 - 1.0,
                     (s, s, 3), "linear")
+                j = i % n_id
+                iy0, ix0, iy1, ix1 = id_boxes[j]
                 icrop = jax.image.resize(
-                    jnp.asarray(identity[i, y0:y1, x0:x1], jnp.float32) / 127.5 - 1.0,
+                    jnp.asarray(identity[j, iy0:iy1, ix0:ix1], jnp.float32) / 127.5 - 1.0,
                     (s, s, 3), "linear")
                 crops.append(crop)
                 id_crops.append(icrop)
+            # pad the tail to the full batch width (shape-specialized jit: a
+            # remainder shape would recompile the whole DDIM loop) and slice
+            pad = batch_size - len(idx)
+            if pad and n > batch_size:
+                crops.extend([crops[-1]] * pad)
+                id_crops.extend([id_crops[-1]] * pad)
             crops_a = jnp.stack(crops)
-            mel = jnp.asarray(mels[list(idx)], jnp.float32)
+            mel = np.asarray(mels[idx], np.float32)
+            if pad and n > batch_size:
+                mel = np.concatenate([mel, np.repeat(mel[-1:], pad, axis=0)])
             key, k = jax.random.split(key)
-            rendered = self._sample(k, crops_a, jnp.stack(id_crops), mel)
+            rendered = np.asarray(
+                self._sample(k, crops_a, jnp.stack(id_crops),
+                             jnp.asarray(mel)).astype(jnp.float32))
             for j, i in enumerate(idx):
-                y0, x0, y1, x1 = boxes[i]
-                frame = jnp.asarray(out[i], jnp.float32) / 127.5 - 1.0
-                blended = mtm.blend_face(frame, rendered[j], (y0, x0, y1, x1))
-                out[i] = np.asarray(jnp.clip((blended + 1.0) * 127.5, 0, 255), np.uint8)
+                out[i] = blend_face_np(out[i], rendered[j], boxes[i])
         return out

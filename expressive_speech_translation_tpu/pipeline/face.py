@@ -82,8 +82,12 @@ def _load_torchscript_detector(d: Path, cfg: dict) -> FrameDetector:
         f = np.asarray(frame)
         if f.ndim == 2:  # grayscale → stacked channels
             f = np.repeat(f[..., None], 3, axis=-1)
+        is_int = np.issubdtype(f.dtype, np.integer)
         x = np.ascontiguousarray(f, dtype=np.float32)
-        if x.max() > 1.5:  # uint8-range input → [0,1]
+        # key the scale off the DTYPE: a near-black uint8 frame (max 0/1)
+        # would pass a max()-based heuristic unscaled, turning 1/255 pixels
+        # into full-white 1.0 and producing garbage detections on dark scenes
+        if is_int or x.max() > 1.5:
             x = x / 255.0
         with torch.no_grad():
             out = mod(torch.from_numpy(x).permute(2, 0, 1)[None])
@@ -371,10 +375,13 @@ def mouth_open_area(frame: np.ndarray, mouth_bbox: BBox, frame_area: float) -> f
 
 @dataclasses.dataclass
 class FaceTrack:
-    """Per-clip detection result: stable face + mouth boxes."""
+    """Per-clip detection result: stable face + mouth boxes. ``detected``
+    is False for windows that inherited a neighbour's box via gap-fill —
+    flow refinement must not drift-correct onto those pseudo-anchors."""
 
     face: BBox
     mouth: Optional[BBox]
+    detected: bool = True
 
 
 class FaceLandmarkDetector:
@@ -433,6 +440,11 @@ class FaceLandmarkDetector:
 def frames_face_detector(frames: Sequence[np.ndarray]) -> BBox:
     """diff2lip-compatible detector: real face box when one is found, centre
     crop otherwise (pipeline/diff2lip.py center_face_detector fallback)."""
+    if len(frames) == 0:
+        from ..core.errors import MediaError
+
+        raise MediaError("no video frames for face detection",
+                         user_message="The video contains no frames")
     box = FaceLandmarkDetector().face_bbox_for_lipsync(frames)
     if box is not None:
         return box
@@ -474,11 +486,15 @@ def track_face_windows(
                 face = (face[0] + local[0], face[1] + local[1],
                         face[0] + local[2], face[1] + local[3])
         tracks.append(FaceTrack(face=face, mouth=detect_mouth_bbox(chunk, face)))
-    # fill gaps from the nearest detected window
+    # fill gaps from the nearest detected window — marked detected=False so
+    # downstream refinement knows these centres are NOT real detections
+    import dataclasses as _dc
+
     detected = [i for i, t in enumerate(tracks) if t is not None]
     for i, t in enumerate(tracks):
         if t is None and detected:
-            tracks[i] = tracks[min(detected, key=lambda j: abs(j - i))]
+            src_track = tracks[min(detected, key=lambda j: abs(j - i))]
+            tracks[i] = _dc.replace(src_track, detected=False)
     return tracks
 
 
@@ -642,6 +658,10 @@ def per_frame_face_boxes(
         return [(y0, x0, y0 + s, x0 + s)] * n
     win = max(int(window_s * fps), 4)
     centers = [min(i * win + win // 2, n - 1) for i in range(len(tracks))]
+    # only REAL detections anchor the flow's drift correction: gap-filled
+    # windows carry a copied neighbour box at the wrong place, and correcting
+    # toward them drags the track off the face exactly where detection failed
+    real_anchors = [c for c, t in zip(centers, tracks) if t.detected]
     boxes_at = np.asarray([t.face for t in tracks], np.float32)
     out: List[BBox] = []
     for f in range(n):
@@ -655,6 +675,6 @@ def per_frame_face_boxes(
             a = (f - c0) / max(c1 - c0, 1)
             box = (1 - a) * boxes_at[j - 1] + a * boxes_at[j]
         out.append(tuple(int(round(v)) for v in box))
-    if refine and n > 1:
-        out = refine_boxes_flow(frames, out, centers)
+    if refine and n > 1 and real_anchors:
+        out = refine_boxes_flow(frames, out, real_anchors)
     return smooth_boxes(out) if n > 1 else out

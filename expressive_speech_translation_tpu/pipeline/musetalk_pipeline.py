@@ -22,10 +22,84 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.errors import MediaError
 from ..models import musetalk as mtm
-from .face import frames_face_detector
+from .face import per_frame_face_boxes
 
 log = logging.getLogger(__name__)
+
+
+# ------------------------------------------------------------ host compositing
+#
+# Blending runs per frame over potentially thousands of frames; doing it as
+# per-frame jitted device calls (upload frame → blend → download) made the
+# composite dominate wall-clock after the batched UNet work. The same
+# models/musetalk.blend_face math runs here in numpy with the alpha mask
+# cached per box geometry.
+
+_ALPHA_CACHE: dict = {}
+
+
+def _blend_alpha(h: int, w: int, feather: int = 16, jaw_only: bool = True) -> np.ndarray:
+    key = (h, w, feather, jaw_only)
+    alpha = _ALPHA_CACHE.get(key)
+    if alpha is None:
+        yy = np.arange(h)[:, None].astype(np.float32)
+        xx = np.arange(w)[None, :].astype(np.float32)
+        edge = np.minimum(np.minimum(yy + 1, h - yy),
+                          np.minimum(xx + 1, w - xx)) / max(feather, 1)
+        alpha = np.clip(edge, 0.0, 1.0)
+        if jaw_only:
+            jaw = np.clip((yy - h * 0.45) / (h * 0.1), 0.0, 1.0)
+            alpha = alpha * jaw
+        alpha = alpha[..., None]
+        if len(_ALPHA_CACHE) > 256:   # per-frame boxes vary slightly
+            _ALPHA_CACHE.clear()
+        _ALPHA_CACHE[key] = alpha
+    return alpha
+
+
+def _resize_bilinear_np(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """[S, S, C] float → [h, w, C] bilinear (host-side jax.image.resize
+    'linear' equivalent for the composite path)."""
+    s0, s1 = img.shape[:2]
+    ys = (np.arange(h) + 0.5) * s0 / h - 0.5
+    xs = (np.arange(w) + 0.5) * s1 / w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, s0 - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, s1 - 1)
+    y1 = np.clip(y0 + 1, 0, s0 - 1)
+    x1 = np.clip(x0 + 1, 0, s1 - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def blend_face_np(frame_u8: np.ndarray, face: np.ndarray, bbox) -> np.ndarray:
+    """Composite a re-rendered [-1,1] crop into a uint8 frame at ``bbox``
+    (models/musetalk.blend_face jaw-mode math, host-side)."""
+    y0, x0, y1, x1 = bbox
+    h, w = y1 - y0, x1 - x0
+    alpha = _blend_alpha(h, w)
+    face_resized = _resize_bilinear_np(np.asarray(face, np.float32), h, w)
+    out = frame_u8.copy()
+    region = out[y0:y1, x0:x1].astype(np.float32) / 127.5 - 1.0
+    blended = region * (1 - alpha) + face_resized * alpha
+    out[y0:y1, x0:x1] = np.clip((blended + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    return out
+
+
+def clamp_box(box, h: int, w: int, *, min_size: int = 8):
+    """Clamp a (possibly smoothed/flow-refined or learned-detector) box to
+    the frame with a minimum size — negative or out-of-frame coordinates
+    would wrap numpy slices into empty/wrong-region crops."""
+    y0, x0, y1, x1 = (int(round(v)) for v in box)
+    y0 = max(0, min(y0, h - min_size))
+    x0 = max(0, min(x0, w - min_size))
+    y1 = max(y0 + min_size, min(y1, h))
+    x1 = max(x0 + min_size, min(x1, w))
+    return (y0, x0, y1, x1)
 
 
 def _mel_audio_features(audio_16k: np.ndarray, audio_dim: int) -> jnp.ndarray:
@@ -123,29 +197,35 @@ class MuseTalkPipeline:
     ) -> np.ndarray:
         """Lip-sync full frames to the audio; returns uint8 frames."""
         n = frames.shape[0]
+        if n == 0:
+            raise MediaError("no video frames to lip-sync",
+                             user_message="The video contains no frames")
         s = self.cfg.image_size
-        y0, x0, y1, x1 = frames_face_detector(frames)
+        h, w = frames.shape[1:3]
+        # PER-FRAME boxes (face.per_frame_face_boxes: learned detector when
+        # mounted, else windowed tracking + flow refinement): a single
+        # clip-level box paints the synthesized jaw onto background the
+        # moment the speaker moves or the shot cuts
+        boxes = [clamp_box(b, h, w) for b in per_frame_face_boxes(frames, fps)]
 
         crops = jnp.stack([
             jax.image.resize(
-                jnp.asarray(frames[i, y0:y1, x0:x1], jnp.float32) / 127.5 - 1.0,
+                jnp.asarray(frames[i, b[0]:b[2], b[1]:b[3]], jnp.float32) / 127.5 - 1.0,
                 (s, s, 3), "linear")
-            for i in range(n)
+            for i, b in enumerate(boxes)
         ]).astype(self.dtype)
 
         feats = self.audio_feature_fn(np.asarray(audio_16k, np.float32))
         windows = mtm.whisper_chunks_for_video(
             feats, n_frames=n, fps=fps, ctx=self.cfg.audio_ctx).astype(self.dtype)
 
-        rendered = mtm.lipsync_frames(
-            self.params, self.cfg, crops, windows, batch_size=self.batch_size)
+        rendered = np.asarray(mtm.lipsync_frames(
+            self.params, self.cfg, crops, windows,
+            batch_size=self.batch_size).astype(jnp.float32))
 
         out = frames.copy()
-        for i in range(n):
-            frame = jnp.asarray(frames[i], jnp.float32) / 127.5 - 1.0
-            blended = mtm.blend_face(
-                frame, rendered[i].astype(jnp.float32), (y0, x0, y1, x1))
-            out[i] = np.asarray(jnp.clip((blended + 1.0) * 127.5, 0, 255), np.uint8)
+        for i, b in enumerate(boxes):
+            out[i] = blend_face_np(out[i], rendered[i], b)
         return out
 
 

@@ -495,3 +495,109 @@ def test_per_frame_boxes_learned_total_miss_falls_back():
     boxes = F.per_frame_face_boxes(frames, fps=24.0)
     assert len(boxes) == 12          # classical windowed path carried it
     assert all(b[1] < 120 < b[3] for b in boxes)
+
+
+# ---------------------------------------------------------- round-5 review fixes
+
+
+def _tiny_cfg():
+    from expressive_speech_translation_tpu.models import musetalk as mtm
+
+    return mtm.MuseTalkConfig(image_size=32, vae_channels=(8, 16),
+                              unet_channels=(16, 32), heads=2, norm_groups=8,
+                              audio_dim=16, audio_ctx=2, latent_channels=4)
+
+
+def test_blend_face_np_matches_device_blend():
+    """The host composite must reproduce models/musetalk.blend_face."""
+    import jax.numpy as jnp
+
+    from expressive_speech_translation_tpu.models import musetalk as mtm
+    from expressive_speech_translation_tpu.pipeline.musetalk_pipeline import blend_face_np
+
+    rng = np.random.default_rng(0)
+    frame_u8 = rng.integers(0, 255, (40, 48, 3), np.uint8)
+    face = rng.uniform(-1, 1, (16, 16, 3)).astype(np.float32)
+    box = (8, 10, 28, 30)
+    got = blend_face_np(frame_u8, face, box)
+    ref_f = jnp.asarray(frame_u8, jnp.float32) / 127.5 - 1.0
+    ref = mtm.blend_face(ref_f, jnp.asarray(face), box)
+    ref_u8 = np.asarray(jnp.clip((ref + 1.0) * 127.5, 0, 255), np.uint8)
+    # same math, different resize kernels/rounding: allow ±2 levels
+    assert np.mean(np.abs(got.astype(int) - ref_u8.astype(int))) < 2.0
+
+
+def test_clamp_box_guards_frame_bounds():
+    from expressive_speech_translation_tpu.pipeline.musetalk_pipeline import clamp_box
+
+    assert clamp_box((-5, -3, 20, 25), 40, 40) == (0, 0, 20, 25)
+    y0, x0, y1, x1 = clamp_box((35, 35, 60, 60), 40, 40)
+    assert y1 <= 40 and x1 <= 40 and (y1 - y0) >= 8 and (x1 - x0) >= 8
+
+
+def test_render_uses_per_frame_boxes(monkeypatch):
+    """The production lip-sync path must consume per-frame boxes (a single
+    clip-level box paints the jaw onto background when the speaker moves)."""
+    from expressive_speech_translation_tpu.pipeline import musetalk_pipeline as mp
+
+    calls = {}
+
+    def fake_boxes(frames, fps, **kw):
+        calls["n"] = len(frames)
+        return [(2 + i, 2 + i, 26 + i, 26 + i) for i in range(len(frames))]
+
+    monkeypatch.setattr(mp, "per_frame_face_boxes", fake_boxes)
+    pipe = mp.MuseTalkPipeline(cfg=_tiny_cfg(), dtype=np.float32)
+    frames = np.random.default_rng(1).integers(0, 255, (3, 32, 32, 3), np.uint8)
+    out = pipe.render(frames, 25.0, np.zeros(16000, np.float32))
+    assert calls["n"] == 3 and out.shape == frames.shape
+
+
+def test_render_rejects_empty_frames():
+    from expressive_speech_translation_tpu.core.errors import MediaError
+    from expressive_speech_translation_tpu.pipeline import musetalk_pipeline as mp
+
+    pipe = mp.MuseTalkPipeline(cfg=_tiny_cfg(), dtype=np.float32)
+    with pytest.raises(MediaError, match="no video frames"):
+        pipe.render(np.zeros((0, 32, 32, 3), np.uint8), 25.0,
+                    np.zeros(1600, np.float32))
+
+
+def test_wav2lip_mel_family():
+    """80 Hz rate, [-4, 4] symmetric range, silence at the floor, and a tone
+    exciting the right mel band (the published-checkpoint feature family)."""
+    from expressive_speech_translation_tpu.pipeline.diff2lip import wav2lip_mel
+
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    mel = wav2lip_mel(tone)
+    assert mel.shape[1] == 80
+    assert abs(mel.shape[0] - (2 * 80)) <= 2          # 80 Hz frames
+    assert mel.min() >= -4.0 and mel.max() <= 4.0
+    sil = wav2lip_mel(np.zeros(sr, np.float32))
+    assert float(sil.max()) == -4.0                    # silence at the floor
+    # the 1 kHz band dominates its spectrum
+    band_energy = mel.mean(axis=0)
+    assert 10 <= int(np.argmax(band_energy)) <= 40
+
+
+def test_gap_filled_windows_are_not_flow_anchors():
+    from expressive_speech_translation_tpu.pipeline.face import track_face_windows
+
+    rng = np.random.default_rng(3)
+    # window 1 has a bright skin-toned moving blob; window 2 is pure noise
+    def face_frame(cx):
+        f = rng.integers(0, 40, (64, 64, 3), np.uint8)
+        f[20:44, cx:cx + 24] = (200, 140, 120)
+        return f
+
+    frames = [face_frame(10 + i) for i in range(8)] + [
+        rng.integers(0, 40, (64, 64, 3), np.uint8) for _ in range(8)]
+    tracks = track_face_windows(frames, fps=4.0, window_s=2.0)
+    assert len(tracks) == 2
+    if tracks[1] is not None and tracks[0] is not None:
+        # if the second window was gap-filled it must say so
+        if tuple(tracks[1].face) == tuple(tracks[0].face):
+            assert tracks[1].detected is False
+        assert tracks[0].detected is True
