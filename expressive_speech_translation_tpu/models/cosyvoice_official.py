@@ -108,7 +108,8 @@ def synthesize_official(
         prompt_speech_mask, prompt_mel, spk_embedding,
     )
     audio = hm.hift_inference(params["hift"], cfg.hift, k_hift, mel,
-                              deterministic=deterministic_source)
+                              deterministic=deterministic_source,
+                              frame_mask=frame_mask)
     return {
         "audio": audio,
         "mel": mel,

@@ -273,6 +273,13 @@ def upsample_conformer_encode(
     h = h * np.sqrt(s)
     pos_emb = _rel_pos_encoding(t, s, h.dtype)
 
+    # mask BEFORE the lookahead conv: official F.pad provides literal zeros
+    # past the sequence end, while padded positions here hold embed-zero →
+    # bias → LayerNorm×√d vectors — the right-pad lookahead (k=4) at the
+    # last ~3 valid tokens would mix that garbage into the final ~6 mel
+    # frames of every right-padded utterance (and every streaming chunk tail)
+    h = h * mask[..., None]
+
     # PreLookaheadLayer: right-pad lookahead conv → causal conv → residual
     lk = _conv1d(p["pre_lookahead"]["conv1"], h,
                  pad=(0, p["pre_lookahead"]["conv1"]["kernel"].shape[0] - 1))
@@ -366,7 +373,10 @@ def _tblock(p: Params, cfg: CausalDecoderConfig, x: jnp.ndarray,
     attn = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, h * dk)
     x = x + dense(p["attn"]["out"], attn)
     f = layer_norm(p["norm3"], x)
-    f = dense(p["ff"]["out"], jax.nn.gelu(dense(p["ff"]["proj"], f)))
+    # exact (erf) gelu: diffusers FeedForward uses F.gelu, not tanh-approx —
+    # the ~5e-4 per-call difference compounds over 56 blocks × 10 Euler steps
+    f = dense(p["ff"]["out"],
+              jax.nn.gelu(dense(p["ff"]["proj"], f), approximate=False))
     return x + f
 
 
@@ -476,6 +486,17 @@ def flow_inference(
 
     tokens = jnp.concatenate([prompt_tokens, speech_tokens], axis=1)
     tmask = jnp.concatenate([prompt_token_mask, token_mask], axis=1)
+    # COMPACT valid positions to a contiguous prefix per row (stable sort on
+    # the mask — build_prompt_embeddings' technique): a batch row whose
+    # prompt is shorter than the padded width would otherwise carry padding
+    # MID-sequence, which the lookahead/causal convs read as real positions
+    # and which inflates rel-pos attention distances across the prompt→gen
+    # boundary. With full-width prompts the sort is the identity.
+    order = jnp.argsort(~tmask, axis=1, stable=True)
+    tokens = jnp.take_along_axis(tokens, order, axis=1)
+    tmask = jnp.take_along_axis(tmask, order, axis=1)
+    n_ptok = jnp.sum(prompt_token_mask.astype(jnp.int32), axis=1)    # [B]
+    n_gtok = jnp.sum(token_mask.astype(jnp.int32), axis=1)
     emb = params["input_embedding"][jnp.clip(tokens, 0, cfg.vocab_size - 1)]
     emb = emb * tmask[..., None]
 
@@ -483,14 +504,23 @@ def flow_inference(
         params["encoder"], cfg.encoder, emb, tmask)
     mu = dense(params["encoder_proj"], h)                    # [B, r·T, 80]
 
-    t_pmel = prompt_feat.shape[1]
     total = mu.shape[1]
-    cond = jnp.zeros((b, total, cfg.output_size), mu.dtype)
-    cond = cond.at[:, :t_pmel].set(prompt_feat.astype(mu.dtype))
+    # prompt mel rides the first r·n_ptok frames of each COMPACTED row;
+    # prompt_feat is end-padded so its frame i is row-aligned with frame i
+    fidx = jnp.arange(total)[None, :]
+    pf = jnp.zeros((b, total, cfg.output_size), mu.dtype)
+    pf = pf.at[:, : prompt_feat.shape[1]].set(prompt_feat.astype(mu.dtype))
+    cond = jnp.where((fidx < (r * n_ptok)[:, None])[..., None], pf, 0.0)
 
     mel = _solve_euler(params["estimator"], cfg, key, mu, spk, cond, frame_mask)
-    gen_mask = frame_mask[:, t_pmel:]
-    return mel[:, t_pmel:] * gen_mask[..., None], gen_mask
+    # strip the prompt span PER ROW (official feat[:, :, mel_len1:]): the
+    # generated frame i of row b lives at r·n_ptok[b] + i
+    t_gen = r * speech_tokens.shape[1]
+    gather = jnp.clip((r * n_ptok)[:, None] + jnp.arange(t_gen)[None, :],
+                      0, total - 1)
+    mel_gen = jnp.take_along_axis(mel, gather[..., None], axis=1)
+    gen_mask = jnp.arange(t_gen)[None, :] < (r * n_gtok)[:, None]
+    return mel_gen * gen_mask[..., None], gen_mask
 
 
 def _solve_euler(est: Params, cfg: OfficialFlowConfig, key, mu, spk, cond,

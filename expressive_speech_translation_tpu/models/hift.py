@@ -27,7 +27,7 @@ in this environment) — tests/test_hift.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -199,7 +199,7 @@ def _init_resblock(key, channels, kernel, dilations):
     }
 
 
-def _resblock(p, x, kernel, dilations):
+def _resblock(p, x, dilations):
     for j, d in enumerate(dilations):
         xt = _snake(x, p["alphas1"][j])
         xt = _conv1d(p["convs1"][j], xt, dilation=d)
@@ -313,15 +313,13 @@ def hift_decode(params: Params, cfg: HiFTConfig, mel: jnp.ndarray,
         else:
             si_i = _conv1d(params["source_downs"][i], s_stft, stride=u,
                            pad=(u // 2, u // 2))
-        si_i = _resblock(params["source_resblocks"][i], si_i,
-                         cfg.source_resblock_kernels[i],
-                         cfg.source_resblock_dilations[i])
+        si_i = _resblock(params["source_resblocks"][i],
+                         si_i, cfg.source_resblock_dilations[i])
         x = x + si_i
         xs = None
         for j in range(n_kernels):
             r_p = params["resblocks"][i * n_kernels + j]
-            y = _resblock(r_p, x, cfg.resblock_kernels[j],
-                          cfg.resblock_dilations[j])
+            y = _resblock(r_p, x, cfg.resblock_dilations[j])
             xs = y if xs is None else xs + y
         x = xs / n_kernels
     x = _lrelu(x, 0.01)                                     # F.leaky_relu default
@@ -336,11 +334,28 @@ def hift_decode(params: Params, cfg: HiFTConfig, mel: jnp.ndarray,
 
 
 def hift_inference(params: Params, cfg: HiFTConfig, key,
-                   mel: jnp.ndarray, *, deterministic: bool = False) -> jnp.ndarray:
-    """HiFTGenerator.inference: mel [B, T, 80] → waveform [B, T·480] @24 kHz."""
+                   mel: jnp.ndarray, *, deterministic: bool = False,
+                   frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """HiFTGenerator.inference: mel [B, T, 80] → waveform [B, T·480] @24 kHz.
+
+    ``frame_mask`` [B, T] bool marks valid mel frames for BATCHED padded
+    input: without it, conv biases synthesize nonzero f0/excitation over
+    zero-padded frames and the pad region of the output is noise rather
+    than silence. Masked mode zeroes the pad mel and the pad samples of the
+    waveform; the residual difference vs running each row at its true
+    length is receptive-field bleed from SILENT (not garbage) context —
+    bounded by the resblock half-field (~25 ms)."""
+    if frame_mask is not None:
+        mel = mel * frame_mask[..., None].astype(mel.dtype)
     f0 = f0_predict(params, cfg, mel)
+    if frame_mask is not None:
+        f0 = f0 * frame_mask.astype(f0.dtype)
     s = harmonic_source(params, cfg, key, f0, deterministic=deterministic)
-    return hift_decode(params, cfg, mel, s)
+    wave = hift_decode(params, cfg, mel, s)
+    if frame_mask is not None:
+        sample_mask = jnp.repeat(frame_mask, cfg.hop, axis=1)
+        wave = wave[:, : sample_mask.shape[1]] * sample_mask.astype(wave.dtype)
+    return wave
 
 
 # ================================================================ conversion
@@ -428,10 +443,13 @@ def _emit_resblock(out, prefix, p):
     for j, (c1, c2) in enumerate(zip(p["convs1"], p["convs2"])):
         _emit_conv(out, f"{prefix}.convs1.{j}", c1)
         _emit_conv(out, f"{prefix}.convs2.{j}", c2)
+        # official Snake stores alpha as a 1-D (in_features,) parameter
+        # (cosyvoice hifigan Snake: torch.ones(in_features)) — a (1, C, 1)
+        # emission would size-mismatch on strict load into the real model
         out[f"{prefix}.activations1.{j}.alpha"] = \
-            np.asarray(p["alphas1"][j]).reshape(1, -1, 1)
+            np.asarray(p["alphas1"][j]).reshape(-1)
         out[f"{prefix}.activations2.{j}.alpha"] = \
-            np.asarray(p["alphas2"][j]).reshape(1, -1, 1)
+            np.asarray(p["alphas2"][j]).reshape(-1)
 
 
 def to_hift_state_dict(params: Params, cfg: HiFTConfig) -> Dict[str, np.ndarray]:

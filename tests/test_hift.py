@@ -69,10 +69,14 @@ def test_stft_istft_roundtrip():
 class Snake(nn.Module):
     def __init__(self, channels):
         super().__init__()
-        self.alpha = nn.Parameter(torch.ones(1, channels, 1))
+        # official cosyvoice Snake: 1-D (in_features,) parameter — the
+        # mirror must use the REAL layout or the to_hift_state_dict
+        # round-trip can't catch an export-shape regression
+        self.alpha = nn.Parameter(torch.ones(channels))
 
     def forward(self, x):
-        return x + torch.sin(self.alpha * x) ** 2 / (self.alpha + 1e-9)
+        a = self.alpha[None, :, None]
+        return x + torch.sin(a * x) ** 2 / (a + 1e-9)
 
 
 class ResBlock(nn.Module):
