@@ -1119,6 +1119,15 @@ def flow_vocode_chunk(
     through a remote-relay TPU every eager op is an RPC, so the glue —
     masking, padding, concat — must live inside the compiled program)."""
     c = tokens.shape[1]
+    # serving-dtype parity with the batch path: the host-side context
+    # buffers arrive float32, which would promote the whole per-chunk flow
+    # (10 Euler steps × CFG-doubled DiT, every chunk) to f32 under a bf16
+    # serving policy — cast conditioning to the params' dtype at entry
+    flow_leaves = [l for l in jax.tree_util.tree_leaves(params["flow"])
+                   if jnp.issubdtype(l.dtype, jnp.floating)]
+    pdtype = flow_leaves[0].dtype if flow_leaves else jnp.float32
+    ctx_mel = ctx_mel.astype(pdtype)
+    spk = spk.astype(pdtype)
     tok_mask = jnp.arange(c)[None, :] < n_valid
     safe = jnp.where(tok_mask, tokens, 0)
     mel, _ = tokens_to_mel(
@@ -1208,6 +1217,14 @@ def synthesize_streaming(
     # Flow context buffer: last `flow_context` generated mel frames (init from
     # the real prompt tail, right-aligned, left-padded invalid).
     f_ctx = stream.flow_context
+    if f_ctx % r:
+        # the token buffer covers f_ctx // r tokens = r·(f_ctx//r) frames; a
+        # non-multiple would leave the NEWEST context frames token-less
+        # (mel_cond≠0 with token_cond=0 — conditioning training never saw)
+        # and phase-shift every other frame's token pairing
+        raise ValueError(
+            f"StreamConfig.flow_context={f_ctx} must be a multiple of "
+            f"token_mel_ratio={r}")
     n_mels = cfg.flow.n_mels
     ctx_mel = np.zeros((1, f_ctx, n_mels), np.float32)
     ctx_mask = np.zeros((1, f_ctx), bool)

@@ -75,10 +75,14 @@ def _fsq(z: jnp.ndarray, levels: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Finite scalar quantisation with straight-through gradients.
     z [..., D] → (quantised codes in {-1,0,1,...} scaled, integer levels)."""
     half = (levels - 1) / 2.0
+    # EVEN level counts live on a half-integer grid (L=4 → {±0.5, ±1.5}):
+    # plain round() would land off-grid and collapse a level; the offset
+    # shifts rounding onto the right lattice for both parities
+    offset = 0.5 if levels % 2 == 0 else 0.0
     bounded = jnp.tanh(z) * half                   # (-half, half)
-    quantised = jnp.round(bounded)
+    quantised = jnp.round(bounded - offset) + offset
     codes = bounded + jax.lax.stop_gradient(quantised - bounded)  # STE
-    ints = (quantised + half).astype(jnp.int32)    # 0..levels-1
+    ints = jnp.round(quantised + half).astype(jnp.int32)   # 0..levels-1
     return codes / half, ints
 
 

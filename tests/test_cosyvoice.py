@@ -680,3 +680,45 @@ def test_tts_engine_mtp_width_mismatch_downgrades():
 
 def host_init_params(cfg):
     return cv.init_cosyvoice(jax.random.PRNGKey(9), cfg)
+
+
+def test_fsq_even_levels_use_full_grid():
+    """Even FSQ level counts live on a half-integer grid: round() must land
+    on it and every level must be reachable (L=4 previously collapsed to 3
+    levels and the top code was unreachable)."""
+    from expressive_speech_translation_tpu.models import speech_tokenizer as st
+
+    z = jnp.asarray(np.linspace(-4, 4, 4001, dtype=np.float32)[:, None])
+    codes, ints = st._fsq(z, 4)
+    vals = np.unique(np.asarray(ints))
+    assert list(vals) == [0, 1, 2, 3]
+    # codes sit exactly on the normalized half-integer grid
+    grid = np.unique(np.round(np.asarray(codes), 6))
+    np.testing.assert_allclose(grid, [-1.0, -1/3, 1/3, 1.0], atol=1e-6)
+    # odd levels unchanged
+    _, ints3 = st._fsq(z, 3)
+    assert list(np.unique(np.asarray(ints3))) == [0, 1, 2]
+
+
+def test_stream_config_rejects_misaligned_flow_context():
+    from expressive_speech_translation_tpu.models import qwen2 as q2m
+
+    cfg = cv.CosyVoiceConfig(
+        lm=cv.SpeechLMConfig(
+            backbone=q2m.Qwen2Config(hidden=32, layers=1, heads=4, kv_heads=2,
+                                     ffn_dim=64, max_positions=512),
+            text_vocab=64, speech_token_size=61),
+        flow=cv.FlowConfig(token_vocab=64, dim=32, layers=1, heads=4, n_steps=2),
+        vocoder=cv.VocoderConfig(base_channels=32, upsample_rates=(8, 6, 10),
+                                 upsample_kernels=(16, 12, 20)),
+    )
+    params = host_init_params(cfg)
+    gen = cv.synthesize_streaming(
+        params, cfg, jax.random.PRNGKey(0),
+        jnp.zeros((1, 3), jnp.int32), jnp.ones((1, 3), bool),
+        jnp.zeros((1, 2), jnp.int32), jnp.ones((1, 2), bool),
+        jnp.zeros((1, cfg.flow.spk_embed_dim)),
+        jnp.zeros((1, 4, cfg.flow.n_mels)), jnp.ones((1, 4), bool),
+        stream=cv.StreamConfig(flow_context=15), max_new_tokens=8)
+    with pytest.raises(ValueError, match="multiple of"):
+        next(iter(gen))
